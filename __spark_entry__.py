@@ -1,38 +1,1408 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline operator) implemented Spark-first in
+``cnosdb_spark``; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Column names and rounding are aligned on both sides (the driver hashes
+values after sorting columns by name).
+
+Conventions:
+- timestamps are returned as epoch microseconds (BIGINT) — engine-neutral;
+- float aggregates are rounded on BOTH sides (same decimals) so double
+  summation order can't flip the value hash;
+- every ordering that feeds a LIMIT carries a unique tie-break key.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from cnosdb_spark.functions import (
+    bottom as ts_bottom,
+    first_agg,
+    gauge_agg,
+    increase,
+    last_agg,
+    mode_df,
+    sample_deterministic,
+    state_at,
+    state_durations,
+    duration_in,
+    time_window_gapfill,
+    topk as ts_topk,
+)
+from cnosdb_spark.functions.quality import data_quality
+from cnosdb_spark.functions.repair import value_fill
+from cnosdb_spark.operators import dedup, similarity, text
+from cnosdb_spark.operators.multimodal import extract_features, synthetic_media
+
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from cnosdb_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Relational core (DataFusion-inherited surface, SURVEY §2.2-§2.8)
+# =====================================================================
+
+@_q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           CAST(count(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """Hash aggregate partial→final (SURVEY §2.4); filter pushdown to scan."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_us(o_orderdate)                             AS orderdate_us
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """Multi-join + agg + top-N (TakeOrderedAndProject). customer side is
+    broadcast-eligible; Catalyst/AQE picks the join strategy."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey", "revenue", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+                JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """Six-table join gauntlet; dims broadcast, facts shuffle on join keys."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(r)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_q(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join = IN/EXISTS subquery (SURVEY §2.3 decorrelation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_q(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join = NOT IN/NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_q(
+    "join_outer_order_fill",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(l_orderkey) AS BIGINT)          AS n_lineitems
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_outer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("l_orderkey").alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
+    "agg_statistical",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)             AS std_qty,
+           round(var_samp(l_quantity), 4)                AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)   AS corr_qty_price,
+           round(covar_pop(l_quantity, l_discount), 6)   AS covar_qty_disc,
+           round(avg(l_tax), 6)                          AS avg_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_statistical(spark, sf_dir):
+    """Statistical aggregate family (SURVEY §2.4 statistical_agg slt)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )
+
+
+@_q(
+    "agg_distinct_counts",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q("agg_approx_distinct")  # engine-specific sketches: rows-only check
+def agg_approx(spark, sf_dir):
+    """approx_distinct / approx_percentile (SURVEY §2.4). HLL/KLL sketches
+    differ across engines → no value oracle; driver checks shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_median_price"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)), 2
+        ).alias("approx_p90_price"),
+    )
+
+
+@_q(
+    "window_rank_top_orders",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+             CAST(rank()       OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderstatus) AS INT)                 AS status_rank
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_rank(spark, sf_dir):
+    """Window functions (SURVEY §2.5): row_number/rank partitioned per key."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w2).cast("int").alias("status_rank"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "window_running_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey), 2)                 AS delta_prev,
+           round(first_value(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey), 2)                 AS first_price
+    FROM orders
+    """,
+)
+def window_running(spark, sf_dir):
+    """Frame-spec windows + lag/first_value (SURVEY §2.5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+    )
+
+
+@_q(
+    "set_ops_nations",
+    """
+    SELECT 'union' AS op, nk FROM (SELECT c_nationkey AS nk FROM customer
+                                   UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', nk FROM (SELECT c_nationkey AS nk FROM customer
+                                 INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except', nk FROM (SELECT c_nationkey AS nk FROM customer
+                              EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT (SURVEY §2.7)."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return (
+        cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
+        .unionAll(cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk"))
+        .unionAll(cn.subtract(sn).select(F.lit("except").alias("op"), "nk"))
+    )
+
+
+@_q(
+    "rollup_lineitem",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(l_quantity), 2)     AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark, sf_dir):
+    """GROUPING SETS / ROLLUP (SURVEY §2.4)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@_q(
+    "conditional_funcs",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           round(avg(coalesce(nullif(o_totalprice, 0.0), 0.0)), 4) AS avg_price,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_funcs(spark, sf_dir):
+    """coalesce / nullif / CASE WHEN (SURVEY §2.8 conditional)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("n_big"),
+        F.round(F.avg(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0))), 4).alias(
+            "avg_price"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+    )
+
+
+@_q(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name)                    AS uname,
+           lower(p_brand)                   AS lbrand,
+           substr(p_name, 1, 12)            AS prefix,
+           CAST(length(p_name) AS BIGINT)   AS name_len,
+           replace(p_type, ' ', '_')        AS type_u,
+           reverse(p_brand)                 AS rbrand,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           concat(p_brand, ':', p_type)     AS brand_type,
+           CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+           trim(rpad(p_brand, 12, ' '))     AS trimmed,
+           md5(p_name)                      AS name_md5
+    FROM part
+    """,
+)
+def string_funcs(spark, sf_dir):
+    """String function battery (SURVEY §2.8)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_name", 1, 12).alias("prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.trim(F.rpad("p_brand", 12, " ")).alias("trimmed"),
+        F.md5("p_name").alias("name_md5"),
+    )
+
+
+@_q(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)        AS a,
+           round(ceil(l_extendedprice / 1000), 1)  AS c,
+           round(floor(l_quantity), 1)             AS fl,
+           round(sqrt(l_extendedprice), 6)         AS sq,
+           round(exp(l_discount), 8)               AS ex,
+           round(ln(l_extendedprice), 8)           AS lg,
+           round(log10(l_extendedprice), 8)        AS l10,
+           round(pow(l_quantity, 2), 2)            AS p2,
+           round(CAST(l_quantity AS BIGINT) % 7, 1) AS m7,
+           round(sign(l_discount - 0.05), 1)       AS sg
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def math_funcs(spark, sf_dir):
+    """Math function battery (SURVEY §2.8)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("a"),
+        F.round(F.ceil(F.col("l_extendedprice") / 1000).cast("double"), 1).alias("c"),
+        F.round(F.floor(F.col("l_quantity")).cast("double"), 1).alias("fl"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.round(F.exp("l_discount"), 8).alias("ex"),
+        F.round(F.log("l_extendedprice"), 8).alias("lg"),
+        F.round(F.log10("l_extendedprice"), 8).alias("l10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("p2"),
+        F.round((F.col("l_quantity").cast("long") % 7).cast("double"), 1).alias("m7"),
+        F.round(F.signum(F.col("l_discount") - 0.05), 1).alias("sg"),
+    )
+
+
+@_q(
+    "time_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)     AS y,
+           CAST(month(o_orderdate) AS BIGINT)    AS mo,
+           CAST(day(o_orderdate) AS BIGINT)      AS d,
+           CAST(quarter(o_orderdate) AS BIGINT)  AS q,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+           epoch_us(date_trunc('month', o_orderdate))    AS month_start_us,
+           epoch_us(o_orderdate)                          AS od_us
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def time_funcs(spark, sf_dir):
+    """Time function battery (SURVEY §2.8): date_part/date_trunc/extract.
+    dow aligned to DuckDB's Sunday=0 convention via dayofweek-1."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate").cast("timestamp")).alias("month_start_us"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
+
+
+@_q(
+    "subquery_scalar_above_avg",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """Scalar subquery → cross-join of a 1-row aggregate (Catalyst
+    ScalarSubqueryToJoin equivalent, SURVEY §4.2)."""
+    o = _t(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
+
+
+@_q(
+    "subquery_in_region",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+    GROUP BY c_mktsegment
+    """,
+)
+def subquery_in(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nk = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+    return (
+        c.join(F.broadcast(nk), c.c_nationkey == nk.n_nationkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "limit_offset",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 10
+    """,
+)
+def limit_offset(spark, sf_dir):
+    """Sort + limit/offset (SURVEY §2.7; dql/limit.slt)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(50)
+    )
+
+
+# =====================================================================
+# Time-series operators (SURVEY §2.6, §2.4 cnosdb-specific)
+# =====================================================================
+
+@_q(
+    "time_window_tumbling",
+    """
+    SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS sum_value,
+           round(avg(value), 6)     AS avg_value,
+           round(min(value), 6)     AS min_value,
+           round(max(value), 6)     AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_window_tumbling(spark, sf_dir):
+    """time_window(time, 1h) tumbling → F.window (SURVEY §2.6;
+    reference transform_time_window.rs:42-92)."""
+    from cnosdb_spark.functions import time_window
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(time_window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@_q(
+    "time_window_sliding",
+    """
+    SELECT ws AS window_start_us, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (
+      SELECT unnest(generate_series((epoch_us(ts) - 3600000000) // 1800000000 + 1,
+                                    epoch_us(ts) // 1800000000)) * 1800000000 AS ws,
+             value
+      FROM events)
+    GROUP BY ws
+    """,
+)
+def time_window_sliding(spark, sf_dir):
+    """time_window(time, 1h, 30m) sliding → Expand-based F.window
+    (reference emits one projection per overlapping window,
+    transform_time_window.rs:303-393 — Spark's implementation is the same
+    design)."""
+    from cnosdb_spark.functions import time_window
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(time_window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"), "n", "sum_value"
+        )
+    )
+
+
+_GAPFILL_ORACLE_COMMON = """
+    WITH actual AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(ts) % 900000000) AS b,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM actual GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(lo, hi, 900000000)) AS b
+              FROM bounds)
+"""
+
+
+@_q(
+    "gapfill_locf",
+    _GAPFILL_ORACLE_COMMON
+    + """
+    SELECT s.event_type, s.b AS bucket_us,
+           last_value(a.avg_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.b) AS avg_value
+    FROM spine s LEFT JOIN actual a ON a.event_type = s.event_type AND a.b = s.b
+    """,
+)
+def gapfill_locf(spark, sf_dir):
+    """time_window_gapfill + locf (SURVEY §2.6; reference gapfill.rs/locf.rs
+    — custom Spark rewrite: spine via sequence+explode, LOCF via
+    last(ignorenulls) window)."""
+    e = _t(spark, sf_dir, "events")
+    out = time_window_gapfill(
+        e,
+        "ts",
+        "15m",
+        ["event_type"],
+        [F.round(F.avg("value"), 6).alias("avg_value")],
+        fill={"avg_value": "locf"},
+    )
+    return out.select(
+        "event_type", F.unix_micros("bucket").alias("bucket_us"), "avg_value"
+    )
+
+
+@_q(
+    "gapfill_interpolate",
+    _GAPFILL_ORACLE_COMMON
+    + """
+    , filled AS (
+      SELECT s.event_type, s.b, a.avg_value,
+             last_value(a.avg_value IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             first_value(a.avg_value IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.b
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(CASE WHEN a.avg_value IS NOT NULL THEN s.b END IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(CASE WHEN a.avg_value IS NOT NULL THEN s.b END IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.b
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM spine s LEFT JOIN actual a ON a.event_type = s.event_type AND a.b = s.b)
+    SELECT event_type, b AS bucket_us,
+           CAST(floor(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                      ELSE pv + (nv - pv) * (b - pt) / (nt - pt) END
+                      * 1000000 + 0.5) AS BIGINT) AS avg_value_e6
+    FROM filled
+    """,
+)
+def gapfill_interpolate(spark, sf_dir):
+    """time_window_gapfill + interpolate (linear between bracketing
+    non-null buckets; reference interpolate.rs)."""
+    e = _t(spark, sf_dir, "events")
+    out = time_window_gapfill(
+        e,
+        "ts",
+        "15m",
+        ["event_type"],
+        [F.round(F.avg("value"), 6).alias("avg_value")],
+        fill={"avg_value": "interpolate"},
+    )
+    # scaled-integer output: floor(x*1e6+0.5) is the same float algorithm in
+    # both engines, immune to round() implementation differences at
+    # half-way decimals (observed 2/14k boundary flips with round(x, 6))
+    return out.select(
+        "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.floor(F.col("avg_value") * 1000000 + 0.5).cast("long").alias("avg_value_e6"),
+    )
+
+
+@_q(
+    "first_last_per_series",
+    """
+    SELECT user_id,
+           arg_min(value, ts) FILTER (WHERE value IS NOT NULL)      AS first_value,
+           arg_max(value, ts) FILTER (WHERE value IS NOT NULL)      AS last_value,
+           arg_min(event_type, ts) FILTER (WHERE event_type IS NOT NULL) AS first_type,
+           epoch_us(min(ts)) AS min_ts_us,
+           epoch_us(max(ts)) AS max_ts_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def first_last(spark, sf_dir):
+    """first(time,value)/last(time,value) selector aggregates (SURVEY §2.4;
+    reference aggregate_function/{first,last}.rs → F.min_by/max_by)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        first_agg("ts", "value").alias("first_value"),
+        last_agg("ts", "value").alias("last_value"),
+        first_agg("ts", "event_type").alias("first_type"),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "increase_counter",
+    """
+    WITH d AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+      FROM events)
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
+                                   WHEN value - pv >= 0 THEN value - pv
+                                   ELSE value END), 0), 4) AS increase
+    FROM d GROUP BY user_id
+    """,
+)
+def increase_counter(spark, sf_dir):
+    """increase(time, value) with counter-reset handling (SURVEY §2.4;
+    reference aggregate_function/increase.rs)."""
+    e = _t(spark, sf_dir, "events")
+    out = increase(e, "ts", "value", ["user_id"])
+    return out.select("user_id", F.round("increase", 4).alias("increase"))
+
+
+@_q(
+    "mode_per_series",
+    """
+    SELECT user_id, event_type AS mode FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def mode_per_series(spark, sf_dir):
+    """mode(x) with deterministic tie-break (SURVEY §2.4; reference
+    aggregate_function/mode.rs)."""
+    e = _t(spark, sf_dir, "events")
+    return mode_df(e, ["user_id"], "event_type")
+
+
+@_q(
+    "sample_deterministic",
+    """
+    SELECT event_id, user_id FROM events
+    ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 20
+    """,
+)
+def sample_events(spark, sf_dir):
+    """sample(x, n) as a deterministic uniform hash-sample (SURVEY §2.4;
+    reference sample.rs is a reservoir — see sample_deterministic doc)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return sample_deterministic(e, "event_id", 20)
+
+
+@_q(
+    "topk_values",
+    """
+    SELECT event_id, round(value, 6) AS value FROM events
+    ORDER BY value DESC NULLS LAST, event_id LIMIT 10
+    """,
+)
+def topk_values(spark, sf_dir):
+    """topk(col, k) selector → TakeOrderedAndProject (SURVEY §2.6;
+    reference transform_topk_func_to_topk_node.rs:27-71)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 6).alias("value")
+    )
+    return ts_topk(e, "value", 10, "event_id")
+
+
+@_q(
+    "bottom_values",
+    """
+    SELECT event_id, round(value, 6) AS value FROM events
+    ORDER BY value ASC NULLS LAST, event_id LIMIT 10
+    """,
+)
+def bottom_values(spark, sf_dir):
+    """bottom(col, k) selector (reference transform_bottom_func_to_topk_node.rs)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.round("value", 6).alias("value")
+    )
+    return ts_bottom(e, "value", 10, "event_id")
+
+
+@_q(
+    "state_agg_durations",
+    """
+    WITH d AS (
+      SELECT user_id, event_type,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              - epoch_us(ts)) / 1e6 AS dur
+      FROM events)
+    SELECT user_id, event_type, round(sum(coalesce(dur, 0)), 3) AS duration_s
+    FROM d GROUP BY user_id, event_type
+    """,
+)
+def state_agg_durations(spark, sf_dir):
+    """state_agg(time, state) → per-state duration (SURVEY §2.4; reference
+    aggregate_function/state_agg/)."""
+    e = _t(spark, sf_dir, "events")
+    out = state_durations(e, "ts", "event_type", ["user_id"])
+    return out.select(
+        "user_id", "event_type", F.round("duration_s", 3).alias("duration_s")
+    )
+
+
+@_q(
+    "duration_in_state",
+    """
+    WITH d AS (
+      SELECT user_id, event_type,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              - epoch_us(ts)) / 1e6 AS dur
+      FROM events),
+    per AS (SELECT user_id, round(sum(coalesce(dur, 0)), 3) AS duration_s
+            FROM d WHERE event_type = 'error' GROUP BY user_id)
+    SELECT u.user_id, coalesce(per.duration_s, 0.0) AS duration_s
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN per ON per.user_id = u.user_id
+    """,
+)
+def duration_in_state(spark, sf_dir):
+    """duration_in(state_agg(...), 'error') (reference duration_in.rs)."""
+    e = _t(spark, sf_dir, "events")
+    out = duration_in(e, "ts", "event_type", ["user_id"], "error")
+    return out.select("user_id", F.round("duration_s", 3).alias("duration_s"))
+
+
+@_q(
+    "state_at_timestamp",
+    """
+    SELECT user_id, arg_max(event_type, ts) AS state
+    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def state_at_ts(spark, sf_dir):
+    """state_at(state_agg(...), ts): as-of lookup (reference state_at.rs)."""
+    e = _t(spark, sf_dir, "events")
+    return state_at(e, "ts", "event_type", ["user_id"], "2024-01-15 00:00:00")
+
+
+@_q(
+    "gauge_agg_metrics",
+    """
+    WITH r AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts)      AS ra,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rd
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id,
+           round(min(CASE WHEN ra = 1 THEN value END), 6) AS first_val,
+           round(min(CASE WHEN rd = 1 THEN value END), 6) AS last_val,
+           round(min(CASE WHEN rd = 1 THEN value END)
+                 - min(CASE WHEN ra = 1 THEN value END), 6) AS delta,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 3) AS time_delta_s,
+           round((min(CASE WHEN rd = 1 THEN value END)
+                  - min(CASE WHEN ra = 1 THEN value END))
+                 / ((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6), 9) AS rate,
+           round(min(CASE WHEN ra = 2 THEN value END)
+                 - min(CASE WHEN ra = 1 THEN value END), 6) AS idelta_left,
+           round(min(CASE WHEN rd = 1 THEN value END)
+                 - min(CASE WHEN rd = 2 THEN value END), 6) AS idelta_right,
+           CAST(count(*) AS BIGINT) AS num_elements
+    FROM r GROUP BY user_id
+    """,
+)
+def gauge_metrics(spark, sf_dir):
+    """gauge_agg + delta/rate/time_delta/first_val/last_val/idelta accessors
+    (SURVEY §2.4; reference gauge_agg.rs:22-67 + scalar_function/gauge/)."""
+    from cnosdb_spark.functions.gauge import (
+        gauge_delta,
+        gauge_first_val,
+        gauge_idelta_left,
+        gauge_idelta_right,
+        gauge_last_val,
+        gauge_rate,
+        gauge_time_delta,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    g = gauge_agg(e, ["user_id"], "ts", "value")
+    gc = F.col("gauge")
+    return g.select(
+        "user_id",
+        F.round(gauge_first_val(gc), 6).alias("first_val"),
+        F.round(gauge_last_val(gc), 6).alias("last_val"),
+        F.round(gauge_delta(gc), 6).alias("delta"),
+        F.round(gauge_time_delta(gc), 3).alias("time_delta_s"),
+        F.round(gauge_rate(gc), 9).alias("rate"),
+        F.round(gauge_idelta_left(gc), 6).alias("idelta_left"),
+        F.round(gauge_idelta_right(gc), 6).alias("idelta_right"),
+        gc["num_elements"].alias("num_elements"),
+    )
+
+
+@_q(
+    "show_series",
+    """
+    SELECT DISTINCT 'events,event_type=' || event_type
+           || ',user_bucket=' || CAST(user_id % 10 AS VARCHAR) AS key
+    FROM events
+    """,
+)
+def show_series(spark, sf_dir):
+    """SHOW SERIES: distinct series keys formatted measurement,tag=val,...
+    (SURVEY §2.6; reference sql/planner.rs:1400-1406). Tag-only projection
+    = DISTINCT series (rewrite_tag_scan.rs semantics)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.concat(
+            F.lit("events,event_type="),
+            F.col("event_type"),
+            F.lit(",user_bucket="),
+            F.pmod(F.col("user_id"), F.lit(10)).cast("string"),
+        ).alias("key")
+    ).distinct()
+
+
+@_q(
+    "show_tag_values",
+    """
+    SELECT 'lang' AS key, lang AS value FROM documents WHERE lang IS NOT NULL
+    UNION
+    SELECT 'source', source FROM documents WHERE source IS NOT NULL
+    """,
+)
+def show_tag_values(spark, sf_dir):
+    """SHOW TAG VALUES WITH KEY IN (lang, source) (SURVEY §2.6;
+    reference sql/planner.rs:1408-1421)."""
+    d = _t(spark, sf_dir, "documents")
+    lang = (
+        d.select(F.lit("lang").alias("key"), F.col("lang").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+    )
+    src = (
+        d.select(F.lit("source").alias("key"), F.col("source").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+    )
+    return lang.unionAll(src).distinct()
+
+
+@_q(
+    "lww_dedup_merge",
+    """
+    WITH w AS (
+      SELECT user_id, ts, value, event_type, 1 AS seq FROM events
+      UNION ALL
+      SELECT user_id, ts, value + 1000, NULL, 2 FROM events WHERE event_id % 10 = 0)
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           round(arg_max(value, CASE WHEN value IS NOT NULL THEN seq END), 6) AS value,
+           arg_max(event_type, CASE WHEN event_type IS NOT NULL THEN seq END) AS event_type,
+           CAST(count(*) AS BIGINT) AS n_writes
+    FROM w GROUP BY user_id, ts
+    """,
+)
+def lww_dedup(spark, sf_dir):
+    """Per-column last-write-wins merge on (series, time): a later write
+    with NULL in a field does NOT erase the earlier value (SURVEY §7.4.2;
+    reference tskv/src/reader/sort_merge.rs column-cursor merge, pinned by
+    cases/sqlancer/repeat_write.slt:12-32). Simulated with a second write
+    batch updating value only."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select("user_id", "ts", "value", "event_type", F.lit(1).alias("seq"))
+    upd = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .select(
+            "user_id",
+            "ts",
+            (F.col("value") + 1000).alias("value"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    w = base.unionAll(upd)
+    return w.groupBy("user_id", "ts").agg(
+        F.round(
+            F.max_by("value", F.when(F.col("value").isNotNull(), F.col("seq"))), 6
+        ).alias("value"),
+        F.max_by("event_type", F.when(F.col("event_type").isNotNull(), F.col("seq"))).alias(
+            "event_type"
+        ),
+        F.count(F.lit(1)).alias("n_writes"),
+    ).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_type", "n_writes"
+    )
+
+
+# =====================================================================
+# Training-data-pipeline operators (dedup / similarity / text)
+# =====================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split_regex({_NORM_SQL}, ' ')"
+_SHINGLE_CTE = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+      FROM toks),
+    d AS (SELECT DISTINCT doc_id, s FROM sh)
+"""
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY md5({_NORM_SQL})
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized-content hash; deterministic winner."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    _SHINGLE_CTE
+    + """
+    , sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    """,
+)
+def ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs via inverted-index join (no O(n²))."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mh = ", ".join(
+        f"min(md5('{i}|' || s)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_exprs.append(f"md5('{b}:' || '|' || {parts})")
+    bands_arr = ", ".join(band_exprs)
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+    buckets AS (SELECT doc_id, unnest([{bands_arr}]) AS bucket FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    )
+
+
+@_q("minhash_lsh_pairs", _minhash_oracle())
+def minhash_lsh(spark, sf_dir):
+    """MinHash+LSH banding candidate pairs: shingle → md5-seeded minhash
+    signature → 4 bands × 4 rows → bucket equi-join."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", n=3, num_hashes=16, bands=4)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    """SimHash oracle: reconstruct each md5-prefix bit with hex-digit math
+    (instr into '0123456789abcdef'), matching operators.dedup.simhash."""
+    hexlen = bits // 4
+    digit = (
+        lambda p: f"(instr('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+    )
+    sums = []
+    for b in range(bits):
+        p = hexlen - b // 4  # hex digit position (1-based), LSB digit last
+        k = b % 4
+        bit = f"CAST(floor({digit(p)} / {2**k}) AS INT) % 2"
+        sums.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
+    sum_sql = ", ".join(sums)
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    sums AS (SELECT doc_id, {sum_sql} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@_q("simhash_fingerprints", _simhash_oracle())
+def simhash_fp(spark, sf_dir):
+    """SimHash document fingerprints (16-bit; md5-derived, UDF-free)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "text", "doc_id", bits=16).withColumnRenamed("_id", "doc_id")
+
+
+@_q(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.qid, e.vec_id AS cid,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+          FROM embeddings e, q),
+    r AS (SELECT qid, cid, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM s)
+    SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 10
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: broadcast queries, one corpus
+    scan, per-query window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+@_q(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+
+
+@_q("lsh_ann_topk")  # approximate; deterministic but oracle omitted → rows check
+def lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the 100 TB scale path): random
+    hyperplane buckets, exact cosine within bucket only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=4)
+
+
+@_q(
+    "text_token_fingerprint",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+             AS n_tokens,
+           md5({_NORM_SQL}) AS fingerprint
+    FROM documents
+    """,
+)
+def text_token_fingerprint(spark, sf_dir):
+    """Token counting + md5 content fingerprinting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"
+
+@_q(
+    "text_quality_stats",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_chars_c,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains({_STOPWORDS_SQL}, w))) AS n_stop,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+      FROM documents)
+    SELECT doc_id, n_chars_c, n_tokens,
+           round(CASE WHEN n_chars_c > 0 THEN n_punct * 1.0 / n_chars_c ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_chars_c > 0 THEN n_digit * 1.0 / n_chars_c ELSE 0 END, 6) AS digit_ratio,
+           round(CASE WHEN nt > 0 THEN n_stop * 1.0 / nt ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN nt > 0
+                 THEN length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / nt
+                 ELSE 0 END, 6) AS mean_word_len
+    FROM s
+    """,
+)
+def text_quality_stats(spark, sf_dir):
+    """Text quality statistics (length/punct/digit/stopword ratios)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.with_text_stats(d, "text")
+    return out.select(
+        "doc_id",
+        "n_chars_c",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: "("
+        + " + ".join(
+            f"len(list_filter({_TOKS_SQL.replace('text', 'text')}, w -> w = '{m}'))"
+            for m in markers
+        )
+        + ")"
+        for lang, markers in text.LANG_MARKERS.items()
+    }
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             {score['en']} AS s_en, {score['de']} AS s_de,
+             {score['fr']} AS s_fr, {score['es']} AS s_es
+      FROM documents)
+    SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1
+    """
+
+
+@_q("lang_id_counts", _langid_oracle())
+def lang_id_counts(spark, sf_dir):
+    """Language-ID heuristic (marker-stopword argmax) → counts per language."""
+    d = _t(spark, sf_dir, "documents")
+    return text.lang_id(d, "text").groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# =====================================================================
+# Pandas-UDF operators (non-SQL-expressible → rows-only checks)
+# =====================================================================
+
+@_q("data_quality_scores")
+def data_quality_scores(spark, sf_dir):
+    """IoTDB-style data-quality aggregates (SURVEY §2.4; reference
+    aggregate_function/data_quality/) via grouped-map applyInPandas."""
+    e = _t(spark, sf_dir, "events")
+    out = data_quality(e, "ts", "value", ["user_id"])
+    return out.select(
+        "user_id",
+        F.round("completeness", 6).alias("completeness"),
+        F.round("consistency", 6).alias("consistency"),
+        F.round("timeliness", 6).alias("timeliness"),
+        F.round("validity", 6).alias("validity"),
+    )
+
+
+@_q("ts_value_fill_linear")
+def ts_value_fill(spark, sf_dir):
+    """ts_gen_func value_fill(method=linear) (SURVEY §2.6; reference
+    ts_gen_func/data_repair/value_fill.rs) — NaNs injected deterministically
+    then linearly interpolated per series."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    )
+    out = value_fill(e, "ts", "value", ["user_id"], method="linear")
+    return out.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), F.round("value", 6).alias("value")
+    )
+
+
+@_q("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing: mapInPandas feature extraction
+    over opaque payloads (decode stubbed — see operators/multimodal.py)."""
+    media = synthetic_media(spark, n=64)
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f_mean"),
+        F.round(F.element_at("feature", 2), 4).alias("f_std"),
+    )
+
+
+# =====================================================================
+# Contract functions
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tumbling time_window aggregation over the events stream
+    table at sf0.001 (SURVEY §7.2 minimum slice)."""
+    return time_window_tumbling(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

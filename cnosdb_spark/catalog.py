@@ -1,0 +1,248 @@
+"""Warehouse catalog: databases + tskv tables as partitioned Parquet.
+
+Spark-first re-expression of the reference's meta service + tskv storage:
+
+- a table lives at ``<warehouse>/<tenant>/<db>/<table>/`` as Parquet files
+  directory-partitioned by a time bucket (``_tb=YYYYMMDD``) — the analogue
+  of CnosDB's vnode_duration time sharding
+  (/root/reference common/models/src/schema/database_schema.rs:109-170);
+  partition pruning on ``_tb`` replaces predicate→vnode pruning
+  (query_server/query/src/data_source/split/mod.rs:25-62).
+- writes are append-only with a monotonically increasing ``_ingest_seq``
+  (the analogue of WAL sequence); reads go through a merge-on-read view
+  that applies **per-column last-write-wins** on (series, time) — the
+  semantics pinned by tskv/src/reader/sort_merge.rs and
+  query_server/sqllogicaltests/cases/sqlancer/repeat_write.slt:12-32
+  (a later row with a NULL field does NOT erase the earlier value).
+- database TTL is applied as a query-time lower bound on time
+  (database_schema.rs:70-84), not at write time.
+
+At 100 TB scale: the dedup view is an aggregation keyed on
+(tags..., time) — Spark plans it as partial/final hash aggregate over a
+shuffle on exactly the key the data is naturally clustered by; `compact()`
+materializes the merge so steady-state reads skip it entirely.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schema import INGEST_SEQ_COL, TIME_COL, TskvTableSchema
+
+_CATALOG_FILE = "_tskv_table.json"
+_TB_COL = "_tb"
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str, tenant: str = "cnosdb"):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.tenant = tenant
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ---------- paths ----------
+    def _db_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, self.tenant, db)
+
+    def _table_path(self, db: str, name: str) -> str:
+        return os.path.join(self._db_path(db), name)
+
+    # ---------- DDL ----------
+    def create_database(self, db: str, ttl: str | None = None, **options) -> None:
+        path = self._db_path(db)
+        os.makedirs(path, exist_ok=True)
+        meta = {"ttl": ttl, **options}
+        with open(os.path.join(path, "_db.json"), "w") as f:
+            json.dump(meta, f)
+
+    def database_options(self, db: str) -> dict:
+        p = os.path.join(self._db_path(db), "_db.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def list_databases(self) -> list[str]:
+        root = os.path.join(self.warehouse, self.tenant)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+
+    def create_table(self, db: str, schema: TskvTableSchema) -> None:
+        path = self._table_path(db, schema.name)
+        if os.path.exists(os.path.join(path, _CATALOG_FILE)):
+            raise ValueError(f"table {db}.{schema.name} already exists")
+        os.makedirs(path, exist_ok=True)
+        self._save_schema(db, schema)
+
+    def _save_schema(self, db: str, schema: TskvTableSchema) -> None:
+        with open(os.path.join(self._table_path(db, schema.name), _CATALOG_FILE), "w") as f:
+            json.dump(schema.to_json(), f, indent=2)
+
+    def drop_table(self, db: str, name: str) -> None:
+        shutil.rmtree(self._table_path(db, name), ignore_errors=True)
+
+    def get_schema(self, db: str, name: str) -> TskvTableSchema:
+        p = os.path.join(self._table_path(db, name), _CATALOG_FILE)
+        if not os.path.exists(p):
+            raise KeyError(f"table {db}.{name} not found")
+        with open(p) as f:
+            return TskvTableSchema.from_json(json.load(f))
+
+    def list_tables(self, db: str) -> list[str]:
+        root = self._db_path(db)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.exists(os.path.join(root, d, _CATALOG_FILE))
+        )
+
+    def alter_table_add_field(self, db: str, name: str, col: str, ftype: str) -> None:
+        """ALTER TABLE ADD COLUMN — schema_version bump; old files lack the
+        column and Parquet schema merge fills NULLs (tskv_table_schema.rs:361-396)."""
+        schema = self.get_schema(db, name)
+        if col in schema.fields or col in schema.tags or col == TIME_COL:
+            raise ValueError(f"column {col} already exists")
+        schema.fields[col] = ftype
+        schema.schema_version += 1
+        self._save_schema(db, schema)
+
+    def alter_table_drop_field(self, db: str, name: str, col: str) -> None:
+        schema = self.get_schema(db, name)
+        if col not in schema.fields:
+            raise ValueError(f"column {col} is not a field of {name}")
+        del schema.fields[col]
+        schema.schema_version += 1
+        self._save_schema(db, schema)
+
+    # ---------- DML ----------
+    def insert(self, db: str, name: str, df: DataFrame) -> int:
+        """INSERT INTO: cast the source to the table schema and append.
+
+        Mirrors TableWriterPlanNode semantics (returns affected row count) —
+        /root/reference query_server/query/src/extension/logical/plan_node/
+        table_writer.rs:1-123.
+        """
+        schema = self.get_schema(db, name)
+        tgt = schema.to_struct_type()
+        cols = []
+        for f_ in tgt.fields:
+            if f_.name not in df.columns:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            else:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        seq = int(_time.time_ns())
+        out = (
+            df.select(*cols)
+            .withColumn(INGEST_SEQ_COL, F.lit(seq))
+            .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
+        )
+        n = out.count()
+        path = self._table_path(db, name)
+        out.write.mode("append").partitionBy(_TB_COL).parquet(path)
+        return n
+
+    # ---------- reads ----------
+    def read_raw(self, db: str, name: str) -> DataFrame:
+        schema = self.get_schema(db, name)
+        path = self._table_path(db, name)
+        df = (
+            self.spark.read.schema(schema.to_struct_type(with_ingest_seq=True))
+            .option("basePath", path)
+            .parquet(path)
+        )
+        return df
+
+    def read(self, db: str, name: str, dedup: bool = True) -> DataFrame:
+        """Merge-on-read table view.
+
+        Per-column last-write-wins on (tags, time): for every field,
+        ``max_by(field, seq-if-field-non-null)`` — a later NULL write does
+        not erase an earlier value (sort_merge.rs column-cursor merge;
+        pinned by cases/sqlancer/repeat_write.slt:12-32).
+        """
+        schema = self.get_schema(db, name)
+        df = self.read_raw(db, name)
+
+        ttl = self.database_options(db).get("ttl")
+        if ttl:
+            df = df.filter(
+                F.col(TIME_COL)
+                >= F.current_timestamp() - F.expr(f"INTERVAL {ttl}")
+            )
+
+        if not dedup:
+            return df.drop(INGEST_SEQ_COL)
+
+        keys = [TIME_COL, *schema.tags]
+        aggs = [
+            F.max_by(
+                F.col(f_),
+                F.when(F.col(f_).isNotNull(), F.col(INGEST_SEQ_COL)),
+            ).alias(f_)
+            for f_ in schema.field_names
+        ]
+        if not aggs:  # tag-only table: distinct series+time
+            return df.select(*keys).distinct()
+        return df.groupBy(*keys).agg(*aggs).select(TIME_COL, *schema.tags, *schema.field_names)
+
+    def compact(self, db: str, name: str) -> None:
+        """Materialize the merge-on-read view (the analogue of tskv
+        compaction, tskv/src/compaction/) so reads skip dedup."""
+        schema = self.get_schema(db, name)
+        merged = (
+            self.read(db, name, dedup=True)
+            .withColumn(INGEST_SEQ_COL, F.lit(0))
+            .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
+        )
+        path = self._table_path(db, name)
+        tmp = path + ".compact"
+        merged.write.mode("overwrite").partitionBy(_TB_COL).parquet(tmp)
+        for entry in os.listdir(path):
+            if entry.startswith(_TB_COL + "="):
+                shutil.rmtree(os.path.join(path, entry))
+        for entry in os.listdir(tmp):
+            if entry.startswith(_TB_COL + "="):
+                shutil.move(os.path.join(tmp, entry), os.path.join(path, entry))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---------- time-series metadata queries ----------
+    def show_series(self, db: str, name: str) -> DataFrame:
+        """SHOW SERIES: distinct tag tuples formatted
+        ``measurement,tag=val,...`` (sql/planner.rs:1400-1406). Tag-only
+        projection is DISTINCT series by definition (rewrite_tag_scan.rs)."""
+        schema = self.get_schema(db, name)
+        df = self.read_raw(db, name).select(*schema.tags).distinct()
+        parts = [F.lit(name)]
+        for t in schema.tags:
+            parts.append(
+                F.when(F.col(t).isNotNull(), F.concat(F.lit(f",{t}="), F.col(t))).otherwise(F.lit(""))
+            )
+        return df.select(F.concat(*parts).alias("key")).orderBy("key")
+
+    def show_tag_values(self, db: str, name: str, keys: list[str]) -> DataFrame:
+        """SHOW TAG VALUES WITH KEY IN (...): distinct (key, value) pairs
+        (sql/planner.rs:1408-1421)."""
+        schema = self.get_schema(db, name)
+        bad = [k for k in keys if k not in schema.tags]
+        if bad:
+            raise ValueError(f"not tag columns: {bad}")
+        df = self.read_raw(db, name)
+        out = None
+        for k in keys:
+            part = (
+                df.select(F.lit(k).alias("key"), F.col(k).alias("value"))
+                .filter(F.col("value").isNotNull())
+                .distinct()
+            )
+            out = part if out is None else out.unionAll(part)
+        return out.distinct().orderBy("key", "value")

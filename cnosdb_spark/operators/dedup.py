@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Training-data-pipeline operators added on top of the reference surface.
+Design constraints honored everywhere:
+
+- **Deterministic** hashing (md5-derived) — reproducible across runs and
+  expressible in DuckDB for oracle checks.
+- **No pairwise O(n²) at scale**: candidate generation goes through an
+  inverted index (explode + equi-join on shingle / band / bucket), which
+  Spark executes as a shuffle hash join keyed on the bucket — the classic
+  LSH band-join. Exact-similarity verification runs only on candidates.
+- JVM-side built-ins only (no Python UDF in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import normalize, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized-content hash; keeps the smallest id per
+    group (deterministic winner)."""
+    h = F.md5(normalize(F.col(text_col))).alias("_h")
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column. Callers must pass a plain column (not a nested expression):
+    ``slice``/``transform`` re-evaluate their input per output element, so an
+    inline tokenizer expression would cost O(tokens²) per row."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # texts shorter than n words shingle to the whole text
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    return F.array_distinct(grams)
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    t = df.select(
+        F.col(id_col).alias("_id"), tokens(normalize(F.col(text_col))).alias("_toks")
+    )
+    return t.select("_id", F.explode(word_ngrams(F.col("_toks"), n)).alias("_sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard similarity ≥ threshold.
+
+    Inverted-index join: docs sharing ≥1 shingle become candidates;
+    |A∩B| = count of shared shingles, |A∪B| = |A|+|B|−|A∩B|. The join is
+    keyed on the shingle — at 100 TB hot shingles are skew candidates, so
+    run with AQE skew-join on (session default) and pre-filter stop-shingles
+    if needed.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = _shingle_table(df, text_col, id_col, n).distinct()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: hash_i(doc) = min over shingles of
+    md5(i || shingle). md5-as-permutation is the standard trick; seeds are
+    the literal integers 0..num_hashes-1 so DuckDB can replicate exactly.
+    Output: (_id, mh_0 ... mh_{k-1})."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("_sh")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates.
+
+    shingle → minhash signature → split into ``bands`` bands of
+    ``num_hashes/bands`` rows → band-bucket key = md5(band || rows) →
+    docs sharing any bucket are candidate pairs. The bucket join is an
+    equi-join on the band key (shuffle hash join; no O(n²)).
+    Output: distinct (id_a, id_b), id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.lit(f"{b}:")] + [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select("_id", *band_cols)
+    buckets = banded.select(
+        "_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bucket"),
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens.
+
+    Each token hashes to a ``bits``-bit integer (md5 prefix); bit b of the
+    fingerprint is 1 iff the sum over tokens of ±1 (by token bit b) is > 0.
+    Expressed as ``bits`` conditional aggregates — one pass, no UDF, and
+    replicable in ANSI SQL (DuckDB oracle). 32 bits keeps every
+    intermediate in int64.
+    Output: (_id, simhash BIGINT).
+    """
+    hexlen = bits // 4
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize(F.col(text_col)))).alias("_tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, hexlen), 16, 10).cast("long")
+    tok = tok.withColumn("_h", h)
+    aggs = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy("_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: band the fingerprint into ``bands`` chunks — two
+    docs within hamming distance < bands must share ≥1 exact chunk
+    (pigeonhole) — equi-join on chunks, then verify exact hamming ≤
+    ``max_hamming`` via bit_count(xor)."""
+    chunk = bits // bands
+    fps = simhash(df, text_col, id_col, bits)
+    mask = (1 << chunk) - 1
+    keyed = fps.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright("simhash", b * chunk).bitwiseAND(F.lit(mask)).cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bucket"),
+    )
+    a, b_ = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b_, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("_fa"),
+            F.col("b.simhash").alias("_fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute self-join verification path;
+    for the scale path bucket first — see similarity.lsh_bucket_topk).
+    Output: (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b."""
+    from .similarity import cosine_expr
+
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_expr(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; an LSH (random hyperplane)
+bucketed variant as the 100 TB scale path. Dot products stay JVM-side via
+``F.zip_with`` + ``F.aggregate`` (no Python in the hot loop); hyperplanes
+are deterministic (seeded numpy) and broadcast as literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set against
+    the corpus — a broadcast nested-loop join that scans the corpus ONCE for
+    all queries — then per-query top-k via window rank (Spark executes the
+    rank + filter as a per-partition top-k before the final shuffle).
+
+    Ties broken by corpus id asc for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "_qid",
+        "_cid",
+        cosine_expr(F.col("_cv"), F.col("_qv")).alias("_cos"),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_cid").alias(id_col),
+            F.round("_cos", 6).alias("cosine"),
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = bit-string of sign(v·plane_i).
+    Vectors in the same bucket are cosine-close with high probability.
+    Hyperplanes are literal arrays (deterministic, shipped in the plan)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(dot_expr(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return df.withColumn(out_col, F.concat(*bits))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: equi-join corpus and queries on the LSH bucket,
+    exact cosine within the bucket only. At 100 TB the bucket join is a
+    shuffle hash join on the bucket key — candidate count drops ~2^planes×
+    versus brute force. Recall is tunable via n_planes (fewer planes =
+    bigger buckets = higher recall, more compute)."""
+    c = lsh_bucket(
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv")),
+        "_cv",
+        dim,
+        n_planes,
+        seed,
+    )
+    q = lsh_bucket(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(query_vec_col).cast("array<double>").alias("_qv"),
+        ),
+        "_qv",
+        dim,
+        n_planes,
+        seed,
+    )
+    scored = c.join(q, "lsh_bucket").select(
+        "_qid", "_cid", cosine_expr(F.col("_cv"), F.col("_qv")).alias("_cos")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_cid").alias(id_col),
+            F.round("_cos", 6).alias("cosine"),
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )

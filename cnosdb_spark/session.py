@@ -1,0 +1,95 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` but every setting here is chosen so the
+same plan shape survives a 1000-executor cluster: AQE on (runtime shuffle
+re-planning + skew-join splitting), shuffle partitions sized explicitly,
+Arrow enabled for the Pandas-UDF slow path, UTC session timezone so
+event-time semantics are deterministic and DuckDB-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "cnosdb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Mirrors the session-level knobs CnosDB keeps in its query config
+    (target_partitions, batch size — /root/reference
+    query_server/spi/src/query/config.rs) but expressed as Spark conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark reads
+        # it as LongType nanos (converted back to µs timestamps at load)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the driver's parquet tables as temp views; return dict of DFs."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing nanosecond timestamp
+    columns (stored TIMESTAMP(NANOS), surfaced as LongType under
+    nanosAsLong) back to Spark µs TimestampType. The testdata is µs-aligned
+    so the division is lossless."""
+    from pyspark.sql import functions as F, types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        f = dict(zip(df.columns, df.schema.fields))
+        if isinstance(f.get("ts") and f["ts"].dataType, T.LongType):
+            # integer div: long→double division would lose ns precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,135 @@
+"""InfluxDB line-protocol ingest adapter.
+
+Reference: /root/reference common/protocol_parser/src/line_protocol/ (and
+the api/v1/write endpoint main/src/http/http_service.rs:484). Schemaless
+writes auto-create tables/columns; tags are strings, fields are
+float/int/uint/bool/string, timestamp is an integer suffix.
+
+Spark-first: parse on the driver for small payloads or distribute via an
+RDD→DataFrame path for bulk; output is one DataFrame per measurement with
+columns time + tags + fields ready for Catalog.insert (which performs the
+schema merge / auto-create).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+_UNESCAPE = re.compile(r"\\([ ,=])")
+
+
+def _split_unescaped(s: str, sep: str) -> list[str]:
+    """Split on unescaped ``sep`` characters outside double quotes."""
+    parts: list[str] = []
+    cur: list[str] = []
+    in_quotes = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i + 1 < len(s) and not in_quotes:
+            cur.append(ch)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if ch == '"':
+            in_quotes = not in_quotes
+            cur.append(ch)
+        elif ch == sep and not in_quotes:
+            if cur:
+                parts.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _unescape(s: str) -> str:
+    return _UNESCAPE.sub(r"\1", s)
+
+
+def parse_field_value(raw: str):
+    """Field value typing per the line-protocol spec: 10i → int, 10u → uint,
+    "x" → string, t/true/f/false → bool, else float."""
+    if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+        return raw[1:-1].replace('\\"', '"'), "string"
+    low = raw.lower()
+    if low in ("t", "true"):
+        return True, "boolean"
+    if low in ("f", "false"):
+        return False, "boolean"
+    if raw.endswith("i"):
+        return int(raw[:-1]), "bigint"
+    if raw.endswith("u"):
+        return int(raw[:-1]), "unsigned"
+    return float(raw), "double"
+
+
+def parse_lines(text: str, precision: str = "ns") -> dict[str, list[dict]]:
+    """Parse line-protocol text → {measurement: [row dicts]}.
+
+    Row dict: {"time": datetime, "<tag>": str..., "<field>": val...}.
+    """
+    mult = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[precision]
+    out: dict[str, list[dict]] = {}
+    for lineno, line in enumerate(text.splitlines(), 1):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = _split_unescaped(line, ' ')
+        if len(parts) < 2:
+            raise ValueError(f"line {lineno}: expected measurement+fields[+ts]: {line!r}")
+        head = parts[0]
+        fields_raw = parts[1]
+        ts_raw = parts[2] if len(parts) > 2 else None
+
+        head_parts = _split_unescaped(head, ',')
+        measurement = _unescape(head_parts[0])
+        row: dict = {}
+        for tag_kv in head_parts[1:]:
+            k, _, v = tag_kv.partition("=")
+            row[_unescape(k)] = _unescape(v)
+        for field_kv in _split_unescaped(fields_raw, ','):
+            k, _, v = field_kv.partition("=")
+            val, _typ = parse_field_value(v)
+            row[_unescape(k)] = val
+        if ts_raw is not None:
+            ns = int(ts_raw) * mult
+            # integer µs arithmetic: float seconds would lose ns precision
+            row["time"] = datetime(1970, 1, 1) + timedelta(microseconds=ns // 1000)
+        else:
+            row["time"] = datetime.now(timezone.utc).replace(tzinfo=None)
+        out.setdefault(measurement, []).append(row)
+    return out
+
+
+def lines_to_dfs(spark: SparkSession, text: str, precision: str = "ns") -> dict[str, DataFrame]:
+    """Line protocol → {measurement: DataFrame}. Schema is inferred per
+    measurement from the union of keys (schemaless semantics)."""
+    parsed = parse_lines(text, precision)
+    out = {}
+    for name, rows in parsed.items():
+        keys: list[str] = ["time"]
+        types: dict[str, type] = {}
+        for r in rows:
+            for k, v in r.items():
+                if k not in keys:
+                    keys.append(k)
+                if not isinstance(v, bool) and isinstance(v, (int, float, str)):
+                    types[k] = type(v)
+                elif isinstance(v, bool):
+                    types[k] = bool
+        fields = [T.StructField("time", T.TimestampType(), False)]
+        for k in keys[1:]:
+            py = types.get(k, str)
+            spark_t = {int: T.LongType(), float: T.DoubleType(), bool: T.BooleanType(), str: T.StringType()}[py]
+            fields.append(T.StructField(k, spark_t, True))
+        schema = T.StructType(fields)
+        data = [tuple(r.get(k) for k in keys) for r in rows]
+        out[name] = spark.createDataFrame(data, schema)
+    return out

@@ -1,0 +1,113 @@
+"""Stream tables + incremental single-aggregation queries.
+
+Reference: /root/reference common/models/src/schema/stream_table_schema.rs
+(StreamTable = view over a tskv table + event-time watermark),
+query_server/query/src/execution/stream/mod.rs (micro-batch trigger loop,
+offset tracking, state save/restore around the single AggregateExec) and
+extension/analyse/stream_checker.rs:33-61 (rejected plan shapes).
+
+Spark-first: a stream table IS ``spark.readStream`` over the table's
+parquet directory (file-source offsets = the reference's timestamp offsets)
+with ``withWatermark`` (= WatermarkNode); stateful incremental aggregation
+is Structured Streaming's own state store (= StateSaveExec/StateRestoreExec);
+Once/Interval triggers map to ``availableNow``/``processingTime``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class StreamTable:
+    """CREATE STREAM TABLE ... WITH (db=..., table=..., event_time_column=...)
+    engine=tskv  (stream/basic.slt:40-50)."""
+
+    name: str
+    source_path: str
+    event_time_column: str
+    watermark_delay: str = "0 seconds"
+    schema = None
+
+    def read(self, spark: SparkSession, schema=None) -> DataFrame:
+        reader = spark.readStream
+        s = schema or self.schema
+        if s is None:
+            # file stream sources need an explicit schema: infer from a
+            # batch read of the same directory (cheap footer-only read).
+            s = spark.read.parquet(self.source_path).schema
+        df = reader.schema(s).parquet(self.source_path)
+        if self.watermark_delay and self.watermark_delay != "0 seconds":
+            df = df.withWatermark(self.event_time_column, self.watermark_delay)
+        return df
+
+
+class StreamPlanChecker:
+    """Parity shim for the reference's stream_checker.rs:33-61: a stream
+    query supports exactly one aggregation and no join/limit/sort. Spark
+    supports more; this checker is opt-in to *match* reference behavior."""
+
+    REJECTED = ("Join", "Sort", "GlobalLimit", "LocalLimit", "Limit", "Offset")
+
+    @classmethod
+    def check(cls, df: DataFrame) -> None:
+        import re
+
+        plan = df._jdf.queryExecution().logical().toString()
+        # node names appear at line starts after tree-drawing prefixes
+        node = re.compile(r"(?m)^[\s:+\-'~]*(\w+)")
+        ops = [m.group(1) for m in node.finditer(plan)]
+        n_agg = sum(1 for o in ops if o == "Aggregate")
+        if n_agg > 1:
+            raise ValueError("stream query supports at most one aggregation")
+        for op in ops:
+            if op in cls.REJECTED:
+                raise ValueError(f"stream query does not support operator {op}")
+
+
+def run_incremental_agg(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    trigger: str = "once",
+    output_mode: str = "append",
+    query_name: str | None = None,
+    enforce_reference_restrictions: bool = True,
+) -> StreamingQuery:
+    """Run a (single-aggregation) incremental query into a parquet sink.
+
+    trigger: 'once' (reference TriggerExecutor Once → availableNow) or an
+    interval string like '5 seconds' (Interval trigger).
+    """
+    if enforce_reference_restrictions:
+        StreamPlanChecker.check(stream_df)
+    writer = stream_df.writeStream.outputMode(output_mode).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger == "once":
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.format("parquet").start(sink_path)
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> StreamingQuery:
+    """Drive a streaming aggregation into an in-memory sink synchronously —
+    the test harness path (deterministic with availableNow + processAll)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q

@@ -1,0 +1,124 @@
+"""Catalog + tskv table model tests: LWW merge-on-read semantics pinned by
+the reference (cases/sqlancer/repeat_write.slt:12-32), TTL, SHOW SERIES /
+SHOW TAG VALUES, compaction, schema evolution."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from cnosdb_spark.catalog import Catalog
+from cnosdb_spark.schema import TskvTableSchema
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+def _mk_table(cat, db="db1", name="m2"):
+    cat.create_database(db)
+    schema = TskvTableSchema(
+        tenant="cnosdb",
+        db=db,
+        name=name,
+        tags=["t0", "t1"],
+        fields={"f0": "double", "f1": "boolean"},
+    )
+    cat.create_table(db, schema)
+    return schema
+
+
+def test_create_insert_read(spark, cat):
+    _mk_table(cat)
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, 0), "a", "x", 1.0, True)],
+        ["time", "t0", "t1", "f0", "f1"],
+    )
+    assert cat.insert("db1", "m2", df) == 1
+    out = cat.read("db1", "m2").collect()
+    assert len(out) == 1
+    assert out[0]["f0"] == 1.0 and out[0]["f1"] is True
+
+
+def test_lww_per_column_merge(spark, cat):
+    """repeat_write.slt: write f0=1,f1=true then f0=2 (f1 absent) at the
+    same (series, time) → merged row is (2.0, true): a later NULL does NOT
+    erase the earlier value."""
+    _mk_table(cat)
+    ts = datetime(2024, 1, 1, 0, 0, 0)
+    w1 = spark.createDataFrame([(ts, "a", "x", 1.0, True)], ["time", "t0", "t1", "f0", "f1"])
+    w2 = spark.createDataFrame([(ts, "a", "x", 2.0)], ["time", "t0", "t1", "f0"])
+    cat.insert("db1", "m2", w1)
+    cat.insert("db1", "m2", w2)
+    rows = cat.read("db1", "m2").collect()
+    assert len(rows) == 1
+    assert rows[0]["f0"] == 2.0
+    assert rows[0]["f1"] is True  # NULL write did not erase
+
+    # raw view keeps both physical writes
+    assert cat.read_raw("db1", "m2").count() == 2
+
+    # compaction materializes the merge
+    cat.compact("db1", "m2")
+    assert cat.read_raw("db1", "m2").count() == 1
+    rows = cat.read("db1", "m2").collect()
+    assert rows[0]["f0"] == 2.0 and rows[0]["f1"] is True
+
+
+def test_distinct_series_and_tag_values(spark, cat):
+    _mk_table(cat)
+    rows = [
+        (datetime(2024, 1, 1, 0, 0, i), t0, t1, float(i), None)
+        for i, (t0, t1) in enumerate([("a", "x"), ("a", "x"), ("b", "y"), ("b", None)])
+    ]
+    cat.insert(
+        "db1",
+        "m2",
+        spark.createDataFrame(
+            rows, "time timestamp, t0 string, t1 string, f0 double, f1 boolean"
+        ),
+    )
+    series = [r["key"] for r in cat.show_series("db1", "m2").collect()]
+    assert series == ["m2,t0=a,t1=x", "m2,t0=b", "m2,t0=b,t1=y"]
+    tv = [(r["key"], r["value"]) for r in cat.show_tag_values("db1", "m2", ["t0", "t1"]).collect()]
+    assert tv == [("t0", "a"), ("t0", "b"), ("t1", "x"), ("t1", "y")]
+
+
+def test_ttl_filter(spark, cat):
+    cat.create_database("dbttl", ttl="1 HOUR")
+    schema = TskvTableSchema(
+        tenant="cnosdb", db="dbttl", name="m", tags=["t0"], fields={"f0": "double"}
+    )
+    cat.create_table("dbttl", schema)
+    old = datetime(2000, 1, 1)
+    now = datetime.utcnow()
+    cat.insert(
+        "dbttl", "m", spark.createDataFrame([(old, "a", 1.0), (now, "b", 2.0)], ["time", "t0", "f0"])
+    )
+    rows = cat.read("dbttl", "m").collect()
+    assert len(rows) == 1 and rows[0]["t0"] == "b"
+
+
+def test_alter_add_drop_field(spark, cat):
+    _mk_table(cat)
+    cat.alter_table_add_field("db1", "m2", "f2", "bigint")
+    assert cat.get_schema("db1", "m2").schema_version == 2
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 2), "a", "x", 1.0, None, 7)],
+        "time timestamp, t0 string, t1 string, f0 double, f1 boolean, f2 long",
+    )
+    cat.insert("db1", "m2", df)
+    assert "f2" in cat.read("db1", "m2").columns
+    cat.alter_table_drop_field("db1", "m2", "f2")
+    assert "f2" not in cat.read("db1", "m2").columns
+
+
+def test_tag_field_overlap_rejected():
+    with pytest.raises(ValueError):
+        TskvTableSchema("t", "d", "m", tags=["a"], fields={"a": "double"})
+    with pytest.raises(ValueError):
+        TskvTableSchema("t", "d", "m", tags=["time"], fields={})
+    with pytest.raises(ValueError):
+        TskvTableSchema("t", "d", "m", tags=[], fields={"f": "blob"})

@@ -1,0 +1,149 @@
+"""Unit tests for the time-series function library: argument validation
+parity with the reference, gauge/state correctness on hand-computed
+fixtures, repair algorithms."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnosdb_spark.functions import (
+    bottom,
+    gauge_agg,
+    increase,
+    mode_df,
+    state_durations,
+    time_window,
+    topk,
+)
+from cnosdb_spark.functions.repair import timestamp_repair, value_fill, value_repair
+from cnosdb_spark.functions.state import compact_state_agg, state_at
+
+
+def _ts(*seconds):
+    return [datetime(2024, 1, 1) + timedelta(seconds=s) for s in seconds]
+
+
+# ---- validation parity (reference transform_time_window.rs:143-151, 346;
+# ---- topk k ∈ [1,255] transform_topk_func_to_topk_node.rs) ----
+
+def test_time_window_duration_bounds():
+    with pytest.raises(ValueError):
+        time_window("ts", "0 s")
+    with pytest.raises(ValueError):
+        time_window("ts", "366 d")
+    time_window("ts", "365 d")  # ok
+
+
+def test_time_window_overlap_limit():
+    with pytest.raises(ValueError):
+        time_window("ts", "101 s", "1 s")
+    time_window("ts", "100 s", "1 s")  # ok
+
+
+def test_topk_k_bounds(spark):
+    df = spark.range(5).withColumnRenamed("id", "v")
+    with pytest.raises(ValueError):
+        topk(df, "v", 0)
+    with pytest.raises(ValueError):
+        topk(df, "v", 256)
+    assert topk(df, "v", 2, "v").count() == 2
+    assert [r["v"] for r in bottom(df, "v", 2, "v").collect()] == [0, 1]
+
+
+# ---- gauge_agg on a hand-computed fixture ----
+
+def test_gauge_second_penultimate(spark):
+    t = _ts(0, 10, 20, 30)
+    rows = list(zip(["s"] * 4, t, [1.0, 5.0, 3.0, 9.0]))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    g = gauge_agg(df, ["k"], "ts", "v").collect()[0]["gauge"]
+    assert g["first"]["val"] == 1.0
+    assert g["second"]["val"] == 5.0
+    assert g["penultimate"]["val"] == 3.0
+    assert g["last"]["val"] == 9.0
+    assert g["num_elements"] == 4
+
+
+def test_gauge_single_point(spark):
+    df = spark.createDataFrame([("s", datetime(2024, 1, 1), 2.0)], ["k", "ts", "v"])
+    g = gauge_agg(df, ["k"], "ts", "v").collect()[0]["gauge"]
+    assert g["first"]["val"] == 2.0 and g["last"]["val"] == 2.0
+    assert g["second"] is None and g["penultimate"] is None
+
+
+# ---- state aggregations ----
+
+def test_state_durations_and_compact(spark):
+    # starting(10s) -> running(20s) -> running(5s) -> error(0: last)
+    t = _ts(0, 10, 30, 35)
+    states = ["starting", "running", "running", "error"]
+    df = spark.createDataFrame(list(zip(["k"] * 4, t, states)), ["k", "ts", "state"])
+    out = {
+        (r["k"], r["state"]): r["duration_s"]
+        for r in state_durations(df, "ts", "state", ["k"]).collect()
+    }
+    assert out[("k", "starting")] == 10.0
+    assert out[("k", "running")] == 25.0
+    assert out[("k", "error")] == 0.0
+    cmp = {
+        (r["k"], r["state"]): r["duration_s"]
+        for r in compact_state_agg(df, "ts", "state", ["k"]).collect()
+    }
+    assert cmp == out  # durations identical after run-merging
+
+
+def test_state_at(spark):
+    t = _ts(0, 10, 30)
+    df = spark.createDataFrame(
+        list(zip(["k"] * 3, t, ["a", "b", "c"])), ["k", "ts", "state"]
+    )
+    r = state_at(df, "ts", "state", ["k"], "2024-01-01 00:00:15").collect()
+    assert r[0]["state"] == "b"
+
+
+# ---- increase with counter reset ----
+
+def test_increase_reset(spark):
+    t = _ts(0, 1, 2, 3)
+    vals = [10.0, 15.0, 3.0, 7.0]  # +5, reset→+3, +4 = 12
+    df = spark.createDataFrame(list(zip(["k"] * 4, t, vals)), ["k", "ts", "v"])
+    out = increase(df, "ts", "v", ["k"]).collect()
+    assert out[0]["increase"] == 12.0
+
+
+def test_mode_tie_break(spark):
+    df = spark.createDataFrame(
+        [("k", "b"), ("k", "b"), ("k", "a"), ("k", "a"), ("k", "c")], ["k", "v"]
+    )
+    assert mode_df(df, ["k"], "v").collect()[0]["mode"] == "a"  # tie a/b → min
+
+
+# ---- ts_gen_func repairs ----
+
+def test_timestamp_repair_snaps(spark):
+    t = _ts(0, 10, 21, 30)  # 21 should snap to 20
+    df = spark.createDataFrame(list(zip(["k"] * 4, t, [1.0, 2.0, 3.0, 4.0])), ["k", "ts", "v"])
+    out = sorted(r["ts"].second for r in timestamp_repair(df, "ts", "v", ["k"]).collect())
+    assert out == [0, 10, 20, 30]
+
+
+def test_value_fill_methods(spark):
+    t = _ts(0, 10, 20)
+    df = spark.createDataFrame(
+        [("k", t[0], 1.0), ("k", t[1], None), ("k", t[2], 3.0)], ["k", "ts", "v"]
+    )
+    lin = sorted(r["v"] for r in value_fill(df, "ts", "v", ["k"], "linear").collect())
+    assert lin == [1.0, 2.0, 3.0]
+    prev = sorted(r["v"] for r in value_fill(df, "ts", "v", ["k"], "previous").collect())
+    assert prev == [1.0, 1.0, 3.0]
+
+
+def test_value_repair_clamps_spike(spark):
+    t = _ts(*range(10))
+    vals = [float(i) for i in range(9)] + [1000.0]  # spike at the end
+    df = spark.createDataFrame(list(zip(["k"] * 10, t, vals)), ["k", "ts", "v"])
+    out = {r["ts"]: r["v"] for r in value_repair(df, "ts", "v", ["k"]).collect()}
+    assert out[t[9]] < 100.0  # spike clamped toward the speed bound

@@ -1,0 +1,140 @@
+"""Tests for pipeline operators (dedup recall on planted near-dups,
+similarity self-hit, multimodal plumbing), line-protocol ingest, and GIS."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnosdb_spark.operators import dedup, similarity, text
+from cnosdb_spark.operators.multimodal import extract_features, synthetic_media
+from cnosdb_spark.sources.line_protocol import lines_to_dfs, parse_lines
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different content about spark distributed query engines"
+    rows = [(0, base), (1, near), (2, other), (3, base.upper())]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_case_whitespace(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id").collect()
+    counts = {r["doc_id"]: r["dup_count"] for r in out}
+    assert counts[0] == 2  # doc 3 is a case-variant duplicate of doc 0
+    assert counts[1] == 1 and counts[2] == 1
+
+
+def test_jaccard_finds_near_dup(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got  # exact dup after normalization → jaccard 1.0
+    assert (0, 1) in got or (1, 3) in got  # one-word edit → high overlap
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got
+
+
+def test_simhash_near_dup(spark, docs):
+    fps = {r["_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert fps[0] == fps[3]  # identical after normalization
+    pairs = dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(0, 3)}
+
+
+def test_embedding_near_dup_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", 0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = similarity.brute_force_topk(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]  # self first, near second
+    approx = similarity.lsh_topk(emb, q, dim=3, k=2, n_planes=2).collect()
+    assert approx[0]["vec_id"] == 0  # self always shares its own bucket
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog of the house is that"),
+        (1, "der hund und die katze ist nicht das problem"),
+        (2, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df, "text").collect()}
+    assert out == {0: "en", 1: "de", 2: "und"}
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, n=12)
+    out = extract_features(media).collect()
+    assert len(out) == 12
+    for r in out:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+        assert r["feature"][7] == float(r["n_bytes"])  # len moment
+
+
+# ---- line protocol (reference common/protocol_parser/src/line_protocol) ----
+
+def test_line_protocol_parse_types():
+    text_lp = (
+        'weather,location=us-midwest,season=summer temperature=82i,ok=true,desc="too warm" 1465839830100400200\n'
+        "weather,location=us-east temperature=75.5 1465839830100400200\n"
+    )
+    parsed = parse_lines(text_lp)
+    rows = parsed["weather"]
+    assert rows[0]["location"] == "us-midwest"
+    assert rows[0]["temperature"] == 82 and rows[0]["ok"] is True
+    assert rows[0]["desc"] == "too warm"
+    assert rows[1]["temperature"] == 75.5
+    assert rows[0]["time"].year == 2016
+
+
+def test_line_protocol_escapes_and_df(spark):
+    lp = 'wea\\,ther,tag\\ key=va\\=lue f1=1i 1000000000\n'
+    parsed = parse_lines(lp)
+    assert "wea,ther" in parsed
+    assert parsed["wea,ther"][0]["tag key"] == "va=lue"
+    dfs = lines_to_dfs(spark, 'm,t=a f=1.5,g=2i 1000000000\nm,t=b f=2.5 2000000000\n')
+    rows = dfs["m"].orderBy("time").collect()
+    assert rows[0]["f"] == 1.5 and rows[0]["g"] == 2
+    assert rows[1]["g"] is None  # schemaless union of fields
+
+
+# ---- GIS (reference extension/expr/scalar_function/gis/) ----
+
+def test_gis_functions(spark):
+    from cnosdb_spark.functions import gis
+
+    df = spark.createDataFrame(
+        [
+            ("POINT(0 0)", "POINT(3 4)", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"),
+            ("POINT(20 20)", "POINT(0 0)", "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        ],
+        ["a", "b", "poly"],
+    )
+    out = df.select(
+        gis.st_distance(F.col("a"), F.col("b")).alias("dist"),
+        gis.st_area(F.col("poly")).alias("area"),
+        gis.st_contains(F.col("poly"), F.col("a")).alias("contains"),
+        gis.st_within(F.col("a"), F.col("poly")).alias("within"),
+    ).collect()
+    assert out[0]["dist"] == 5.0
+    assert out[0]["area"] == 100.0
+    # (0,0) is a boundary vertex; ray-cast counts it inside for this winding
+    assert out[1]["contains"] is False and out[1]["within"] is False
+    assert out[1]["area"] == 4.0

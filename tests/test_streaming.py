@@ -1,0 +1,116 @@
+"""Streaming parity tests: stream table over parquet, Once-trigger
+incremental aggregation (deterministic, as cases/stream/basic.slt does),
+watermark handling, and the reference's unsupported-operator checker."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnosdb_spark.streaming.stream_table import (
+    StreamPlanChecker,
+    StreamTable,
+    run_incremental_agg,
+    run_to_memory,
+)
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    path = str(tmp_path / "readings")
+    base = datetime(2024, 1, 1)
+    rows = [
+        (base + timedelta(minutes=m), f"truck_{m % 2}", float(m)) for m in range(20)
+    ]
+    spark.createDataFrame(rows, ["time", "name", "elevation"]).write.parquet(path)
+    return path
+
+
+def test_stream_tumbling_agg_matches_batch(spark, source):
+    st = StreamTable(
+        name="readings_stream",
+        source_path=source,
+        event_time_column="time",
+        watermark_delay="5 minutes",
+    )
+    sdf = st.read(spark)
+    agg = sdf.groupBy(F.window("time", "10 minutes"), "name").agg(
+        F.avg("elevation").alias("avg_elev")
+    )
+    q = run_to_memory(agg, "stream_out", output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["name"]): r["avg_elev"]
+        for r in spark.sql("SELECT * FROM stream_out").collect()
+    }
+    batch = spark.read.parquet(source)
+    expect = {
+        (r["window"]["start"], r["name"]): r["avg_elev"]
+        for r in batch.groupBy(F.window("time", "10 minutes"), "name")
+        .agg(F.avg("elevation").alias("avg_elev"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_stream_sink_parquet_once_trigger(spark, source, tmp_path):
+    st = StreamTable("s", source, "time")
+    sdf = st.read(spark)
+    agg = sdf.withWatermark("time", "1 minute").groupBy(
+        F.window("time", "10 minutes")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_incremental_agg(agg, sink, ckpt, trigger="once", output_mode="append")
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with a second batch
+    # of later data the remaining window closes — the reference's
+    # emit-on-watermark-advance behavior (execution/stream/mod.rs).
+    late = [(datetime(2024, 1, 1) + timedelta(minutes=40), "truck_0", 1.0)]
+    spark.createDataFrame(late, ["time", "name", "elevation"]).write.mode(
+        "append"
+    ).parquet(source)
+    q2 = run_incremental_agg(agg, sink, ckpt, trigger="once", output_mode="append")
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() >= 2  # first two 10-min windows closed
+    assert set(out.columns) == {"window", "n"}
+
+
+def test_stream_checker_rejects_reference_shapes(spark, source):
+    st = StreamTable("s", source, "time")
+    sdf = st.read(spark)
+    static = spark.createDataFrame([("truck_0", "fleet_a")], ["name", "fleet"])
+    with pytest.raises(ValueError, match="Join"):
+        StreamPlanChecker.check(sdf.join(static, "name"))
+    with pytest.raises(ValueError, match="Sort|Limit"):
+        StreamPlanChecker.check(sdf.orderBy("time"))
+    agg1 = sdf.groupBy("name").agg(F.avg("elevation").alias("a"))
+    StreamPlanChecker.check(agg1)  # single agg ok
+    with pytest.raises(ValueError, match="one aggregation"):
+        StreamPlanChecker.check(
+            agg1.groupBy("name").agg(F.sum("a").alias("s"))
+        )
+
+
+def test_offset_tracking_incremental(spark, source, tmp_path):
+    """File-source offsets = the reference's per-source offset tracker
+    (stream/offset_tracker): a second Once run only processes new files."""
+    st = StreamTable("s", source, "time")
+    sink = str(tmp_path / "sink2")
+    ckpt = str(tmp_path / "ckpt2")
+    raw = st.read(spark).select("time", "name", "elevation")
+    q = raw.writeStream.option("checkpointLocation", ckpt).trigger(
+        availableNow=True
+    ).format("parquet").start(sink)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    q2 = raw.writeStream.option("checkpointLocation", ckpt).trigger(
+        availableNow=True
+    ).format("parquet").start(sink)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(sink).count()
+    assert n1 == n2  # no new input → no new rows (offsets committed)
