@@ -223,7 +223,7 @@ class Catalog:
         schema = self.get_schema(db, name)
         df = self.read_raw(db, name).select(*schema.tags).distinct()
         parts = [F.lit(name)]
-        for t in schema.tags:
+        for t in sorted(schema.tags):  # lexical tag-key order in series keys
             parts.append(
                 F.when(F.col(t).isNotNull(), F.concat(F.lit(f",{t}="), F.col(t))).otherwise(F.lit(""))
             )

@@ -1,0 +1,517 @@
+"""Engine: the SQL entry point — the Spark analogue of CnosDB's query
+dispatcher (/root/reference query_server/query/src/dispatcher/manager.rs:
+87-115 SimpleQueryDispatcher::execute_query).
+
+``Engine(spark, warehouse).sql(text)`` parses one statement (the reference
+enforces exactly one — dispatcher/manager.rs:131-137), routes DDL/DML/SHOW
+to the catalog and DQL through the dialect rewriter into Spark SQL
+(planner: sql/planner.rs:168-250 statement_to_plan → here Catalyst).
+
+Statement surface (parser.rs):
+  CREATE/DROP DATABASE, CREATE/DROP TABLE (fields + TAGS), ALTER TABLE,
+  CREATE EXTERNAL TABLE ... STORED AS ... LOCATION, CREATE STREAM TABLE,
+  INSERT INTO ... VALUES/SELECT, UPDATE, DELETE,
+  COPY INTO <table> FROM '<url>' / COPY INTO '<url>' FROM (query),
+  SHOW DATABASES/TABLES/SERIES/TAG VALUES, EXPLAIN, SELECT.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import Catalog, _TB_COL
+from .schema import INGEST_SEQ_COL, TIME_COL, TskvTableSchema
+from .sql.rewriter import rewrite_dql
+from .streaming.stream_table import StreamTable
+
+_TYPE_MAP = {
+    "bigint unsigned": "unsigned",
+    "unsigned": "unsigned",
+    "bigint": "bigint",
+    "double": "double",
+    "float": "double",
+    "string": "string",
+    "varchar": "string",
+    "boolean": "boolean",
+}
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        tenant: str = "cnosdb",
+        database: str = "public",
+    ):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse, tenant)
+        self.database = database
+        self.external: dict[str, tuple[str, str, dict]] = {}  # name -> (fmt, path, opts)
+        self.streams: dict[str, StreamTable] = {}
+        if database not in self.catalog.list_databases():
+            self.catalog.create_database(database)
+
+    # ------------------------------------------------------------- dispatch
+    def sql(self, text: str) -> DataFrame | None:
+        stmts = [s.strip() for s in _split_statements(text) if s.strip()]
+        if len(stmts) != 1:
+            # parity: dispatcher/manager.rs:131-137 (exactly one statement)
+            raise ValueError(f"expected exactly one statement, got {len(stmts)}")
+        stmt = stmts[0]
+        head = stmt.split(None, 2)
+        kw = head[0].upper() if head else ""
+        kw2 = head[1].upper() if len(head) > 1 else ""
+
+        if kw == "CREATE" and kw2 == "DATABASE":
+            return self._create_database(stmt)
+        if kw == "CREATE" and kw2 == "EXTERNAL":
+            return self._create_external_table(stmt)
+        if kw == "CREATE" and kw2 == "STREAM":
+            return self._create_stream_table(stmt)
+        if kw == "CREATE" and kw2 == "TABLE":
+            return self._create_table(stmt)
+        if kw == "DROP":
+            return self._drop(stmt)
+        if kw == "ALTER":
+            return self._alter(stmt)
+        if kw == "INSERT":
+            return self._insert(stmt)
+        if kw == "UPDATE":
+            return self._update(stmt)
+        if kw == "DELETE":
+            return self._delete(stmt)
+        if kw == "COPY":
+            return self._copy(stmt)
+        if kw == "SHOW":
+            return self._show(stmt)
+        if kw == "EXPLAIN":
+            inner = stmt[len("EXPLAIN") :].strip()
+            df = self._select(inner)
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            return self.spark.createDataFrame([(plan,)], ["plan"])
+        if kw in ("SELECT", "WITH", "VALUES", "("):
+            return self._select(stmt)
+        raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    # ---------------------------------------------------------------- DQL
+    def _register_views(self) -> str | None:
+        """Register every catalog table as a temp view. Tables in the
+        current database get their bare name; qualified ``db.table``
+        references are rewritten to mangled view names by ``_qualify``."""
+        for db in self.catalog.list_databases():
+            for name in self.catalog.list_tables(db):
+                view = name if db == self.database else f"__{db}__{name}"
+                self.catalog.read(db, name).createOrReplaceTempView(view)
+        for name, (fmt, path, opts) in self.external.items():
+            self._read_external(fmt, path, opts).createOrReplaceTempView(name)
+
+    def _qualify(self, sql: str) -> str:
+        """Rewrite known ``db.table`` references to their mangled temp-view
+        names (Spark temp views live in a flat namespace)."""
+        for db in self.catalog.list_databases():
+            if db == self.database:
+                continue
+            for name in self.catalog.list_tables(db):
+                sql = re.sub(rf"\b{re.escape(db)}\.{re.escape(name)}\b", f"__{db}__{name}", sql)
+        return sql
+
+    def _read_external(self, fmt: str, path: str, opts: dict) -> DataFrame:
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option("header", str(opts.get("header", False)).lower())
+            reader = reader.option("inferSchema", "true")
+            if "delimiter" in opts:
+                reader = reader.option("sep", opts["delimiter"])
+            return reader.csv(path)
+        if fmt == "json":
+            return reader.json(path)
+        if fmt == "parquet":
+            return reader.parquet(path)
+        if fmt == "avro":
+            return reader.format("avro").load(path)
+        raise ValueError(f"unsupported external format {fmt!r}")
+
+    def _select(self, stmt: str) -> DataFrame:
+        self._register_views()
+        return self.spark.sql(rewrite_dql(self._qualify(stmt)))
+
+    # ---------------------------------------------------------------- DDL
+    def _create_database(self, stmt: str) -> None:
+        m = re.match(
+            r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+WITH\s+(.*))?\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE DATABASE: {stmt!r}")
+        name, opts_str = m.group(1), m.group(2) or ""
+        opts = {}
+        tm = re.search(r"TTL\s+'([^']+)'", opts_str, re.I)
+        if tm:
+            opts["ttl"] = _normalize_ttl(tm.group(1))
+        for key in ("shard", "replica"):
+            km = re.search(rf"{key}\s+(\d+)", opts_str, re.I)
+            if km:
+                opts[key] = int(km.group(1))
+        self.catalog.create_database(name, **opts)
+
+    def _create_table(self, stmt: str) -> None:
+        m = re.match(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE: {stmt!r}")
+        db, name = self._split_table_name(m.group(1))
+        body = m.group(2)
+        tags: list[str] = []
+        fields: dict[str, str] = {}
+        tm = re.search(r"TAGS\s*\(([^)]*)\)", body, re.I)
+        if tm:
+            tags = [t.strip().strip('"') for t in tm.group(1).split(",") if t.strip()]
+            body = body[: tm.start()] + body[tm.end() :]
+        for coldef in _split_top_level(body, ","):
+            coldef = coldef.strip().rstrip(",").strip()
+            if not coldef:
+                continue
+            cm = re.match(r'("?[\w]+"?)\s+(.+?)(?:\s+CODEC\s*\(.*\))?\s*$', coldef, re.I)
+            if not cm:
+                raise ValueError(f"cannot parse column definition {coldef!r}")
+            cname = cm.group(1).strip('"')
+            ctype = cm.group(2).strip().lower()
+            if cname == TIME_COL:
+                continue  # implicit in tskv tables
+            if ctype not in _TYPE_MAP:
+                raise ValueError(f"unsupported field type {ctype!r} for {cname!r}")
+            fields[cname] = _TYPE_MAP[ctype]
+        schema = TskvTableSchema(
+            tenant=self.catalog.tenant, db=db, name=name, tags=tags, fields=fields
+        )
+        self.catalog.create_table(db, schema)
+
+    def _create_external_table(self, stmt: str) -> None:
+        m = re.match(
+            r"CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"(?:\((.*?)\)\s*)?STORED\s+AS\s+(\w+)\s*(.*?)\s*LOCATION\s+'([^']+)'\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE EXTERNAL TABLE: {stmt!r}")
+        name, _cols, fmt, middle, path = m.groups()
+        opts: dict = {}
+        if re.search(r"WITH\s+HEADER\s+ROW", middle or "", re.I):
+            opts["header"] = True
+        dm = re.search(r"DELIMITER\s+'(.)'", middle or "", re.I)
+        if dm:
+            opts["delimiter"] = dm.group(1)
+        self.external[name] = (fmt.lower(), path, opts)
+
+    def _create_stream_table(self, stmt: str) -> None:
+        """CREATE STREAM TABLE name(...) WITH (db='..', table='..',
+        event_time_column='..') engine=tskv (stream/basic.slt:40-50)."""
+        m = re.match(
+            r"CREATE\s+STREAM\s+TABLE\s+(\w+)\s*(?:\(.*?\)\s*)?WITH\s*\((.*?)\)\s*"
+            r"(?:engine\s*=\s*tskv)?\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE STREAM TABLE: {stmt!r}")
+        name, withs = m.groups()
+        opts = dict(re.findall(r"(\w+)\s*=\s*'([^']*)'", withs))
+        src_db = opts.get("db", self.database)
+        src_table = opts["table"]
+        path = self.catalog._table_path(src_db, src_table)
+        self.streams[name] = StreamTable(
+            name=name,
+            source_path=path,
+            event_time_column=opts.get("event_time_column", TIME_COL),
+            watermark_delay=opts.get("watermark_delay", "0 seconds"),
+        )
+
+    def _drop(self, stmt: str) -> None:
+        m = re.match(
+            r"DROP\s+(DATABASE|TABLE|STREAM\s+TABLE)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DROP: {stmt!r}")
+        kind, name = m.group(1).upper(), m.group(2)
+        if kind == "DATABASE":
+            shutil.rmtree(self.catalog._db_path(name), ignore_errors=True)
+        elif kind == "TABLE":
+            db, tbl = self._split_table_name(name)
+            if tbl in self.external:
+                del self.external[tbl]
+            else:
+                self.catalog.drop_table(db, tbl)
+            self.spark.catalog.dropTempView(tbl)
+        else:
+            self.streams.pop(name, None)
+
+    def _alter(self, stmt: str) -> None:
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(?:FIELD|COLUMN)\s+(\w+)(?:\s+(\w+(?:\s+\w+)?))?\s*;?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
+        tbl, action, col, ctype = m.groups()
+        db, name = self._split_table_name(tbl)
+        if action.upper() == "ADD":
+            self.catalog.alter_table_add_field(db, name, col, _TYPE_MAP[ctype.lower()])
+        else:
+            self.catalog.alter_table_drop_field(db, name, col)
+
+    # ---------------------------------------------------------------- DML
+    def _insert(self, stmt: str):
+        m = re.match(
+            r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s+.*)\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {stmt!r}")
+        tbl, cols_str, src = m.groups()
+        db, name = self._split_table_name(tbl)
+        if src.upper().startswith("VALUES"):
+            cols = [c.strip().strip('"') for c in (cols_str or "").split(",") if c.strip()]
+            if not cols:
+                schema = self.catalog.get_schema(db, name)
+                cols = [TIME_COL, *schema.tags, *schema.field_names]
+            src_df = self.spark.sql(f"SELECT * FROM ({src.rstrip(';')}) AS v")
+            src_df = src_df.toDF(*cols)
+        else:
+            self._register_views()
+            src_df = self.spark.sql(rewrite_dql(src))
+            if cols_str:
+                cols = [c.strip().strip('"') for c in cols_str.split(",")]
+                src_df = src_df.toDF(*cols)
+        n = self.catalog.insert(db, name, src_df)
+        return self.spark.createDataFrame([(n,)], ["rows"])
+
+    def _update(self, stmt: str):
+        """UPDATE via read-merge-overwrite (reference transform_update.rs:
+        tag-update vs field-update both collapse to Delta-style rewrite)."""
+        m = re.match(
+            r"UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {stmt!r}")
+        tbl, sets_str, where = m.groups()
+        db, name = self._split_table_name(tbl)
+        df = self.catalog.read(db, name)
+        cond = F.expr(where) if where else F.lit(True)
+        for assign in _split_top_level(sets_str, ","):
+            col, _, expr = assign.partition("=")
+            col = col.strip().strip('"')
+            df = df.withColumn(
+                col, F.when(cond, F.expr(expr.strip())).otherwise(F.col(col))
+            )
+        n = df.filter(cond).count()
+        self._overwrite(db, name, df)
+        return self.spark.createDataFrame([(n,)], ["rows"])
+
+    def _delete(self, stmt: str):
+        m = re.match(
+            r"DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$", stmt, re.I | re.S
+        )
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {stmt!r}")
+        tbl, where = m.groups()
+        db, name = self._split_table_name(tbl)
+        df = self.catalog.read(db, name)
+        if where:
+            keep = df.filter(~F.expr(where) | F.expr(where).isNull())
+            n = df.count() - keep.count()
+        else:
+            keep = df.limit(0)
+            n = df.count()
+        self._overwrite(db, name, keep)
+        return self.spark.createDataFrame([(n,)], ["rows"])
+
+    def _overwrite(self, db: str, name: str, df: DataFrame) -> None:
+        """Rewrite a table's data files from a merged view (tombstone-free
+        compaction path, tskv/src/compaction analogue)."""
+        path = self.catalog._table_path(db, name)
+        staged = (
+            df.withColumn(INGEST_SEQ_COL, F.lit(0))
+            .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
+        )
+        tmp = path + ".rewrite"
+        staged.write.mode("overwrite").partitionBy(_TB_COL).parquet(tmp)
+        for entry in os.listdir(path):
+            if entry.startswith(_TB_COL + "="):
+                shutil.rmtree(os.path.join(path, entry))
+        for entry in os.listdir(tmp):
+            if entry.startswith(_TB_COL + "="):
+                shutil.move(os.path.join(tmp, entry), os.path.join(path, entry))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _copy(self, stmt: str):
+        """COPY INTO <table> FROM '<url>'  |  COPY INTO '<url>' FROM (query)
+        (sql/planner.rs:2346-2477)."""
+        m = re.match(r"COPY\s+INTO\s+'([^']+)'\s+FROM\s*\(", stmt, re.I | re.S)
+        if m:  # export: balanced-paren extraction of the subquery
+            from .sql.rewriter import _find_call_end
+
+            open_p = stmt.index("(", m.end() - 1)
+            end = _find_call_end(stmt, open_p)
+            url = m.group(1)
+            query = stmt[open_p + 1 : end - 1]
+            fm = re.search(
+                r"FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*'(\w+)'\s*\)", stmt[end:], re.I
+            )
+            fmt = fm.group(1) if fm else None
+            df = self._select(query)
+            fmt = (fmt or "parquet").lower()
+            getattr(df.write.mode("overwrite"), fmt)(url)
+            return self.spark.createDataFrame([(df.count(),)], ["rows"])
+        m = re.match(
+            r"COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s*"
+            r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*'(\w+)'(.*?)\))?\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if m:  # import
+            tbl, url, fmt, opts_str = m.groups()
+            db, name = self._split_table_name(tbl)
+            fmt = (fmt or "parquet").lower()
+            opts = {}
+            if re.search(r"WITH\s+HEADER\s+ROW|HEADER\s*=\s*'?true'?", opts_str or "", re.I):
+                opts["header"] = True
+            src = self._read_external(fmt, url, opts)
+            n = self.catalog.insert(db, name, src)
+            return self.spark.createDataFrame([(n,)], ["rows"])
+        raise ValueError(f"cannot parse COPY: {stmt[:80]!r}")
+
+    # ---------------------------------------------------------------- SHOW
+    def _show(self, stmt: str) -> DataFrame:
+        s = stmt.rstrip(";").strip()
+        if re.fullmatch(r"SHOW\s+DATABASES", s, re.I):
+            return self.spark.createDataFrame(
+                [(d,) for d in self.catalog.list_databases()], ["database_name"]
+            )
+        if re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I):
+            m = re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I)
+            db = m.group(1) or self.database
+            names = self.catalog.list_tables(db) + sorted(self.external) + sorted(self.streams)
+            return self.spark.createDataFrame([(t,) for t in names], ["table_name"])
+        m = re.fullmatch(
+            r"SHOW\s+SERIES\s+(?:ON\s+(\w+)\s+)?FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?"
+            r"(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            db, tbl, where, limit, offset = m.groups()
+            db = db or self.database
+            if where:
+                schema = self.catalog.get_schema(db, tbl)
+                keys = (
+                    self.catalog.read(db, tbl)
+                    .filter(F.expr(where))
+                    .select(*schema.tags)
+                    .distinct()
+                )
+                parts = [F.lit(tbl)]
+                for t in sorted(schema.tags):  # lexical key order, as catalog.show_series
+                    parts.append(
+                        F.when(
+                            F.col(t).isNotNull(), F.concat(F.lit(f",{t}="), F.col(t))
+                        ).otherwise(F.lit(""))
+                    )
+                out = keys.select(F.concat(*parts).alias("key")).orderBy("key")
+            else:
+                out = self.catalog.show_series(db, tbl)
+            if offset:
+                out = out.offset(int(offset))
+            if limit:
+                out = out.limit(int(limit))
+            return out
+        m = re.fullmatch(
+            r"SHOW\s+TAG\s+VALUES\s+(?:ON\s+(\w+)\s+)?FROM\s+([\w.]+)\s+WITH\s+KEY\s*"
+            r"(?:=\s*\"?(\w+)\"?|IN\s*\(([^)]*)\))",
+            s,
+            re.I,
+        )
+        if m:
+            db, tbl, single, many = m.groups()
+            keys = [single] if single else [
+                k.strip().strip('"') for k in many.split(",") if k.strip()
+            ]
+            return self.catalog.show_tag_values(db or self.database, tbl, keys)
+        raise ValueError(f"unsupported SHOW statement: {stmt[:80]!r}")
+
+    # ------------------------------------------------------------- helpers
+    def _split_table_name(self, name: str) -> tuple[str, str]:
+        parts = name.split(".")
+        if len(parts) == 1:
+            return self.database, parts[0]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        return parts[-2], parts[-1]  # tenant.db.table → (db, table)
+
+
+def _normalize_ttl(ttl: str) -> str:
+    """'7d'/'100000d'/'1h' → Spark interval string."""
+    m = re.fullmatch(r"(\d+)\s*([a-z]+)", ttl.strip(), re.I)
+    if not m:
+        return ttl
+    n, unit = m.groups()
+    unit_map = {
+        "d": "DAY", "day": "DAY", "days": "DAY",
+        "h": "HOUR", "hour": "HOUR", "hours": "HOUR",
+        "m": "MINUTE", "min": "MINUTE",
+        "s": "SECOND", "sec": "SECOND",
+    }
+    return f"{n} {unit_map.get(unit.lower(), unit.upper())}"
+
+
+def _split_statements(text: str) -> list[str]:
+    return _split_top_level(text, ";")
+
+
+def _split_top_level(text: str, sep: str) -> list[str]:
+    out: list[str] = []
+    depth = 0
+    in_str: str | None = None
+    cur: list[str] = []
+    for ch in text:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out

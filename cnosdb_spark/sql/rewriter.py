@@ -1,0 +1,173 @@
+"""CnosDB-dialect → Spark SQL rewrites for the DQL surface.
+
+The reference extends DataFusion SQL with a handful of function forms
+(parser: /root/reference query_server/query/src/sql/parser.rs; analyzer
+rewrites under query_server/query/src/extension/analyse/). Spark SQL
+already covers almost everything; this module textually rewrites the
+remaining forms:
+
+  time_window(t, interval 'X' [, interval 'Y' [, TIMESTAMP 'Z']])
+      → window(t, 'X' [, 'Y' [, 'Z']])          (transform_time_window.rs)
+  first(t, v) / last(t, v) → min_by(v, t) / max_by(v, t)
+      ({first,last}.rs; null-skipping matches Spark min_by/max_by)
+  topk(col, k) / bottom(col, k) in the projection
+      → col ... ORDER BY col DESC/ASC LIMIT k
+      (transform_topk_func_to_topk_node.rs: single selector, k ∈ [1,255])
+  exact_count(x) → count(x)                     (transform_exact_count...)
+
+Rewrites are token-aware enough for real queries (they respect quoted
+strings) without a full SQL parser.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOPK_RE = re.compile(r"\b(topk|bottom)\s*\(", re.I)
+_TW_RE = re.compile(r"\btime_window\s*\(", re.I)
+_FIRST_LAST_RE = re.compile(r"\b(first|last)\s*\(", re.I)
+_EXACT_COUNT_RE = re.compile(r"\bexact_count\s*\(", re.I)
+_INTERVAL_RE = re.compile(r"^\s*interval\s+'([^']+)'\s*$", re.I)
+_TS_RE = re.compile(r"^\s*timestamp\s+('?[^']+'?)\s*$", re.I)
+
+MAX_K = 255
+
+
+def _find_call_end(sql: str, open_paren: int) -> int:
+    """Index just past the matching ')' for the '(' at ``open_paren``."""
+    depth = 0
+    i = open_paren
+    in_str: str | None = None
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in SQL near offset {open_paren}")
+
+
+def _split_args(argstr: str) -> list[str]:
+    args: list[str] = []
+    depth = 0
+    in_str: str | None = None
+    cur: list[str] = []
+    for ch in argstr:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        args.append("".join(cur).strip())
+    return args
+
+
+def rewrite_time_window(sql: str) -> str:
+    """time_window(t, interval '10 milliseconds'[, interval '5 ms']) →
+    window(t, '10 milliseconds'[, '5 ms']). Spark's window() is the same
+    Expand-based operator the reference's analyzer builds."""
+    while True:
+        m = _TW_RE.search(sql)
+        if not m:
+            return sql
+        open_p = sql.index("(", m.start())
+        end = _find_call_end(sql, open_p)
+        args = _split_args(sql[open_p + 1 : end - 1])
+        if not 2 <= len(args) <= 4:
+            raise ValueError("time_window expects 2-4 arguments")
+        out = [args[0]]
+        for a in args[1:3]:
+            im = _INTERVAL_RE.match(a)
+            out.append(f"'{im.group(1)}'" if im else a)
+        if len(args) == 4:
+            tm = _TS_RE.match(args[3])
+            out.append(tm.group(1) if tm else args[3])
+        sql = sql[: m.start()] + f"window({', '.join(out)})" + sql[end:]
+
+
+def rewrite_first_last(sql: str) -> str:
+    """first(t, v) → min_by(v, t); last(t, v) → max_by(v, t). Only rewrites
+    two-argument calls — Spark's own one-argument first()/last() window
+    aggregates pass through untouched."""
+    pos = 0
+    while True:
+        m = _FIRST_LAST_RE.search(sql, pos)
+        if not m:
+            return sql
+        fn = m.group(1).lower()
+        open_p = sql.index("(", m.start())
+        end = _find_call_end(sql, open_p)
+        args = _split_args(sql[open_p + 1 : end - 1])
+        if len(args) != 2:
+            pos = end
+            continue
+        target = "min_by" if fn == "first" else "max_by"
+        repl = f"{target}({args[1]}, {args[0]})"
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
+def rewrite_exact_count(sql: str) -> str:
+    return _EXACT_COUNT_RE.sub("count(", sql)
+
+
+def rewrite_selector(sql: str) -> str:
+    """topk(col, k)/bottom(col, k) in the projection → col + ORDER BY +
+    LIMIT appended to the (single, un-suffixed) SELECT. Parity rules from
+    the reference analyzer: exactly one selector per query, no nesting,
+    k ∈ [1, 255]."""
+    matches = list(_TOPK_RE.finditer(sql))
+    if not matches:
+        return sql
+    if len(matches) > 1:
+        raise ValueError("only one topk/bottom selector is allowed per query")
+    m = matches[0]
+    fn = m.group(1).lower()
+    open_p = sql.index("(", m.start())
+    end = _find_call_end(sql, open_p)
+    args = _split_args(sql[open_p + 1 : end - 1])
+    if len(args) != 2:
+        raise ValueError(f"{fn} expects exactly 2 arguments")
+    col, k_str = args
+    try:
+        k = int(k_str)
+    except ValueError as exc:
+        raise ValueError(f"{fn} k must be an integer literal") from exc
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"{fn} k must be in [1, {MAX_K}], got {k}")
+    if re.search(r"\b(order\s+by|limit)\b", sql, re.I):
+        raise ValueError(f"{fn} cannot be combined with ORDER BY/LIMIT")
+    body = sql[: m.start()] + col + sql[end:]
+    direction = "DESC" if fn == "topk" else "ASC"
+    return f"{body.rstrip().rstrip(';')} ORDER BY {col} {direction} NULLS LAST LIMIT {k}"
+
+
+def rewrite_dql(sql: str) -> str:
+    sql = rewrite_time_window(sql)
+    sql = rewrite_first_last(sql)
+    sql = rewrite_exact_count(sql)
+    sql = rewrite_selector(sql)
+    return sql

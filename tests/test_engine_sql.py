@@ -1,0 +1,196 @@
+"""End-to-end SQL engine tests replaying reference slt scenarios:
+the SURVEY §7.2 minimum slice (time_window.slt), only_tag_col distinct
+semantics, repeat_write LWW, DDL/DML round trips, COPY, SHOW."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cnosdb_spark.engine import Engine
+from cnosdb_spark.sql.rewriter import rewrite_dql
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def test_minimum_slice_time_window(eng):
+    """SURVEY §7.2: CREATE TABLE m2 → INSERT 8 rows → time_window GROUP BY
+    (cases/function/time_window.slt:49-60 semantics)."""
+    eng.sql("CREATE TABLE m2(f0 BIGINT, f1 DOUBLE, TAGS(t0, t1))")
+    eng.sql(
+        """INSERT INTO m2(time, t0, t1, f0, f1) VALUES
+        ('1999-12-31 00:00:00.000', 'tag11', 'tag21', 111, 444.0),
+        ('1999-12-31 00:00:00.005', 'tag12', 'tag22', 222, 333.0),
+        ('1999-12-31 00:00:00.010', 'tag11', 'tag21', 333, 222.0),
+        ('1999-12-31 00:00:00.015', 'tag12', 'tag22', 444, 111.0)"""
+    )
+    out = eng.sql(
+        """SELECT time_window(time, interval '10 milliseconds') AS w, t0, avg(f1) AS a
+           FROM m2 GROUP BY w, t0 ORDER BY w.start, t0"""
+    ).collect()
+    assert len(out) == 4
+    assert out[0]["t0"] == "tag11" and out[0]["a"] == 444.0
+    # sliding variant → Expand (overlapping windows)
+    out2 = eng.sql(
+        """SELECT time_window(time, interval '10 milliseconds',
+                              interval '5 milliseconds') AS w, count(*) AS n
+           FROM m2 GROUP BY w ORDER BY w.start"""
+    ).collect()
+    assert sum(r["n"] for r in out2) == 8  # each row in exactly 2 windows
+
+
+def test_repeat_write_lww(eng):
+    """cases/sqlancer/repeat_write.slt:12-32: f0=1,f1=true then f0=2 at the
+    same series+time → merged (2.0, true)."""
+    eng.sql("CREATE TABLE rw(f0 DOUBLE, f1 BOOLEAN, TAGS(t0))")
+    eng.sql("INSERT INTO rw(time, t0, f0, f1) VALUES ('2024-01-01 00:00:00', 'a', 1.0, true)")
+    eng.sql("INSERT INTO rw(time, t0, f0) VALUES ('2024-01-01 00:00:00', 'a', 2.0)")
+    rows = eng.sql("SELECT f0, f1 FROM rw").collect()
+    assert len(rows) == 1
+    assert rows[0]["f0"] == 2.0 and rows[0]["f1"] is True
+
+
+def test_tag_only_select_distinct(eng):
+    """cases/dql/only_tag_col.slt: tag-only SELECT returns DISTINCT series
+    (rewrite_tag_scan.rs is a semantic rewrite, not an optimization)."""
+    eng.sql("CREATE TABLE m3(f0 BIGINT, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO m3(time, t0, f0) VALUES
+        ('2024-01-01 00:00:00.101', 'a', 1), ('2024-01-01 00:00:00.102', 'a', 2),
+        ('2024-01-01 00:00:00.101', 'b', 3), ('2024-01-01 00:00:00.102', 'b', 4)"""
+    )
+    rows = eng.sql("SELECT DISTINCT t0 FROM m3 ORDER BY t0").collect()
+    assert [r["t0"] for r in rows] == ["a", "b"]
+
+
+def test_first_last_topk_rewrites(eng):
+    eng.sql("CREATE TABLE fx(f0 DOUBLE, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO fx(time, t0, f0) VALUES
+        ('2024-01-01 00:00:01', 'a', 5.0), ('2024-01-01 00:00:02', 'a', 9.0),
+        ('2024-01-01 00:00:03', 'a', 1.0), ('2024-01-01 00:00:01', 'b', 7.0)"""
+    )
+    r = eng.sql("SELECT t0, first(time, f0) AS fv, last(time, f0) AS lv FROM fx GROUP BY t0 ORDER BY t0").collect()
+    assert (r[0]["fv"], r[0]["lv"]) == (5.0, 1.0)
+    top = eng.sql("SELECT topk(f0, 2) FROM fx").collect()
+    assert sorted(x[0] for x in top) == [7.0, 9.0]
+    bot = eng.sql("SELECT bottom(f0, 1) FROM fx").collect()
+    assert [x[0] for x in bot] == [1.0]
+    with pytest.raises(ValueError, match=r"\[1, 255\]"):
+        eng.sql("SELECT topk(f0, 256) FROM fx")
+    with pytest.raises(ValueError, match="one topk"):
+        eng.sql("SELECT topk(f0, 2), bottom(f0, 2) FROM fx")
+
+
+def test_update_delete(eng):
+    eng.sql("CREATE TABLE ud(f0 DOUBLE, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO ud(time, t0, f0) VALUES
+        ('2024-01-01 00:00:01', 'a', 1.0), ('2024-01-01 00:00:02', 'b', 2.0),
+        ('2024-01-01 00:00:03', 'c', 3.0)"""
+    )
+    n = eng.sql("UPDATE ud SET f0 = f0 * 10 WHERE t0 = 'b'").collect()[0]["rows"]
+    assert n == 1
+    vals = {r["t0"]: r["f0"] for r in eng.sql("SELECT t0, f0 FROM ud").collect()}
+    assert vals == {"a": 1.0, "b": 20.0, "c": 3.0}
+    n = eng.sql("DELETE FROM ud WHERE f0 > 5").collect()[0]["rows"]
+    assert n == 1
+    assert eng.sql("SELECT count(*) AS n FROM ud").collect()[0]["n"] == 2
+
+
+def test_show_statements(eng):
+    eng.sql("CREATE DATABASE db2")
+    eng.sql("CREATE TABLE db2.m(f0 DOUBLE, TAGS(host, region))")
+    eng.sql(
+        """INSERT INTO db2.m(time, host, region, f0) VALUES
+        ('2024-01-01 00:00:01', 'h1', 'eu', 1.0),
+        ('2024-01-01 00:00:02', 'h2', 'eu', 2.0)"""
+    )
+    dbs = [r["database_name"] for r in eng.sql("SHOW DATABASES").collect()]
+    assert "db2" in dbs and "public" in dbs
+    tbls = [r["table_name"] for r in eng.sql("SHOW TABLES ON db2").collect()]
+    assert tbls == ["m"]
+    series = [r["key"] for r in eng.sql("SHOW SERIES ON db2 FROM m").collect()]
+    assert series == ["m,host=h1,region=eu", "m,host=h2,region=eu"]
+    filtered = [
+        r["key"] for r in eng.sql("SHOW SERIES ON db2 FROM m WHERE host = 'h1'").collect()
+    ]
+    assert filtered == ["m,host=h1,region=eu"]
+    tv = [
+        (r["key"], r["value"])
+        for r in eng.sql('SHOW TAG VALUES ON db2 FROM m WITH KEY IN ("host", "region")').collect()
+    ]
+    assert tv == [("host", "h1"), ("host", "h2"), ("region", "eu")]
+
+
+def test_external_table_and_copy(eng, spark, tmp_path):
+    src = str(tmp_path / "ext.csv")
+    with open(src, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    eng.sql(f"CREATE EXTERNAL TABLE ext STORED AS CSV WITH HEADER ROW LOCATION '{src}'")
+    rows = eng.sql("SELECT a, b FROM ext ORDER BY a").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y")]
+
+    out_dir = str(tmp_path / "out_parquet")
+    eng.sql(f"COPY INTO '{out_dir}' FROM (SELECT a, b FROM ext) FILE_FORMAT = (TYPE = 'PARQUET')")
+    assert spark.read.parquet(out_dir).count() == 2
+
+    eng.sql("CREATE TABLE imp(a BIGINT, TAGS(b))")
+    csv2 = str(tmp_path / "imp.csv")
+    with open(csv2, "w") as f:
+        f.write("time,b,a\n2024-01-01 00:00:01,x,5\n")
+    n = eng.sql(
+        f"COPY INTO imp FROM '{csv2}' FILE_FORMAT = (TYPE = 'CSV' WITH HEADER ROW)"
+    ).collect()[0]["rows"]
+    assert n == 1
+    assert eng.sql("SELECT a FROM imp").collect()[0]["a"] == 5
+
+
+def test_ttl_applied_via_sql(eng):
+    eng.sql("CREATE DATABASE short WITH TTL '1h'")
+    eng.sql("CREATE TABLE short.t(f0 DOUBLE, TAGS(t0))")
+    eng.sql("INSERT INTO short.t(time, t0, f0) VALUES ('2000-01-01 00:00:00', 'old', 1.0)")
+    eng.sql("INSERT INTO short.t(time, t0, f0) VALUES (now(), 'new', 2.0)")
+    rows = eng.sql("SELECT t0 FROM short.t").collect()
+    assert [r["t0"] for r in rows] == ["new"]
+
+
+def test_stream_table_ddl(eng):
+    eng.sql("CREATE TABLE src(f0 DOUBLE, TAGS(t0))")
+    eng.sql("INSERT INTO src(time, t0, f0) VALUES ('2024-01-01 00:00:01', 'a', 1.0)")
+    eng.sql(
+        "CREATE STREAM TABLE st WITH (db='public', table='src', "
+        "event_time_column='time') engine=tskv"
+    )
+    assert "st" in eng.streams
+    sdf = eng.streams["st"].read(eng.spark)
+    assert sdf.isStreaming
+
+
+def test_explain_and_errors(eng):
+    eng.sql("CREATE TABLE e1(f0 DOUBLE, TAGS(t0))")
+    plan = eng.sql("EXPLAIN SELECT t0, count(*) FROM e1 GROUP BY t0").collect()[0]["plan"]
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    with pytest.raises(ValueError, match="exactly one statement"):
+        eng.sql("SELECT 1; SELECT 2")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        eng.sql("GRANT ALL ON x TO y")
+
+
+def test_rewriter_units():
+    assert (
+        rewrite_dql("SELECT time_window(time, interval '10 milliseconds') FROM t")
+        == "SELECT window(time, '10 milliseconds') FROM t"
+    )
+    assert (
+        rewrite_dql("SELECT first(time, f0), last(time, f1) FROM t")
+        == "SELECT min_by(f0, time), max_by(f1, time) FROM t"
+    )
+    assert rewrite_dql("SELECT exact_count(f0) FROM t") == "SELECT count(f0) FROM t"
+    # Spark's own first_value/one-arg first() untouched
+    assert rewrite_dql("SELECT first_value(x) OVER (ORDER BY t) FROM t").count("first_value") == 1
+    assert rewrite_dql("SELECT first(x) FROM t") == "SELECT first(x) FROM t"
