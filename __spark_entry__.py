@@ -1391,6 +1391,262 @@ def multimodal_features(spark, sf_dir):
 
 
 # =====================================================================
+# Extended relational / window / function coverage
+# =====================================================================
+
+@_q(
+    "window_ntile_dist",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS INT)            AS tile,
+           round(percent_rank() OVER w, 6)          AS pr,
+           round(cume_dist() OVER w, 6)             AS cd,
+           round(nth_value(o_totalprice, 2) OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_dist(spark, sf_dir):
+    """ntile/percent_rank/cume_dist/nth_value (SURVEY §2.5 window_func slt)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
+    )
+
+
+@_q(
+    "agg_percentile_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           round(quantile_cont(l_quantity, 0.50), 4)      AS qty_median
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile() == DuckDB
+    quantile_cont, both linear interpolation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("qty_median"),
+    )
+
+
+@_q(
+    "time_format_funcs",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')          AS d_str,
+           strftime(o_orderdate, '%Y-%m')             AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT)          AS epoch_s,
+           epoch_us(o_orderdate + INTERVAL 1 DAY)      AS next_day_us,
+           epoch_us(date_trunc('week', o_orderdate))   AS week_start_us
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def time_format_funcs(spark, sf_dir):
+    """date_format/unix_timestamp/interval arithmetic (SURVEY §2.8 time)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    od = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.date_format(od, "yyyy-MM-dd").alias("d_str"),
+        F.date_format(od, "yyyy-MM").alias("ym"),
+        F.unix_seconds(od).alias("epoch_s"),
+        F.unix_micros(od + F.expr("INTERVAL 1 DAY")).alias("next_day_us"),
+        F.unix_micros(F.date_trunc("week", od)).alias("week_start_us"),
+    )
+
+
+@_q(
+    "regexp_funcs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{4,})', 1)                       AS first_long_word,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+           (text SIMILAR TO '.*table.*')                                AS has_table
+    FROM documents
+    """,
+)
+def regexp_funcs(spark, sf_dir):
+    """regexp_extract/replace/match (SURVEY §2.8 string/regex surface)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{4,})", 1).alias("first_long_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("novowel_len"),
+        F.col("text").rlike("table").alias("has_table"),
+    )
+
+
+@_q(
+    "pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS st_O,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS st_F,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS st_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_order_status(spark, sf_dir):
+    """Pivot (wide aggregation by category; Catalyst rewrites to FILTER
+    aggregates — the same plan the oracle spells out)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("st_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("st_F"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("st_P"),
+    )
+
+
+@_q(
+    "sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionization(spark, sf_dir):
+    """Sessionization: lag-gap > 30min starts a new session (common OLAP
+    pattern; batch analogue of Spark's session_window)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("_ns", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("_ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_q(
+    "cross_join_regions",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def cross_join_regions(spark, sf_dir):
+    """Explicit cross join (the reference *rejects* accidental cross joins
+    — reject_cross_join.rs — but supports explicit ones)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@_q(
+    "gis_point_distance",
+    """
+    SELECT event_id,
+           round(sqrt((value - 50) * (value - 50)
+                 + (CAST(user_id % 10 AS DOUBLE) - 5) * (CAST(user_id % 10 AS DOUBLE) - 5)), 6)
+             AS dist
+    FROM events WHERE event_id < 500 AND value IS NOT NULL
+    """,
+)
+def gis_point_distance(spark, sf_dir):
+    """st_distance over WKT points (SURVEY §2.8 GIS; reference
+    scalar_function/gis/). The oracle computes the euclidean formula
+    directly — validating the WKT parse + distance UDF end-to-end."""
+    from cnosdb_spark.functions.gis import st_distance
+
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 500) & F.col("value").isNotNull()
+    )
+    wkt = F.concat(
+        F.lit("POINT("),
+        F.col("value").cast("string"),
+        F.lit(" "),
+        F.pmod(F.col("user_id"), F.lit(10)).cast("string"),
+        F.lit(")"),
+    )
+    return e.select(
+        "event_id",
+        F.round(st_distance(wkt, F.lit("POINT(50 5)")), 6).alias("dist"),
+    )
+
+
+@_q("streaming_tumbling_agg")  # Structured Streaming → rows-only check
+def streaming_tumbling_agg(spark, sf_dir):
+    """Incremental micro-batch aggregation (SURVEY §2.9): readStream over
+    the events table, tumbling window count, Once trigger (availableNow),
+    memory sink — the reference's MicroBatchStreamExecution shape."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) → long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file stream source wants a directory; stage the table file into one
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# =====================================================================
 # Contract functions
 # =====================================================================
 

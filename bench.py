@@ -47,6 +47,8 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="cnosdb_spark_bench")
 
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warm-up
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

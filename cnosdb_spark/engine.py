@@ -87,6 +87,18 @@ class Engine:
             return self._delete(stmt)
         if kw == "COPY":
             return self._copy(stmt)
+        if kw == "SHOW" and kw2 == "QUERIES":
+            from .sys_schema import QueryTracker
+
+            return QueryTracker(self.spark).queries_df()
+        if kw == "KILL":
+            from .sys_schema import QueryTracker
+
+            m = re.match(r"KILL\s+QUERY\s+'?([\w-]+)'?\s*;?\s*$", stmt, re.I)
+            if not m:
+                raise ValueError(f"cannot parse KILL QUERY: {stmt!r}")
+            ok = QueryTracker(self.spark).kill(m.group(1))
+            return self.spark.createDataFrame([(ok,)], ["killed"])
         if kw == "SHOW":
             return self._show(stmt)
         if kw == "EXPLAIN":
@@ -113,10 +125,22 @@ class Engine:
                 self.catalog.read(db, name).createOrReplaceTempView(view)
         for name, (fmt, path, opts) in self.external.items():
             self._read_external(fmt, path, opts).createOrReplaceTempView(name)
+        from . import sys_schema
+
+        sys_schema.databases_df(self.spark, self.catalog).createOrReplaceTempView(
+            "__information_schema__databases"
+        )
+        sys_schema.tables_df(
+            self.spark, self.catalog, self.external, self.streams
+        ).createOrReplaceTempView("__information_schema__tables")
+        sys_schema.columns_df(self.spark, self.catalog).createOrReplaceTempView(
+            "__information_schema__columns"
+        )
 
     def _qualify(self, sql: str) -> str:
         """Rewrite known ``db.table`` references to their mangled temp-view
         names (Spark temp views live in a flat namespace)."""
+        sql = re.sub(r"\binformation_schema\.(\w+)", r"__information_schema__\1", sql, flags=re.I)
         for db in self.catalog.list_databases():
             if db == self.database:
                 continue
