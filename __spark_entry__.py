@@ -1647,6 +1647,146 @@ def streaming_tumbling_agg(spark, sf_dir):
 
 
 # =====================================================================
+# TSBS-IoT-shaped time-series queries (BASELINE.md §3.2)
+# =====================================================================
+
+@_q(
+    "tsbs_last_point_per_series",
+    """
+    SELECT user_id, epoch_us(max(ts)) AS last_ts_us,
+           arg_max(value, ts) AS last_value,
+           arg_max(event_type, ts) AS last_type
+    FROM events GROUP BY user_id
+    """,
+)
+def tsbs_last_point(spark, sf_dir):
+    """TSBS last-loc shape: latest point per series — one agg with max_by,
+    no window sort (the plan the reference's time-ordered scan feeds)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.max_by("event_type", "ts").alias("last_type"),
+    )
+
+
+@_q(
+    "tsbs_threshold_windows",
+    """
+    WITH w AS (
+      SELECT user_id, (epoch_us(ts) - epoch_us(ts) % 600000000) AS ws,
+             avg(value) AS av
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_high_windows
+    FROM w WHERE av > 75 GROUP BY user_id
+    """,
+)
+def tsbs_threshold_windows(spark, sf_dir):
+    """TSBS high-load shape: 10-min windows whose avg exceeds a threshold,
+    counted per series."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        e.withColumn("_ws", us - F.pmod(us, F.lit(600_000_000)))
+        .groupBy("user_id", "_ws")
+        .agg(F.avg("value").alias("_av"))
+        .filter(F.col("_av") > 75)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_high_windows"))
+    )
+
+
+@_q(
+    "tsbs_daily_activity",
+    """
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tsbs_daily_activity(spark, sf_dir):
+    """TSBS daily-activity shape: per-series per-day counts and averages."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+# =====================================================================
+# Extra aggregate / tokenizer coverage
+# =====================================================================
+
+@_q(
+    "array_agg_sorted",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def array_agg_sorted(spark, sf_dir):
+    """array_agg (SURVEY §2.4) — emitted as a sorted joined string so the
+    comparison is order-insensitive on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs,
+    digit runs, single punctuation) alongside whitespace tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        text.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@_q("dedup_cluster_resolution")  # iterative fixpoint → rows-only check
+def dedup_cluster_resolution(spark, sf_dir):
+    """Near-dup pairs → connected components (min-label propagation): the
+    keep-one decision for a dedup pipeline. Iterative joins, no driver-side
+    row loops."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    ids = d.select(F.col("doc_id").alias("_id"))
+    out = dedup.resolve_duplicate_clusters(ids, pairs, "_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_id", "is_canonical"
+    )
+
+
+@_q("ivf_ann_topk")  # approximate; deterministic but oracle omitted
+def ivf_ann_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: deterministic centroids (hash
+    sample + one distributed Lloyd step), n_probe cluster probing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(emb, queries, cents, k=5, n_probe=2)
+
+
+# =====================================================================
 # Contract functions
 # =====================================================================
 

@@ -253,3 +253,54 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def resolve_duplicate_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "_id",
+    max_iterations: int = 12,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation (each node adopts the smallest label
+    among itself and its neighbors until fixpoint).
+
+    Convergence takes O(log(diameter)) rounds on typical dup clusters
+    (small diameter) — bounded by ``max_iterations``. Each round is two
+    shuffles (join + groupBy min) on the edge list; no driver-side
+    iteration over rows. Output: (id, cluster_id, is_canonical) where
+    cluster_id = min id in the component — the keep-one dedup decision.
+
+    ``ids``: one column ``id_col``; ``pairs``: (id_a, id_b).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

@@ -142,3 +142,104 @@ def lsh_topk(
             F.col("_rn").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic IVF centroid selection: md5-hash-ordered sample of
+    corpus vectors (a uniform pseudo-random but reproducible draw), refined
+    with one Lloyd iteration computed distributed (groupBy assigned
+    centroid → mean). Centroid count stays driver-side tiny; the corpus is
+    never collected."""
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [r["_v"] for r in seed_rows]
+    assigned = ivf_assign(corpus, vec_col, cents, id_col).select("_cluster", F.col(vec_col).cast("array<double>").alias("_v"))
+    # one Lloyd refinement: per-cluster elementwise mean (posexplode + agg)
+    dim = len(cents[0])
+    refined = (
+        assigned.select("_cluster", F.posexplode("_v").alias("_pos", "_x"))
+        .groupBy("_cluster", "_pos")
+        .agg(F.avg("_x").alias("_m"))
+        .groupBy("_cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pairs"))
+        .select("_cluster", F.transform("_pairs", lambda p: p["_m"]).alias("_centroid"))
+        .collect()
+    )
+    by_cluster = {r["_cluster"]: r["_centroid"] for r in refined}
+    return [by_cluster.get(i, cents[i]) for i in range(len(cents))]
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    out_col: str = "_cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine) with a
+    pure column expression over literal centroid arrays."""
+    v = F.col(vec_col).cast("array<double>")
+    sims = [
+        cosine_expr(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids
+    ]
+    best = F.array_position(
+        F.array(*sims), F.array_max(F.array(*sims))
+    ) - 1  # 0-based cluster id
+    return df.withColumn(out_col, best.cast("int"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest clusters per
+    query, exact cosine only within probed clusters. The candidate join is
+    an equi-join on cluster id — at 100 TB this cuts the scanned corpus to
+    n_probe/n_centroids of the data per query, and the corpus side can be
+    stored pre-partitioned by cluster."""
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv")),
+        "_cv",
+        centroids,
+        out_col="_cluster",
+    )
+    qv = F.col(query_vec_col).cast("array<double>")
+    sims = [cosine_expr(qv, F.array(*[F.lit(float(x)) for x in cc])) for cc in centroids]
+    ranked = F.array_sort(
+        F.array(*[F.struct((-s).alias("d"), F.lit(i).alias("i")) for i, s in enumerate(sims)])
+    )
+    probes = F.slice(F.transform(ranked, lambda p: p["i"]), 1, n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), qv.alias("_qv"), F.explode(probes).alias("_cluster")
+    )
+    scored = c.join(q, "_cluster").select(
+        "_qid", "_cid", cosine_expr(F.col("_cv"), F.col("_qv")).alias("_cos")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_cid").alias(id_col),
+            F.round("_cos", 6).alias("cosine"),
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )

@@ -138,3 +138,42 @@ def test_gis_functions(spark):
     # (0,0) is a boundary vertex; ray-cast counts it inside for this winding
     assert out[1]["contains"] is False and out[1]["within"] is False
     assert out[1]["area"] == 4.0
+
+
+def test_resolve_duplicate_clusters(spark):
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], ["_id"])
+    # two clusters {0,1,2,3} (chain) and {5,6}; 4 is a singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup.resolve_duplicate_clusters(ids, pairs, "_id").collect()}
+    assert out[0] == (0, True) and out[1] == (0, False)
+    assert out[2] == (0, False) and out[3] == (0, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True) and out[6] == (5, False)
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    # 3 well-separated gaussian clusters in 8d
+    centers = rng.standard_normal((3, 8)) * 10
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, (c + rng.standard_normal(8) * 0.1).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=6)
+    q = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    approx = similarity.ivf_topk(emb, q, cents, k=5, n_probe=3)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    # hash-sampled seeds may cover clusters unevenly; require high recall,
+    # not exactness, plus guaranteed self-hits
+    assert len(a & e) / len(e) >= 0.6
+    for qid in (0, 1, 2):
+        assert (qid, qid) in a
