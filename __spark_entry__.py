@@ -1375,6 +1375,32 @@ def ts_value_fill(spark, sf_dir):
     )
 
 
+@_q("ts_timestamp_repair")
+def ts_timestamp_repair(spark, sf_dir):
+    """ts_gen_func timestamp_repair (reference ts_gen_func/data_repair/
+    timestamp_repair.rs): snap per-series timestamps to the modal interval."""
+    from cnosdb_spark.functions.repair import timestamp_repair
+
+    e = _t(spark, sf_dir, "events")
+    out = timestamp_repair(e, "ts", "value", ["user_id"])
+    return out.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), F.round("value", 6).alias("value")
+    )
+
+
+@_q("ts_value_repair")
+def ts_value_repair(spark, sf_dir):
+    """ts_gen_func value_repair (reference value_repair.rs): clamp
+    rate-of-change outliers to MAD-based speed bounds per series."""
+    from cnosdb_spark.functions.repair import value_repair
+
+    e = _t(spark, sf_dir, "events")
+    out = value_repair(e, "ts", "value", ["user_id"])
+    return out.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), F.round("value", 6).alias("value")
+    )
+
+
 @_q("multimodal_features")
 def multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing: mapInPandas feature extraction

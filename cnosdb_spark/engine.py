@@ -482,6 +482,46 @@ class Engine:
             return self.catalog.show_tag_values(db or self.database, tbl, keys)
         raise ValueError(f"unsupported SHOW statement: {stmt[:80]!r}")
 
+    # ------------------------------------------------------------ ingest
+    def write_lines(self, text: str, db: str | None = None, precision: str = "ns") -> dict[str, int]:
+        """Schemaless line-protocol write (the api/v1/write path,
+        main/src/http/http_service.rs:484): auto-creates tables and columns,
+        then appends. Returns {measurement: rows_written}."""
+        from .sources.line_protocol import lines_to_tables
+
+        db = db or self.database
+        out: dict[str, int] = {}
+        for name, (df, tagkeys) in lines_to_tables(self.spark, text, precision).items():
+            tags = [f.name for f in df.schema.fields if f.name in tagkeys]
+            fields = {}
+            for f in df.schema.fields:
+                if f.name == TIME_COL or f.name in tagkeys:
+                    continue
+                fields[f.name] = {
+                    "bigint": "bigint",
+                    "double": "double",
+                    "boolean": "boolean",
+                    "string": "string",
+                }[f.dataType.simpleString()]
+            try:
+                schema = self.catalog.get_schema(db, name)
+                for t in tags:
+                    if t not in schema.tags and t not in schema.fields:
+                        schema.tags.append(t)
+                        schema.schema_version += 1
+                for fname, ftype in fields.items():
+                    if fname not in schema.fields and fname not in schema.tags:
+                        schema.fields[fname] = ftype
+                        schema.schema_version += 1
+                self.catalog._save_schema(db, schema)
+            except KeyError:
+                schema = TskvTableSchema(
+                    tenant=self.catalog.tenant, db=db, name=name, tags=tags, fields=fields
+                )
+                self.catalog.create_table(db, schema)
+            out[name] = self.catalog.insert(db, name, df)
+        return out
+
     # ------------------------------------------------------------- helpers
     def _split_table_name(self, name: str) -> tuple[str, str]:
         parts = name.split(".")

@@ -75,8 +75,17 @@ def parse_lines(text: str, precision: str = "ns") -> dict[str, list[dict]]:
 
     Row dict: {"time": datetime, "<tag>": str..., "<field>": val...}.
     """
+    return {k: v[0] for k, v in parse_lines_meta(text, precision).items()}
+
+
+def parse_lines_meta(
+    text: str, precision: str = "ns"
+) -> dict[str, tuple[list[dict], set[str]]]:
+    """Like parse_lines but also returns the set of tag keys per
+    measurement (the parser knows which section a key came from — needed
+    for schema auto-creation, where a string *field* must not become a tag)."""
     mult = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[precision]
-    out: dict[str, list[dict]] = {}
+    out: dict[str, tuple[list[dict], set[str]]] = {}
     for lineno, line in enumerate(text.splitlines(), 1):
         line = line.strip()
         if not line or line.startswith("#"):
@@ -91,9 +100,12 @@ def parse_lines(text: str, precision: str = "ns") -> dict[str, list[dict]]:
         head_parts = _split_unescaped(head, ',')
         measurement = _unescape(head_parts[0])
         row: dict = {}
+        rows, tagkeys = out.setdefault(measurement, ([], set()))
         for tag_kv in head_parts[1:]:
             k, _, v = tag_kv.partition("=")
-            row[_unescape(k)] = _unescape(v)
+            key = _unescape(k)
+            row[key] = _unescape(v)
+            tagkeys.add(key)
         for field_kv in _split_unescaped(fields_raw, ','):
             k, _, v = field_kv.partition("=")
             val, _typ = parse_field_value(v)
@@ -104,16 +116,23 @@ def parse_lines(text: str, precision: str = "ns") -> dict[str, list[dict]]:
             row["time"] = datetime(1970, 1, 1) + timedelta(microseconds=ns // 1000)
         else:
             row["time"] = datetime.now(timezone.utc).replace(tzinfo=None)
-        out.setdefault(measurement, []).append(row)
+        rows.append(row)
     return out
 
 
 def lines_to_dfs(spark: SparkSession, text: str, precision: str = "ns") -> dict[str, DataFrame]:
-    """Line protocol → {measurement: DataFrame}. Schema is inferred per
-    measurement from the union of keys (schemaless semantics)."""
-    parsed = parse_lines(text, precision)
+    """Line protocol → {measurement: DataFrame}."""
+    return {k: df for k, (df, _tags) in lines_to_tables(spark, text, precision).items()}
+
+
+def lines_to_tables(
+    spark: SparkSession, text: str, precision: str = "ns"
+) -> dict[str, tuple[DataFrame, set[str]]]:
+    """Line protocol → {measurement: (DataFrame, tag_keys)}. Schema is
+    inferred per measurement from the union of keys (schemaless semantics)."""
+    parsed = parse_lines_meta(text, precision)
     out = {}
-    for name, rows in parsed.items():
+    for name, (rows, tagkeys) in parsed.items():
         keys: list[str] = ["time"]
         types: dict[str, type] = {}
         for r in rows:
@@ -131,5 +150,5 @@ def lines_to_dfs(spark: SparkSession, text: str, precision: str = "ns") -> dict[
             fields.append(T.StructField(k, spark_t, True))
         schema = T.StructType(fields)
         data = [tuple(r.get(k) for k in keys) for r in rows]
-        out[name] = spark.createDataFrame(data, schema)
+        out[name] = (spark.createDataFrame(data, schema), tagkeys)
     return out

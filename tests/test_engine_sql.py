@@ -194,3 +194,26 @@ def test_rewriter_units():
     # Spark's own first_value/one-arg first() untouched
     assert rewrite_dql("SELECT first_value(x) OVER (ORDER BY t) FROM t").count("first_value") == 1
     assert rewrite_dql("SELECT first(x) FROM t") == "SELECT first(x) FROM t"
+
+
+def test_write_lines_schemaless(eng):
+    """api/v1/write parity: line-protocol writes auto-create the table,
+    distinguish tags from string fields, and merge new columns."""
+    n = eng.write_lines(
+        'weather,city=berlin temp=21.5,desc="mild" 1700000000000000000\n'
+        "weather,city=paris temp=25.0 1700000100000000000\n"
+    )
+    assert n == {"weather": 2}
+    schema = eng.catalog.get_schema("public", "weather")
+    assert schema.tags == ["city"]
+    assert schema.fields == {"temp": "double", "desc": "string"}
+    rows = eng.sql("SELECT city, temp, desc FROM weather ORDER BY city").collect()
+    assert rows[0]["city"] == "berlin" and rows[0]["desc"] == "mild"
+    # second write adds a new field column (schema evolution)
+    eng.write_lines("weather,city=rome temp=30.0,humidity=40.0 1700000200000000000\n")
+    schema = eng.catalog.get_schema("public", "weather")
+    assert "humidity" in schema.fields and schema.schema_version == 2
+    rows = eng.sql(
+        "SELECT city, humidity FROM weather WHERE city = 'rome'"
+    ).collect()
+    assert rows[0]["humidity"] == 40.0

@@ -1,0 +1,61 @@
+"""Plan-shape regression guards: the scale properties the engine promises
+(pushdown, pruning, broadcast dims, top-k without global sort) must be
+visible in the physical plan — a correct-but-mis-planned query is a bug."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from .conftest import SF_DIR
+
+QUERIES = entry_mod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    p = _plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "partial_sum" in p  # map-side combine before the exchange
+    # column pruning: o_orderkey etc. not read; scan schema is the 7 used cols
+    assert "l_comment" not in p
+
+
+def test_q3_broadcasts_dim_and_topk(spark):
+    p = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject(limit=10" in p  # no global sort for top-N
+
+
+def test_q5_no_shuffle_join_on_dims(spark):
+    p = _plan(spark, "tpch_q5_local_supplier")
+    assert "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") <= 2  # only the final agg shuffles
+
+
+def test_topk_is_take_ordered(spark):
+    p = _plan(spark, "topk_values")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # selector must not global-sort
+
+
+def test_tumbling_window_single_shuffle(spark):
+    p = _plan(spark, "time_window_tumbling")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+
+
+def test_scan_reads_only_needed_columns(spark):
+    p = _plan(spark, "agg_distinct_counts")
+    assert "ReadSchema" in p
+    # lineitem has 11 columns; this query needs 3
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and len(m.group(1).split(",")) == 3
