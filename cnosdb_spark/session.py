@@ -83,9 +83,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing nanosecond timestamp
     columns (stored TIMESTAMP(NANOS), surfaced as LongType under
     nanosAsLong) back to Spark µs TimestampType. The testdata is µs-aligned
-    so the division is lossless."""
+    so the division is lossless.
+
+    Defensive: the conf is set here (runtime-settable) so this works under
+    ANY caller-provided SparkSession, not just get_spark()'s.
+    """
     from pyspark.sql import functions as F, types as T
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         f = dict(zip(df.columns, df.schema.fields))
