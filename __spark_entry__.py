@@ -1672,6 +1672,50 @@ def streaming_tumbling_agg(spark, sf_dir):
     )
 
 
+@_q(
+    "trig_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 9)            AS s,
+           round(cos(l_discount), 9)            AS c,
+           round(tan(l_discount), 9)            AS t,
+           round(asin(l_discount), 9)           AS asn,
+           round(acos(l_discount), 9)           AS acs,
+           round(atan(l_quantity), 9)           AS atn,
+           round(atan2(l_quantity, l_discount + 1), 9) AS at2,
+           round((exp(l_discount) - exp(-l_discount)) / 2, 9)  AS sh,
+           round((exp(l_discount) + exp(-l_discount)) / 2, 9)  AS ch,
+           round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 9) AS th,
+           round(cbrt(l_quantity), 9)           AS cb,
+           round(radians(l_quantity), 9)        AS rad,
+           round(degrees(l_discount), 9)        AS deg
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def trig_funcs(spark, sf_dir):
+    """Trigonometric/hyperbolic battery (SURVEY §2.8 math_function slt:
+    sin/cos/tan/asin/acos/atan/atan2/sinh/cosh/tanh/cbrt/radians)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    d, q = F.col("l_discount"), F.col("l_quantity")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(d), 9).alias("s"),
+        F.round(F.cos(d), 9).alias("c"),
+        F.round(F.tan(d), 9).alias("t"),
+        F.round(F.asin(d), 9).alias("asn"),
+        F.round(F.acos(d), 9).alias("acs"),
+        F.round(F.atan(q), 9).alias("atn"),
+        F.round(F.atan2(q, d + 1), 9).alias("at2"),
+        F.round(F.sinh(d), 9).alias("sh"),
+        F.round(F.cosh(d), 9).alias("ch"),
+        F.round(F.tanh(d), 9).alias("th"),
+        F.round(F.cbrt(q), 9).alias("cb"),
+        F.round(F.radians(q), 9).alias("rad"),
+        F.round(F.degrees(d), 9).alias("deg"),
+    )
+
+
 # =====================================================================
 # TSBS-IoT-shaped time-series queries (BASELINE.md §3.2)
 # =====================================================================

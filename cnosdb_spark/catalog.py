@@ -149,7 +149,29 @@ class Catalog:
         n = out.count()
         path = self._table_path(db, name)
         out.write.mode("append").partitionBy(_TB_COL).parquet(path)
+        if schema.tags:
+            # maintain the series index on write — the analogue of the
+            # reference's inverted tag index updated during ingest
+            # (tskv/src/index/ts_index.rs). Appends this batch's distinct
+            # tag tuples; readers dedup across appends.
+            out.select(*schema.tags).distinct().write.mode("append").parquet(
+                self._series_path(db, name)
+            )
         return n
+
+    def _series_path(self, db: str, name: str) -> str:
+        return os.path.join(self._table_path(db, name), "_series")
+
+    def series(self, db: str, name: str) -> DataFrame:
+        """Distinct series (tag tuples). Served from the write-maintained
+        series index when present — a tag-only query then never touches
+        data files (the point of RewriteTagScan, rewrite_tag_scan.rs:16-60);
+        falls back to a distinct over the raw table otherwise."""
+        schema = self.get_schema(db, name)
+        sp = self._series_path(db, name)
+        if os.path.isdir(sp):
+            return self.spark.read.parquet(sp).distinct()
+        return self.read_raw(db, name).select(*schema.tags).distinct()
 
     # ---------- reads ----------
     def read_raw(self, db: str, name: str) -> DataFrame:
@@ -221,7 +243,7 @@ class Catalog:
         ``measurement,tag=val,...`` (sql/planner.rs:1400-1406). Tag-only
         projection is DISTINCT series by definition (rewrite_tag_scan.rs)."""
         schema = self.get_schema(db, name)
-        df = self.read_raw(db, name).select(*schema.tags).distinct()
+        df = self.series(db, name)
         parts = [F.lit(name)]
         for t in sorted(schema.tags):  # lexical tag-key order in series keys
             parts.append(
@@ -236,7 +258,7 @@ class Catalog:
         bad = [k for k in keys if k not in schema.tags]
         if bad:
             raise ValueError(f"not tag columns: {bad}")
-        df = self.read_raw(db, name)
+        df = self.series(db, name)
         out = None
         for k in keys:
             part = (

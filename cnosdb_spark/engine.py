@@ -386,6 +386,14 @@ class Engine:
             if entry.startswith(_TB_COL + "="):
                 shutil.move(os.path.join(tmp, entry), os.path.join(path, entry))
         shutil.rmtree(tmp, ignore_errors=True)
+        # data changed wholesale → rebuild the series index
+        schema = self.catalog.get_schema(db, name)
+        if schema.tags:
+            sp = self.catalog._series_path(db, name)
+            shutil.rmtree(sp, ignore_errors=True)
+            self.catalog.read_raw(db, name).select(*schema.tags).distinct().write.mode(
+                "overwrite"
+            ).parquet(sp)
 
     def _copy(self, stmt: str):
         """COPY INTO <table> FROM '<url>'  |  COPY INTO '<url>' FROM (query)
