@@ -1375,6 +1375,50 @@ def ts_value_fill(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_curation",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))
+               AS n_punct
+      FROM documents),
+    filtered AS (
+      SELECT doc_id, text, nt FROM stats
+      WHERE nt > 0
+        AND length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / nt >= 3
+        AND CASE WHEN length(text) > 0 THEN n_punct * 1.0 / length(text) ELSE 0 END < 0.1),
+    winners AS (
+      SELECT min(doc_id) AS doc_id FROM filtered
+      GROUP BY md5({_NORM_SQL})),
+    kept AS (
+      SELECT f.doc_id, f.nt FROM filtered f JOIN winners w ON w.doc_id = f.doc_id)
+    SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens FROM kept
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+    """,
+)
+def pipeline_curation(spark, sf_dir):
+    """Composite training-data curation pipeline: quality filter (mean word
+    length + punctuation ratio) → exact-dedup keep-one → deterministic
+    hash-sample of 100 docs. The shape a 100 TB curation job takes: each
+    stage is a narrow projection/filter or one keyed aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    stats = text.with_text_stats(d, "text")
+    filtered = stats.filter(
+        (F.col("n_tokens") > 0)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("punct_ratio") < 0.1)
+    ).select("doc_id", "text", F.col("n_tokens").alias("nt"))
+    winners = dedup.exact_dedup(filtered, "text", "doc_id").select("doc_id")
+    kept = filtered.join(winners, "doc_id")
+    return (
+        sample_deterministic(kept.select("doc_id", "nt"), "doc_id", 100)
+        .select("doc_id", F.col("nt").cast("long").alias("n_tokens"))
+    )
+
+
 @_q("ts_timestamp_repair")
 def ts_timestamp_repair(spark, sf_dir):
     """ts_gen_func timestamp_repair (reference ts_gen_func/data_repair/

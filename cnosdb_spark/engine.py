@@ -166,7 +166,96 @@ class Engine:
 
     def _select(self, stmt: str) -> DataFrame:
         self._register_views()
+        if re.search(r"\btime_window_gapfill\s*\(", stmt, re.I):
+            return self._gapfill_select(stmt)
         return self.spark.sql(rewrite_dql(self._qualify(stmt)))
+
+    def _gapfill_select(self, stmt: str) -> DataFrame:
+        """``SELECT time_window_gapfill(t, interval 'X') AS w, g...,
+        locf(agg) AS a / interpolate(agg) AS b FROM tbl [WHERE ...]
+        GROUP BY ...`` → the DataFrame gapfill rewrite
+        (functions.timeseries.time_window_gapfill; reference
+        extension/expr/scalar_function/{gapfill,locf,interpolate}.rs —
+        the rewrite lives in CnosDB's forked DataFusion, here it's ours).
+
+        Supported shape mirrors the reference: single table, gapfill call
+        in both SELECT and GROUP BY, fills wrap aggregate expressions.
+        """
+        from .sql.rewriter import _find_call_end, _split_args
+        from .functions.timeseries import time_window_gapfill
+
+        m = re.match(
+            r"SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+(.*?)"
+            r"(?:\s+ORDER\s+BY\s+(.*?))?\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "time_window_gapfill requires SELECT ... FROM <table> "
+                "[WHERE ...] GROUP BY <gapfill>, <tags...>"
+            )
+        select_list, table, where, _group_by, order_by = m.groups()
+        df = self.spark.table(self._qualify(table))
+        if where:
+            df = df.filter(F.expr(where))
+
+        bucket_alias = "_window"
+        time_col = None
+        interval = None
+        group_cols: list[str] = []
+        aggs = []
+        fill: dict[str, str] = {}
+        out_cols: list[str] = []
+
+        for i, item in enumerate(_split_top_level(select_list, ",")):
+            item = item.strip()
+            am = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.I | re.S)
+            expr_sql, alias = (am.group(1).strip(), am.group(2)) if am else (item, None)
+            gm = re.match(r"time_window_gapfill\s*\(", expr_sql, re.I)
+            if gm:
+                end = _find_call_end(expr_sql, expr_sql.index("("))
+                args = _split_args(expr_sql[expr_sql.index("(") + 1 : end - 1])
+                if len(args) != 2:
+                    raise ValueError("time_window_gapfill expects (time, interval)")
+                time_col = args[0]
+                im = re.match(r"interval\s+'([^']+)'", args[1], re.I)
+                if not im:
+                    raise ValueError("second gapfill argument must be interval '...'")
+                interval = im.group(1)
+                bucket_alias = alias or "_window"
+                out_cols.append(bucket_alias)
+                continue
+            fm = re.match(r"(locf|interpolate)\s*\(", expr_sql, re.I)
+            if fm:
+                end = _find_call_end(expr_sql, expr_sql.index("("))
+                inner = expr_sql[expr_sql.index("(") + 1 : end - 1]
+                name = alias or f"_f{i}"
+                aggs.append(F.expr(rewrite_dql(inner)).alias(name))
+                fill[name] = fm.group(1).lower()
+                out_cols.append(name)
+                continue
+            if re.match(r"^[\w.]+$", expr_sql):  # plain group column
+                group_cols.append(expr_sql)
+                out_cols.append(alias or expr_sql)
+                if alias:
+                    df = df.withColumn(alias, F.col(expr_sql))
+                continue
+            # un-filled aggregate
+            name = alias or f"_a{i}"
+            aggs.append(F.expr(rewrite_dql(expr_sql)).alias(name))
+            out_cols.append(name)
+        if time_col is None:
+            raise ValueError("time_window_gapfill call not found in SELECT list")
+
+        out = time_window_gapfill(
+            df, time_col, interval, group_cols, aggs, fill=fill
+        ).withColumnRenamed("bucket", bucket_alias)
+        out = out.select(*out_cols)
+        if order_by:
+            order_sql = order_by.replace(f"{bucket_alias}.start", bucket_alias)
+            out = out.orderBy(*[F.expr(o.strip()) for o in _split_top_level(order_sql, ",")])
+        return out
 
     # ---------------------------------------------------------------- DDL
     def _create_database(self, stmt: str) -> None:

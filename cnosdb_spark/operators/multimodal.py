@@ -120,3 +120,88 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas).
+
+    Real decode+resample is stubbed (no PIL in this container): the stub
+    treats the payload as a raveled uint8 grid and nearest-neighbor
+    subsamples it to width*height bytes — deterministic, and the Spark-side
+    plumbing (schema, batch shape, payload-in/payload-out) is exactly what
+    a real PIL/opencv kernel would use.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    out_payloads.append(b"")
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, width * height).astype(np.int64)
+                out_payloads.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload"
+    ).mapInPandas(fn, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Video frame sampling (mapInPandas, one row in → n_frames rows out).
+
+    Stub decoder: the payload is sliced into ``n_frames`` evenly spaced
+    windows of ``frame_bytes`` (a real ffmpeg kernel would emit JPEG
+    frames); the explode-shaped output contract (media_id, frame_idx,
+    frame) is the real one.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8)
+                starts = np.linspace(0, max(len(arr) - frame_bytes, 0), n_frames).astype(
+                    np.int64
+                )
+                for i, s in enumerate(starts):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(arr[s : s + frame_bytes].tobytes())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        fn, _FRAME_SCHEMA
+    )

@@ -217,3 +217,28 @@ def test_write_lines_schemaless(eng):
         "SELECT city, humidity FROM weather WHERE city = 'rome'"
     ).collect()
     assert rows[0]["humidity"] == 40.0
+
+
+def test_gapfill_sql_locf_interpolate(eng):
+    """time_window_gapfill + locf/interpolate SQL surface
+    (cases/function/gapfill-style queries)."""
+    eng.sql("CREATE TABLE gf(f1 DOUBLE, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO gf(time, t0, f1) VALUES
+        ('2024-01-01 00:00:00', 'a', 10.0),
+        ('2024-01-01 00:00:30', 'a', 30.0),
+        ('2024-01-01 00:00:00', 'b', 100.0),
+        ('2024-01-01 00:00:20', 'b', 200.0)"""
+    )
+    rows = eng.sql(
+        """SELECT time_window_gapfill(time, interval '10 seconds') AS w, t0,
+                  locf(avg(f1)) AS locf_v, interpolate(avg(f1)) AS interp_v
+           FROM gf GROUP BY w, t0 ORDER BY t0, w"""
+    ).collect()
+    a = [(r["locf_v"], r["interp_v"]) for r in rows if r["t0"] == "a"]
+    # buckets 00, 10, 20, 30 for series a: actual at 00 and 30
+    # locf: 10, 10, 10, 30 ; interpolate: 10, 16.67, 23.33, 30
+    assert [x[0] for x in a] == [10.0, 10.0, 10.0, 30.0]
+    assert [round(x[1], 2) for x in a] == [10.0, 16.67, 23.33, 30.0]
+    b = [r["locf_v"] for r in rows if r["t0"] == "b"]
+    assert b == [100.0, 100.0, 200.0]

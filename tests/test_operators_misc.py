@@ -177,3 +177,17 @@ def test_ivf_topk_recall(spark):
     assert len(a & e) / len(e) >= 0.6
     for qid in (0, 1, 2):
         assert (qid, qid) in a
+
+
+def test_multimodal_resize_and_frames(spark):
+    from cnosdb_spark.operators.multimodal import resize_images, sample_frames
+
+    media = synthetic_media(spark, n=12)
+    small = resize_images(media, 4, 4).collect()
+    assert len(small) == 4  # 12 media, every 3rd is an image
+    assert all(len(r["payload"]) == 16 for r in small)
+    assert all((r["width"], r["height"]) == (4, 4) for r in small)
+    frames = sample_frames(media, n_frames=3, frame_bytes=8).collect()
+    vids = {r["media_id"] for r in frames}
+    assert len(frames) == 3 * len(vids) and len(vids) == 4
+    assert all(len(r["frame"]) == 8 for r in frames)
