@@ -134,12 +134,25 @@ class Catalog:
         """
         schema = self.get_schema(db, name)
         tgt = schema.to_struct_type()
-        cols = []
+        from pyspark.sql import types as T
+
+        by_lower = {c.lower(): c for c in df.columns}  # SQL identifiers are
+        cols = []  # case-insensitive (INSERT m(TIME, ...) must hit 'time')
+        src_types = {f.name: f.dataType for f in df.schema.fields}
         for f_ in tgt.fields:
-            if f_.name not in df.columns:
+            src = by_lower.get(f_.name.lower())
+            if src is None:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            elif f_.name == TIME_COL and isinstance(
+                src_types[src], (T.LongType, T.IntegerType, T.ShortType)
+            ):
+                # integer time literals are epoch NANOSECONDS (reference
+                # tskv semantics, matching the rewriter's comparison rule)
+                cols.append(
+                    F.timestamp_micros(F.expr(f"`{src}` div 1000")).alias(f_.name)
+                )
             else:
-                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                cols.append(F.col(src).cast(f_.dataType).alias(f_.name))
         seq = int(_time.time_ns())
         out = (
             df.select(*cols)
@@ -258,6 +271,8 @@ class Catalog:
         bad = [k for k in keys if k not in schema.tags]
         if bad:
             raise ValueError(f"not tag columns: {bad}")
+        if not keys:  # e.g. WITH KEY NOT IN (<all tags>) → empty result
+            return self.spark.createDataFrame([], "key string, value string")
         df = self.series(db, name)
         out = None
         for k in keys:

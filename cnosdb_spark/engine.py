@@ -58,6 +58,7 @@ class Engine:
 
     # ------------------------------------------------------------- dispatch
     def sql(self, text: str) -> DataFrame | None:
+        text = _strip_line_comments(text)
         stmts = [s.strip() for s in _split_statements(text) if s.strip()]
         if len(stmts) != 1:
             # parity: dispatcher/manager.rs:131-137 (exactly one statement)
@@ -279,14 +280,17 @@ class Engine:
 
     def _create_table(self, stmt: str) -> None:
         m = re.match(
-            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*;?\s*$",
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse CREATE TABLE: {stmt!r}")
-        db, name = self._split_table_name(m.group(1))
-        body = m.group(2)
+        if_not_exists = bool(m.group(1))
+        db, name = self._split_table_name(m.group(2))
+        if if_not_exists and name in self.catalog.list_tables(db):
+            return
+        body = m.group(3)
         tags: list[str] = []
         fields: dict[str, str] = {}
         tm = re.search(r"TAGS\s*\(([^)]*)\)", body, re.I)
@@ -302,8 +306,11 @@ class Engine:
                 raise ValueError(f"cannot parse column definition {coldef!r}")
             cname = cm.group(1).strip('"')
             ctype = cm.group(2).strip().lower()
-            if cname == TIME_COL:
+            if cname.lower() == TIME_COL:
                 continue  # implicit in tskv tables
+            if ctype.startswith("geometry"):
+                fields[cname] = "geometry"  # WKT string + subtype metadata
+                continue
             if ctype not in _TYPE_MAP:
                 raise ValueError(f"unsupported field type {ctype!r} for {cname!r}")
             fields[cname] = _TYPE_MAP[ctype]
@@ -376,6 +383,19 @@ class Engine:
 
     def _alter(self, stmt: str) -> None:
         m = re.match(
+            r"ALTER\s+DATABASE\s+(\w+)\s+SET\s+TTL\s+'([^']+)'\s*;?\s*$", stmt, re.I
+        )
+        if m:
+            db, ttl = m.groups()
+            opts = self.catalog.database_options(db)
+            opts["ttl"] = _normalize_ttl(ttl)
+            os.makedirs(self.catalog._db_path(db), exist_ok=True)
+            import json as _json
+
+            with open(os.path.join(self.catalog._db_path(db), "_db.json"), "w") as f:
+                _json.dump(opts, f)
+            return None
+        m = re.match(
             r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(?:FIELD|COLUMN)\s+(\w+)(?:\s+(\w+(?:\s+\w+)?))?\s*;?\s*$",
             stmt,
             re.I,
@@ -391,8 +411,9 @@ class Engine:
 
     # ---------------------------------------------------------------- DML
     def _insert(self, stmt: str):
+        # reference dialect allows INSERT without INTO (parser.rs)
         m = re.match(
-            r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s+.*)\s*;?\s*$",
+            r"INSERT\s+(?:INTO\s+)?([\w.]+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s+.*)\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
@@ -535,13 +556,16 @@ class Engine:
             return self.spark.createDataFrame([(t,) for t in names], ["table_name"])
         m = re.fullmatch(
             r"SHOW\s+SERIES\s+(?:ON\s+(\w+)\s+)?FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?"
-            r"(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?",
+            r"(?:\s+ORDER\s+BY\s+([\w\s,]+?))?(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?",
             s,
             re.I | re.S,
         )
         if m:
-            db, tbl, where, limit, offset = m.groups()
-            db = db or self.database
+            db, tbl, where, order, limit, offset = m.groups()
+            on_db = db or self.database
+            db, tbl = (
+                self._split_table_name(tbl) if "." in tbl else (on_db, tbl)
+            )
             if where:
                 schema = self.catalog.get_schema(db, tbl)
                 keys = (
@@ -560,6 +584,7 @@ class Engine:
                 out = keys.select(F.concat(*parts).alias("key")).orderBy("key")
             else:
                 out = self.catalog.show_series(db, tbl)
+            out = _apply_show_order(out, order, valid=("key",))
             if offset:
                 out = out.offset(int(offset))
             if limit:
@@ -567,16 +592,48 @@ class Engine:
             return out
         m = re.fullmatch(
             r"SHOW\s+TAG\s+VALUES\s+(?:ON\s+(\w+)\s+)?FROM\s+([\w.]+)\s+WITH\s+KEY\s*"
-            r"(?:=\s*\"?(\w+)\"?|IN\s*\(([^)]*)\))",
+            r"(?:(=|!=)\s*\"?(\w+)\"?|(NOT\s+)?IN\s*\(([^)]*)\))"
+            r"(?:\s+WHERE\s+(.*?))?"
+            r"(?:\s+ORDER\s+BY\s+([\w\s,]+?))?(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?",
             s,
-            re.I,
+            re.I | re.S,
         )
         if m:
-            db, tbl, single, many = m.groups()
-            keys = [single] if single else [
-                k.strip().strip('"') for k in many.split(",") if k.strip()
-            ]
-            return self.catalog.show_tag_values(db or self.database, tbl, keys)
+            db, tbl, eq_op, single, not_kw, many, where, order, limit, offset = m.groups()
+            db = db or self.database
+            schema = self.catalog.get_schema(db, tbl)
+            if single is not None:
+                listed = [single]
+                negate = eq_op == "!="
+            else:
+                listed = [k.strip().strip('"') for k in many.split(",") if k.strip()]
+                negate = bool(not_kw)
+            keys = (
+                [t for t in schema.tags if t not in listed] if negate else listed
+            )
+            if where:
+                base = self.catalog.read(db, tbl).filter(F.expr(where))
+                parts = []
+                for k in keys:
+                    if k not in schema.tags:
+                        raise ValueError(f"not tag columns: [{k!r}]")
+                    parts.append(
+                        base.select(F.lit(k).alias("key"), F.col(k).alias("value"))
+                        .filter(F.col("value").isNotNull())
+                        .distinct()
+                    )
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionAll(p)
+                out = out.distinct().orderBy("key", "value")
+            else:
+                out = self.catalog.show_tag_values(db, tbl, keys)
+            out = _apply_show_order(out, order, valid=("key", "value"))
+            if offset:
+                out = out.offset(int(offset))
+            if limit:
+                out = out.limit(int(limit))
+            return out
         raise ValueError(f"unsupported SHOW statement: {stmt[:80]!r}")
 
     # ------------------------------------------------------------ ingest
@@ -629,6 +686,27 @@ class Engine:
         return parts[-2], parts[-1]  # tenant.db.table → (db, table)
 
 
+def _apply_show_order(df: DataFrame, order: str | None, valid: tuple[str, ...]) -> DataFrame:
+    """ORDER BY on SHOW SERIES/TAG VALUES output: only the output columns
+    are addressable (reference errors 'No field named f0. Valid fields are
+    key, value.')."""
+    if not order:
+        return df
+    exprs = []
+    for item in order.split(","):
+        parts = item.split()
+        if not parts:
+            continue
+        col = parts[0].strip('"').lower()
+        if col not in valid:
+            raise ValueError(
+                f"No field named {col}. Valid fields are {', '.join(valid)}."
+            )
+        desc = len(parts) > 1 and parts[1].upper() == "DESC"
+        exprs.append(F.col(col).desc() if desc else F.col(col).asc())
+    return df.orderBy(*exprs) if exprs else df
+
+
 def _normalize_ttl(ttl: str) -> str:
     """'7d'/'100000d'/'1h' → Spark interval string."""
     m = re.fullmatch(r"(\d+)\s*([a-z]+)", ttl.strip(), re.I)
@@ -642,6 +720,24 @@ def _normalize_ttl(ttl: str) -> str:
         "s": "SECOND", "sec": "SECOND",
     }
     return f"{n} {unit_map.get(unit.lower(), unit.upper())}"
+
+
+def _strip_line_comments(text: str) -> str:
+    """Remove ``-- ...`` line comments outside single-quoted strings."""
+    out_lines = []
+    for line in text.splitlines():
+        in_q = False
+        i = 0
+        while i < len(line):
+            ch = line[i]
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q and ch == "-" and i + 1 < len(line) and line[i + 1] == "-":
+                line = line[:i]
+                break
+            i += 1
+        out_lines.append(line)
+    return "\n".join(out_lines)
 
 
 def _split_statements(text: str) -> list[str]:

@@ -165,9 +165,25 @@ def rewrite_selector(sql: str) -> str:
     return f"{body.rstrip().rstrip(';')} ORDER BY {col} {direction} NULLS LAST LIMIT {k}"
 
 
+_TIME_INT_CMP = re.compile(
+    r"\b(time)\s*(<=|>=|<|>|=|!=)\s*(-?\d+)(?![\d.\w])", re.I
+)
+
+
+def rewrite_time_int_comparison(sql: str) -> str:
+    """``time <op> <integer>`` → epoch-nanosecond comparison. The reference
+    coerces integer literals against the time column as nanoseconds
+    (tskv time semantics); Spark rejects timestamp<->int comparison."""
+    return _TIME_INT_CMP.sub(
+        lambda m: f"{m.group(1)} {m.group(2)} timestamp_micros(({m.group(3)}) div 1000)",
+        sql,
+    )
+
+
 def rewrite_dql(sql: str) -> str:
     sql = rewrite_time_window(sql)
     sql = rewrite_first_last(sql)
     sql = rewrite_exact_count(sql)
+    sql = rewrite_time_int_comparison(sql)
     sql = rewrite_selector(sql)
     return sql

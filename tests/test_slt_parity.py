@@ -1,0 +1,72 @@
+"""Replay a curated subset of the reference's sqllogictest corpus through
+Engine.sql (classification + row-count level — see cnosdb_spark/sql/slt.py
+for why exact value text isn't compared). Skipped when the reference repo
+isn't present.
+
+Floors are observed regression baselines, not 100%: the residual gap is
+dominated by places where Spark is deliberately MORE permissive than
+DataFusion — e.g. ``upper(timestamp)`` coerces instead of erroring,
+huge-string REPEAT succeeds instead of hitting a memory guard — recorded
+as "expected error, got ok". Those are documented divergences, not bugs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cnosdb_spark.engine import Engine
+from cnosdb_spark.sql.slt import run_slt
+
+CASES = "/root/reference/query_server/sqllogicaltests/cases"
+
+# files whose statements stay within the engine's supported surface;
+# rate floors are per-file observed baselines (regression guards)
+CURATED = [
+    ("dql/limit.slt", 1.0),
+    ("dql/order_by.slt", 1.0),
+    ("dql/only_tag_col.slt", 0.50),
+    ("dql/empty_table.slt", 0.80),
+    ("dql/show_series.slt", 0.90),
+    ("dql/show_tag_values.slt", 0.90),
+    ("function/common/math_function/abs.slt", 0.70),
+    ("function/common/math_function/floor.slt", 0.70),
+    ("function/common/math_function/round.slt", 0.70),
+    ("function/common/math_function/ceil.slt", 1.0),
+    ("function/common/math_function/sqrt.slt", 1.0),
+    ("function/common/math_function/sin.slt", 1.0),
+    ("function/common/math_function/cos.slt", 1.0),
+    ("function/common/math_function/ln.slt", 0.90),
+    ("function/string_func/ascii.slt", 0.60),
+    ("function/string_func/lower.slt", 0.60),
+    ("function/string_func/upper.slt", 0.75),
+    ("function/string_func/ltrim.slt", 0.72),
+    ("function/string_func/reverse.slt", 0.80),
+    ("function/string_func/replace.slt", 0.85),
+    ("function/string_func/concat.slt", 0.80),
+    ("function/common/conditional_function/coalesce.slt", 1.0),
+    ("function/common/count.slt", 0.95),
+    ("function/common/sum.slt", 0.85),
+    ("function/common/min.slt", 0.85),
+    ("function/common/max.slt", 0.85),
+    ("function/common/avg.slt", 0.80),
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CASES), reason="reference slt corpus not available"
+)
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    return Engine(spark, str(tmp_path_factory.mktemp("slt_wh")))
+
+
+@pytest.mark.parametrize("rel,floor", CURATED)
+def test_slt_file(eng, rel, floor):
+    res = run_slt(eng, os.path.join(CASES, rel))
+    assert res.total > 0
+    assert res.rate >= floor, (
+        f"{rel}: {res.passed}/{res.total} (floor {floor})\n"
+        + "\n".join(res.failures[:10])
+    )
