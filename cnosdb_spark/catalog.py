@@ -146,11 +146,12 @@ class Catalog:
             elif f_.name == TIME_COL and isinstance(
                 src_types[src], (T.LongType, T.IntegerType, T.ShortType)
             ):
-                # integer time literals are epoch NANOSECONDS (reference
-                # tskv semantics, matching the rewriter's comparison rule)
-                cols.append(
-                    F.timestamp_micros(F.expr(f"`{src}` div 1000")).alias(f_.name)
-                )
+                # integer time literals are epoch MICROSECONDS — Spark's
+                # native timestamp precision. (The reference default is ns;
+                # µs keeps tiny integer timestamps distinct under the LWW
+                # merge, which ns-div-1000 would collapse. Documented
+                # divergence, consistent with the comparison rewrite.)
+                cols.append(F.timestamp_micros(F.col(src)).alias(f_.name))
             else:
                 cols.append(F.col(src).cast(f_.dataType).alias(f_.name))
         seq = int(_time.time_ns())

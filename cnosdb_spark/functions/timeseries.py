@@ -15,7 +15,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _DUR_RE = re.compile(
     r"(?:(\d+)\s*d(?:ays?)?)?\s*(?:(\d+)\s*h(?:ours?)?)?\s*(?:(\d+)\s*m(?:in(?:utes?)?)?)?"
-    r"\s*(?:(\d+)\s*s(?:ec(?:onds?)?)?)?\s*(?:(\d+)\s*(?:ms|milliseconds?))?",
+    r"\s*(?:(\d+)\s*s(?:ec(?:onds?)?)?)?\s*(?:(\d+)\s*(?:ms|milliseconds?))?"
+    r"\s*(?:(\d+)\s*(?:us|microseconds?))?",
     re.I,
 )
 
@@ -24,8 +25,10 @@ def _parse_duration(s: str) -> timedelta:
     m = _DUR_RE.fullmatch(s.strip())
     if not m or not any(m.groups()):
         raise ValueError(f"cannot parse duration {s!r}")
-    d, h, mi, sec, ms = (int(g) if g else 0 for g in m.groups())
-    return timedelta(days=d, hours=h, minutes=mi, seconds=sec, milliseconds=ms)
+    d, h, mi, sec, ms, us = (int(g) if g else 0 for g in m.groups())
+    return timedelta(
+        days=d, hours=h, minutes=mi, seconds=sec, milliseconds=ms, microseconds=us
+    )
 
 
 MAX_WINDOW = timedelta(days=365)

@@ -103,9 +103,42 @@ def rewrite_time_window(sql: str) -> str:
             im = _INTERVAL_RE.match(a)
             out.append(f"'{im.group(1)}'" if im else a)
         if len(args) == 4:
-            tm = _TS_RE.match(args[3])
-            out.append(tm.group(1) if tm else args[3])
+            out.append(_start_to_offset(args[3], out[2] if len(out) > 2 else out[1]))
         sql = sql[: m.start()] + f"window({', '.join(out)})" + sql[end:]
+
+
+def _start_to_offset(start_arg: str, slide_quoted: str) -> str:
+    """The reference's 4th time_window argument is an ABSOLUTE start
+    timestamp (transform_time_window.rs); Spark's ``window`` takes a
+    startTime OFFSET past epoch-aligned boundaries. Convert:
+    offset = start_ts mod slide (µs)."""
+    from datetime import datetime, timezone
+
+    from ..functions.timeseries import _parse_duration
+
+    s = start_arg.strip()
+    tm = _TS_RE.match(s)
+    if tm:
+        s = tm.group(1)
+    s = s.strip("'\"")
+    try:
+        ts = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return start_arg  # already an offset duration string
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    epoch_us = int((ts - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    slide_us = int(_parse_duration(slide_quoted.strip("'\"")).total_seconds() * 1_000_000)
+    return f"'{epoch_us % slide_us} microseconds'"
+
+
+_APPROX_DISTINCT_RE = re.compile(r"\bapprox_distinct\s*\(", re.I)
+
+
+def rewrite_approx_distinct(sql: str) -> str:
+    """approx_distinct(x) → approx_count_distinct(x) (DataFusion name →
+    Spark name; both HLL-based)."""
+    return _APPROX_DISTINCT_RE.sub("approx_count_distinct(", sql)
 
 
 def rewrite_first_last(sql: str) -> str:
@@ -171,11 +204,11 @@ _TIME_INT_CMP = re.compile(
 
 
 def rewrite_time_int_comparison(sql: str) -> str:
-    """``time <op> <integer>`` → epoch-nanosecond comparison. The reference
-    coerces integer literals against the time column as nanoseconds
-    (tskv time semantics); Spark rejects timestamp<->int comparison."""
+    """``time <op> <integer>`` → epoch-microsecond comparison (Spark's
+    native precision; the reference coerces as ns — µs keeps insert and
+    comparison consistent at Spark precision, see catalog.insert)."""
     return _TIME_INT_CMP.sub(
-        lambda m: f"{m.group(1)} {m.group(2)} timestamp_micros(({m.group(3)}) div 1000)",
+        lambda m: f"{m.group(1)} {m.group(2)} timestamp_micros({m.group(3)})",
         sql,
     )
 
@@ -184,6 +217,7 @@ def rewrite_dql(sql: str) -> str:
     sql = rewrite_time_window(sql)
     sql = rewrite_first_last(sql)
     sql = rewrite_exact_count(sql)
+    sql = rewrite_approx_distinct(sql)
     sql = rewrite_time_int_comparison(sql)
     sql = rewrite_selector(sql)
     return sql

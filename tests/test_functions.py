@@ -29,7 +29,7 @@ def _ts(*seconds):
 # ---- validation parity (reference transform_time_window.rs:143-151, 346;
 # ---- topk k ∈ [1,255] transform_topk_func_to_topk_node.rs) ----
 
-def test_time_window_duration_bounds():
+def test_time_window_duration_bounds(spark):
     with pytest.raises(ValueError):
         time_window("ts", "0 s")
     with pytest.raises(ValueError):
@@ -37,7 +37,7 @@ def test_time_window_duration_bounds():
     time_window("ts", "365 d")  # ok
 
 
-def test_time_window_overlap_limit():
+def test_time_window_overlap_limit(spark):
     with pytest.raises(ValueError):
         time_window("ts", "101 s", "1 s")
     time_window("ts", "100 s", "1 s")  # ok

@@ -50,6 +50,22 @@ CURATED = [
     ("function/common/min.slt", 0.85),
     ("function/common/max.slt", 0.85),
     ("function/common/avg.slt", 0.80),
+    ("dql/int_float_compare.slt", 1.0),
+    ("function/common/time_functions/date_trunc.slt", 0.95),
+    ("function/common/time_functions/date_part.slt", 0.80),
+    ("function/common/statistical_agg/corr.slt", 1.0),
+    ("function/common/statistical_agg/stddev.slt", 1.0),
+    ("function/common/conditional_function/nullif.slt", 1.0),
+    ("function/common/approx_agg/approx_distinct.slt", 0.80),
+    ("function/common/first.slt", 0.85),
+    ("function/common/last.slt", 0.85),
+    ("function/common/mode.slt", 1.0),
+    ("function/common/increase.slt", 0.85),
+    ("function/topk.slt", 1.0),
+    ("function/bottom.slt", 1.0),
+    # time_window.slt: sliding-window boundary inclusivity diverges
+    # (CnosDB right-closed vs Spark right-open) — tracked, rate ~0.6
+    ("function/time_window.slt", 0.55),
 ]
 
 pytestmark = pytest.mark.skipif(
