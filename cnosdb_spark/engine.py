@@ -53,6 +53,10 @@ class Engine:
         self.database = database
         self.external: dict[str, tuple[str, str, dict]] = {}  # name -> (fmt, path, opts)
         self.streams: dict[str, StreamTable] = {}
+        # view-registration cache: (db, table) -> registered view name.
+        # DDL/DML mark entries dirty; _register_views only re-reads those.
+        self._registered: dict[tuple[str, str], str] = {}
+        self._dirty: set[tuple[str, str]] = set()
         if database not in self.catalog.list_databases():
             self.catalog.create_database(database)
 
@@ -116,16 +120,30 @@ class Engine:
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
 
     # ---------------------------------------------------------------- DQL
+    def _mark_dirty(self, db: str, name: str) -> None:
+        self._dirty.add((db, name))
+
     def _register_views(self) -> str | None:
-        """Register every catalog table as a temp view. Tables in the
-        current database get their bare name; qualified ``db.table``
-        references are rewritten to mangled view names by ``_qualify``."""
+        """Register catalog tables as temp views — incrementally: only
+        unregistered or dirty (written-since-last-registration) tables are
+        re-read. Tables in the current database get their bare name;
+        qualified ``db.table`` references are rewritten by ``_qualify``."""
         for db in self.catalog.list_databases():
             for name in self.catalog.list_tables(db):
+                key = (db, name)
                 view = name if db == self.database else f"__{db}__{name}"
+                if self._registered.get(key) == view and key not in self._dirty:
+                    continue
                 self.catalog.read(db, name).createOrReplaceTempView(view)
+                self._registered[key] = view
+                self._dirty.discard(key)
         for name, (fmt, path, opts) in self.external.items():
+            key = ("", name)
+            if self._registered.get(key) == name and key not in self._dirty:
+                continue
             self._read_external(fmt, path, opts).createOrReplaceTempView(name)
+            self._registered[key] = name
+            self._dirty.discard(key)
         from . import sys_schema
 
         sys_schema.databases_df(self.spark, self.catalog).createOrReplaceTempView(
@@ -375,8 +393,10 @@ class Engine:
             db, tbl = self._split_table_name(name)
             if tbl in self.external:
                 del self.external[tbl]
+                self._registered.pop(("", tbl), None)
             else:
                 self.catalog.drop_table(db, tbl)
+                self._registered.pop((db, tbl), None)
             self.spark.catalog.dropTempView(tbl)
         else:
             self.streams.pop(name, None)
@@ -408,6 +428,7 @@ class Engine:
             self.catalog.alter_table_add_field(db, name, col, _TYPE_MAP[ctype.lower()])
         else:
             self.catalog.alter_table_drop_field(db, name, col)
+        self._mark_dirty(db, name)
 
     # ---------------------------------------------------------------- DML
     def _insert(self, stmt: str):
@@ -435,6 +456,7 @@ class Engine:
                 cols = [c.strip().strip('"') for c in cols_str.split(",")]
                 src_df = src_df.toDF(*cols)
         n = self.catalog.insert(db, name, src_df)
+        self._mark_dirty(db, name)
         return self.spark.createDataFrame([(n,)], ["rows"])
 
     def _update(self, stmt: str):
@@ -459,6 +481,7 @@ class Engine:
             )
         n = df.filter(cond).count()
         self._overwrite(db, name, df)
+        self._mark_dirty(db, name)
         return self.spark.createDataFrame([(n,)], ["rows"])
 
     def _delete(self, stmt: str):
@@ -477,6 +500,7 @@ class Engine:
             keep = df.limit(0)
             n = df.count()
         self._overwrite(db, name, keep)
+        self._mark_dirty(db, name)
         return self.spark.createDataFrame([(n,)], ["rows"])
 
     def _overwrite(self, db: str, name: str, df: DataFrame) -> None:
@@ -539,6 +563,7 @@ class Engine:
                 opts["header"] = True
             src = self._read_external(fmt, url, opts)
             n = self.catalog.insert(db, name, src)
+            self._mark_dirty(db, name)
             return self.spark.createDataFrame([(n,)], ["rows"])
         raise ValueError(f"cannot parse COPY: {stmt[:80]!r}")
 
@@ -674,6 +699,7 @@ class Engine:
                 )
                 self.catalog.create_table(db, schema)
             out[name] = self.catalog.insert(db, name, df)
+            self._mark_dirty(db, name)
         return out
 
     # ------------------------------------------------------------- helpers
