@@ -32,7 +32,7 @@ import time as _time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .schema import INGEST_SEQ_COL, TIME_COL, TskvTableSchema
+from .schema import INGEST_ROW_COL, INGEST_SEQ_COL, TIME_COL, TskvTableSchema
 
 _CATALOG_FILE = "_tskv_table.json"
 _TB_COL = "_tb"
@@ -158,6 +158,7 @@ class Catalog:
         out = (
             df.select(*cols)
             .withColumn(INGEST_SEQ_COL, F.lit(seq))
+            .withColumn(INGEST_ROW_COL, F.monotonically_increasing_id())
             .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
         )
         n = out.count()
@@ -217,13 +218,16 @@ class Catalog:
             )
 
         if not dedup:
-            return df.drop(INGEST_SEQ_COL)
+            return df.drop(INGEST_SEQ_COL, INGEST_ROW_COL)
 
         keys = [TIME_COL, *schema.tags]
         aggs = [
             F.max_by(
                 F.col(f_),
-                F.when(F.col(f_).isNotNull(), F.col(INGEST_SEQ_COL)),
+                F.when(
+                    F.col(f_).isNotNull(),
+                    F.struct(F.col(INGEST_SEQ_COL), F.col(INGEST_ROW_COL)),
+                ),
             ).alias(f_)
             for f_ in schema.field_names
         ]
@@ -238,6 +242,7 @@ class Catalog:
         merged = (
             self.read(db, name, dedup=True)
             .withColumn(INGEST_SEQ_COL, F.lit(0))
+            .withColumn(INGEST_ROW_COL, F.lit(0))
             .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
         )
         path = self._table_path(db, name)

@@ -24,7 +24,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import Catalog, _TB_COL
-from .schema import INGEST_SEQ_COL, TIME_COL, TskvTableSchema
+from .schema import INGEST_ROW_COL, INGEST_SEQ_COL, TIME_COL, TskvTableSchema
 from .sql.rewriter import rewrite_dql
 from .streaming.stream_table import StreamTable
 
@@ -509,6 +509,7 @@ class Engine:
         path = self.catalog._table_path(db, name)
         staged = (
             df.withColumn(INGEST_SEQ_COL, F.lit(0))
+            .withColumn(INGEST_ROW_COL, F.lit(0))
             .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
         )
         tmp = path + ".rewrite"

@@ -28,6 +28,10 @@ from pyspark.sql import types as T
 TIME_COL = "time"
 # Internal column recording write order for last-write-wins merge-on-read.
 INGEST_SEQ_COL = "_ingest_seq"
+# Within-batch row ordinal: the reference's LWW keeps the LAST duplicate
+# row inside one write batch (cases/function/common/count.slt air fixture);
+# (_ingest_seq, _ingest_row) is the total write order.
+INGEST_ROW_COL = "_ingest_row"
 
 FIELD_TYPES: dict[str, T.DataType] = {
     "float": T.DoubleType(),
@@ -76,6 +80,7 @@ class TskvTableSchema:
         ]
         if with_ingest_seq:
             cols.append(T.StructField(INGEST_SEQ_COL, T.LongType(), nullable=False))
+            cols.append(T.StructField(INGEST_ROW_COL, T.LongType(), nullable=False))
         return T.StructType(cols)
 
     def to_json(self) -> dict:

@@ -26,12 +26,14 @@ class SltRecord:
     expected_rows: int | None = None
     file: str = ""
     line: int = 0
+    expected_lines: list[str] = field(default_factory=list)
 
 
 @dataclass
 class SltResult:
     total: int = 0
     passed: int = 0
+    values_checked: int = 0  # query records that passed VALUE comparison
     failures: list[str] = field(default_factory=list)
 
     @property
@@ -82,14 +84,18 @@ def parse_slt(path: str) -> list[SltRecord]:
                 sql_lines.append(lines[i])
                 i += 1
             n_expected: int | None = None
+            expected_lines: list[str] = []
             if i < len(lines) and lines[i].strip() == "----":
                 i += 1
                 n_expected = 0
                 while i < len(lines) and lines[i].strip() != "":
+                    expected_lines.append(lines[i])
                     n_expected += 1
                     i += 1
             records.append(
-                SltRecord("query", "\n".join(sql_lines), n_expected, path, i)
+                SltRecord(
+                    "query", "\n".join(sql_lines), n_expected, path, i, expected_lines
+                )
             )
             continue
         i += 1  # unknown directive (halt, mode, ...) — skip
@@ -122,7 +128,9 @@ def _handle_pragma(engine, sql: str) -> bool:
     return False
 
 
-def run_slt(engine, path: str, check_row_counts: bool = True) -> SltResult:
+def run_slt(
+    engine, path: str, check_row_counts: bool = True, check_values: bool = False
+) -> SltResult:
     res = SltResult()
     for rec in parse_slt(path):
         res.total += 1
@@ -137,13 +145,28 @@ def run_slt(engine, path: str, check_row_counts: bool = True) -> SltResult:
                     df.collect()  # force execution: runtime (ANSI) errors
                 res.failures.append(f"{rec.file}:{rec.line}: expected error, got ok: {short}")
                 continue
-            if rec.kind == "query" and check_row_counts and rec.expected_rows is not None:
-                n = df.count() if df is not None else 0
-                if n != rec.expected_rows:
-                    res.failures.append(
-                        f"{rec.file}:{rec.line}: rows {n} != expected {rec.expected_rows}: {short}"
-                    )
-                    continue
+            if rec.kind == "query" and rec.expected_rows is not None:
+                if check_values:
+                    rows = df.collect() if df is not None else []
+                    comparable, err = compare_values(rec, rows)
+                    if comparable and err:
+                        res.failures.append(f"{rec.file}:{rec.line}: {err}: {short}")
+                        continue
+                    if comparable:
+                        res.values_checked += 1
+                    elif len(rows) != rec.expected_rows:
+                        res.failures.append(
+                            f"{rec.file}:{rec.line}: rows {len(rows)} != expected "
+                            f"{rec.expected_rows}: {short}"
+                        )
+                        continue
+                elif check_row_counts:
+                    n = df.count() if df is not None else 0
+                    if n != rec.expected_rows:
+                        res.failures.append(
+                            f"{rec.file}:{rec.line}: rows {n} != expected {rec.expected_rows}: {short}"
+                        )
+                        continue
             res.passed += 1
         except Exception as exc:  # noqa: BLE001 - classification is the check
             if rec.kind == "error":
@@ -152,3 +175,99 @@ def run_slt(engine, path: str, check_row_counts: bool = True) -> SltResult:
                 msg = str(exc).split("\n")[0][:120]
                 res.failures.append(f"{rec.file}:{rec.line}: {short} -> {msg}")
     return res
+
+
+# ---------------------------------------------------------------- values
+_TOKEN_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\{[^}]*\}|\S+')
+_NUM_RE = re.compile(r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?")
+_TS_TOKEN_RE = re.compile(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?")
+
+
+def _canon_expected_token(tok: str):
+    """Canonicalize one DataFusion-rendered value token."""
+    if tok.startswith('"') and tok.endswith('"'):
+        return tok[1:-1]
+    if tok == "NULL":
+        return None
+    if tok in ("true", "false"):
+        return tok
+    if _TS_TOKEN_RE.fullmatch(tok):
+        from datetime import datetime
+
+        return datetime.fromisoformat(tok)
+    if _NUM_RE.fullmatch(tok):
+        return _canon_num(float(tok))
+    if tok.startswith("{"):
+        raise _Unparseable(tok)
+    return tok
+
+
+class _Unparseable(Exception):
+    pass
+
+
+def _canon_num(x: float):
+    """Round to 9 significant digits so engine float formatting/summation
+    differences don't register as value mismatches."""
+    if x == 0:
+        return 0.0
+    from math import floor, log10
+
+    digits = 9 - 1 - floor(log10(abs(x)))
+    return round(x, int(digits))
+
+
+def _canon_spark_value(v):
+    from datetime import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return _canon_num(float(v))
+    if isinstance(v, datetime):
+        return v
+    if isinstance(v, str):
+        return v
+    raise _Unparseable(repr(v))
+
+
+def _cells_equal(a, b) -> bool:
+    # CnosDB renders null tags as the string "NULL" — accept either side
+    if (a is None and b == "NULL") or (b is None and a == "NULL"):
+        return True
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b))
+    # numeric strings vs numbers (DataFusion casts render differently)
+    if isinstance(a, float) and isinstance(b, str) and _NUM_RE.fullmatch(b):
+        return _cells_equal(a, _canon_num(float(b)))
+    if isinstance(b, float) and isinstance(a, str) and _NUM_RE.fullmatch(a):
+        return _cells_equal(_canon_num(float(a)), b)
+    return a == b
+
+
+def compare_values(rec: SltRecord, rows) -> tuple[bool, str | None]:
+    """Multiset value comparison of Spark result rows against the slt
+    expected block. Returns (comparable, error) — comparable=False when the
+    block contains constructs outside the canonicalizer (structs etc.),
+    in which case the caller falls back to row-count checking."""
+    try:
+        expected = [
+            tuple(_canon_expected_token(t) for t in _TOKEN_RE.findall(line))
+            for line in rec.expected_lines
+        ]
+        got = [tuple(_canon_spark_value(v) for v in row) for row in rows]
+    except _Unparseable:
+        return False, None
+    if len(expected) != len(got):
+        return True, f"rows {len(got)} != expected {len(expected)}"
+    key = lambda r: tuple(str(c) for c in r)  # noqa: E731
+    expected.sort(key=key)
+    got.sort(key=key)
+    for e, g in zip(expected, got):
+        if len(e) != len(g) or not all(_cells_equal(a, b) for a, b in zip(e, g)):
+            return True, f"row mismatch: got {g!r} expected {e!r}"
+    return True, None

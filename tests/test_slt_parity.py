@@ -106,3 +106,41 @@ def test_slt_file(eng, rel, floor):
         f"{rel}: {res.passed}/{res.total} (floor {floor})\n"
         + "\n".join(res.failures[:10])
     )
+
+
+# Value-level tier: files whose expected outputs the canonicalizer can
+# fully parse (no ns-precision or struct outputs) are compared VALUE by
+# VALUE (multiset of typed rows) — see cnosdb_spark/sql/slt.py
+# compare_values. Known residual gaps: the reference's count(*) counts
+# pre-merge physical rows (its exact_count quirk — ours is exact
+# post-merge), and permissive type coercion on error records.
+VALUE_CHECKED = [
+    ("function/common/mode.slt", 1.0),
+    ("function/common/math_function/abs.slt", 1.0),
+    ("dql/limit.slt", 1.0),
+    ("dql/order_by.slt", 1.0),
+    ("function/common/min.slt", 0.90),
+    ("function/common/max.slt", 0.90),
+    ("function/common/sum.slt", 0.85),
+    ("function/common/count.slt", 0.85),
+    ("function/string_func/concat.slt", 0.70),
+    # coalesce over mixed double/string columns: DataFusion coerces to
+    # string, Spark ANSI casts string->double and errors — stays in the
+    # classification tier only
+]
+
+
+@pytest.fixture(scope="module")
+def veng(spark, tmp_path_factory):
+    return Engine(spark, str(tmp_path_factory.mktemp("slt_values_wh")))
+
+
+@pytest.mark.parametrize("rel,floor", VALUE_CHECKED)
+def test_slt_values(veng, rel, floor):
+    res = run_slt(veng, os.path.join(CASES, rel), check_values=True)
+    assert res.total > 0
+    assert res.values_checked > 0, f"{rel}: no query was value-comparable"
+    assert res.rate >= floor, (
+        f"{rel}: {res.passed}/{res.total} values_checked={res.values_checked} "
+        f"(floor {floor})\n" + "\n".join(res.failures[:8])
+    )
