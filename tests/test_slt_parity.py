@@ -124,9 +124,17 @@ VALUE_CHECKED = [
     ("function/common/sum.slt", 0.85),
     ("function/common/count.slt", 0.85),
     ("function/string_func/concat.slt", 0.70),
-    # coalesce over mixed double/string columns: DataFusion coerces to
-    # string, Spark ANSI casts string->double and errors — stays in the
-    # classification tier only
+    ("function/common/avg.slt", 0.85),
+    ("function/common/math_function/floor.slt", 1.0),
+    ("function/common/math_function/ceil.slt", 1.0),
+    ("function/common/conditional_function/nullif.slt", 1.0),
+    ("function/string_func/ascii.slt", 0.90),
+    ("function/common/statistical_agg/corr.slt", 0.85),
+    ("dql/int_float_compare.slt", 1.0),
+    ("dql/empty_table.slt", 1.0),
+    # excluded from the value tier (classification tier still covers them):
+    # coalesce (DataFusion string-coercion vs Spark ANSI cast), sqrt
+    # (NaN rendering for negative inputs), lower (unicode case-fold edge)
 ]
 
 
