@@ -86,6 +86,48 @@ CURATED = [
     ("sqlancer/select.slt", 0.70),
     ("sqlancer/repeat_write.slt", 0.80),
     ("sqlancer/function.slt", 0.48),
+    ("function/common/math_function/acos.slt", 0.95),
+    ("function/common/math_function/acosh.slt", 0.95),
+    ("function/common/math_function/asin.slt", 0.95),
+    ("function/common/math_function/asinh.slt", 0.95),
+    ("function/common/math_function/atan.slt", 0.95),
+    ("function/common/math_function/atan2.slt", 0.95),
+    ("function/common/math_function/atanh.slt", 0.95),
+    ("function/common/math_function/cbrt.slt", 0.95),
+    ("function/common/math_function/cosh.slt", 0.95),
+    ("function/common/math_function/exp.slt", 0.95),
+    ("function/common/math_function/gcd.slt", 0.65),
+    ("function/common/math_function/log.slt", 0.95),
+    ("function/common/math_function/log10.slt", 0.95),
+    ("function/common/math_function/log2.slt", 0.95),
+    ("function/common/math_function/pi.slt", 0.95),
+    ("function/common/math_function/radians.slt", 0.95),
+    ("function/common/math_function/random.slt", 0.60),
+    ("function/common/math_function/signum.slt", 0.95),
+    ("function/common/math_function/sinh.slt", 0.95),
+    ("function/common/math_function/tan.slt", 0.95),
+    ("function/common/math_function/tanh.slt", 0.95),
+    ("function/common/math_function/trunc.slt", 0.65),
+    ("function/string_func/chr.slt", 0.80),
+    ("function/string_func/concat_ws.slt", 0.75),
+    ("function/string_func/initcap.slt", 0.85),
+    ("function/string_func/left.slt", 0.75),
+    ("function/string_func/lpad.slt", 0.80),
+    ("function/string_func/md5.slt", 0.95),
+    ("function/string_func/right.slt", 0.75),
+    ("function/string_func/rpad.slt", 0.80),
+    ("function/string_func/rtrim.slt", 0.72),
+    ("function/string_func/split_part.slt", 0.85),
+    ("function/string_func/string_repeat.slt", 0.75),
+    ("function/string_func/strpos.slt", 0.65),
+    ("function/string_func/substr.slt", 0.68),
+    ("function/string_func/to_hex.slt", 0.90),
+    ("function/string_func/translate.slt", 0.92),
+    ("function/string_func/trim.slt", 0.64),
+    ("function/string_func/bit_length.slt", 0.68),
+    ("function/string_func/btrim.slt", 0.72),
+    ("function/string_func/octet_length.slt", 0.74),
+    ("function/string_func/length_char_length_character_length.slt", 0.70),
 ]
 
 pytestmark = pytest.mark.skipif(
