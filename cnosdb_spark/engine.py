@@ -158,14 +158,42 @@ class Engine:
 
     def _qualify(self, sql: str) -> str:
         """Rewrite known ``db.table`` references to their mangled temp-view
-        names (Spark temp views live in a flat namespace)."""
-        sql = re.sub(r"\binformation_schema\.(\w+)", r"__information_schema__\1", sql, flags=re.I)
-        for db in self.catalog.list_databases():
-            if db == self.database:
-                continue
-            for name in self.catalog.list_tables(db):
-                sql = re.sub(rf"\b{re.escape(db)}\.{re.escape(name)}\b", f"__{db}__{name}", sql)
-        return sql
+        names (Spark temp views live in a flat namespace). Substitutions are
+        applied only OUTSIDE quoted regions so a string literal like
+        ``'db2.t1'`` (or a quoted identifier) is never mangled."""
+
+        def subst(segment: str) -> str:
+            segment = re.sub(
+                r"\binformation_schema\.(\w+)", r"__information_schema__\1",
+                segment, flags=re.I,
+            )
+            for db in self.catalog.list_databases():
+                if db == self.database:
+                    continue
+                for name in self.catalog.list_tables(db):
+                    segment = re.sub(
+                        rf"\b{re.escape(db)}\.{re.escape(name)}\b",
+                        f"__{db}__{name}", segment,
+                    )
+            return segment
+
+        out: list[str] = []
+        plain: list[str] = []
+        in_str: str | None = None
+        for ch in sql:
+            if in_str:
+                out.append(ch)
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                out.append(subst("".join(plain)))
+                plain = []
+                out.append(ch)
+                in_str = ch
+            else:
+                plain.append(ch)
+        out.append(subst("".join(plain)))
+        return "".join(out)
 
     def _read_external(self, fmt: str, path: str, opts: dict) -> DataFrame:
         reader = self.spark.read
@@ -388,16 +416,29 @@ class Engine:
             raise ValueError(f"cannot parse DROP: {stmt!r}")
         kind, name = m.group(1).upper(), m.group(2)
         if kind == "DATABASE":
+            # Invalidate every registered view of the dropped db's tables
+            # (they may be registered under bare names if it is the current
+            # database, else under the __db__tbl mangled name).
+            for key in [k for k in self._registered if k[0] == name]:
+                view = self._registered.pop(key)
+                self.spark.catalog.dropTempView(view)
+                self._dirty.discard(key)
             shutil.rmtree(self.catalog._db_path(name), ignore_errors=True)
         elif kind == "TABLE":
             db, tbl = self._split_table_name(name)
             if tbl in self.external:
                 del self.external[tbl]
-                self._registered.pop(("", tbl), None)
+                key = ("", tbl)
             else:
                 self.catalog.drop_table(db, tbl)
-                self._registered.pop((db, tbl), None)
-            self.spark.catalog.dropTempView(tbl)
+                key = (db, tbl)
+            # Drop the view actually registered for this key — dropping the
+            # bare name for a qualified db.tbl would clobber the current
+            # database's same-named table's view.
+            view = self._registered.pop(key, None)
+            if view is not None:
+                self.spark.catalog.dropTempView(view)
+            self._dirty.discard(key)
         else:
             self.streams.pop(name, None)
 
@@ -472,15 +513,26 @@ class Engine:
         tbl, sets_str, where = m.groups()
         db, name = self._split_table_name(tbl)
         df = self.catalog.read(db, name)
-        cond = F.expr(where) if where else F.lit(True)
-        for assign in _split_top_level(sets_str, ","):
+        # Materialize the condition (and every SET rhs) against the ORIGINAL
+        # row before any assignment mutates columns: `SET f0=0 WHERE f0>5`
+        # must match on the old f0, and a second assignment must not see the
+        # first one's new value (reference plans UPDATE against one snapshot,
+        # query/src/execution/ddl -> transform_update semantics).
+        upd = (F.expr(where) if where else F.lit(True)).alias("_upd")
+        df = df.withColumn("_upd", upd)
+        assigns = []
+        for i, assign in enumerate(_split_top_level(sets_str, ",")):
             col, _, expr = assign.partition("=")
-            col = col.strip().strip('"')
+            set_col = f"_set_{i}"
+            df = df.withColumn(set_col, F.expr(expr.strip()))
+            assigns.append((col.strip().strip('"'), set_col))
+        for col, set_col in assigns:
             df = df.withColumn(
-                col, F.when(cond, F.expr(expr.strip())).otherwise(F.col(col))
+                col, F.when(F.col("_upd"), F.col(set_col)).otherwise(F.col(col))
             )
-        n = df.filter(cond).count()
-        self._overwrite(db, name, df)
+        df = df.drop(*[s for _, s in assigns])
+        n = df.filter(F.col("_upd")).count()
+        self._overwrite(db, name, df.drop("_upd"))
         self._mark_dirty(db, name)
         return self.spark.createDataFrame([(n,)], ["rows"])
 

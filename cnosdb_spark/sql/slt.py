@@ -27,6 +27,7 @@ class SltRecord:
     file: str = ""
     line: int = 0
     expected_lines: list[str] = field(default_factory=list)
+    expected_error: str = ""  # regex after `statement error` / `query error`
 
 
 @dataclass
@@ -60,22 +61,27 @@ def parse_slt(path: str) -> list[SltRecord]:
         m = re.match(r"statement\s+(ok|error)(\s+.*)?$", line)
         if m:
             kind = m.group(1)
+            err_pat = (m.group(2) or "").strip()
             i += 1
             sql_lines = []
             while i < len(lines) and lines[i].strip() != "":
                 sql_lines.append(lines[i])
                 i += 1
             records.append(
-                SltRecord(kind, "\n".join(sql_lines), file=path, line=i)
+                SltRecord(kind, "\n".join(sql_lines), file=path, line=i,
+                          expected_error=err_pat)
             )
             continue
-        if re.match(r"query\s+error\b", line):
+        m = re.match(r"query\s+error(\s+.*)?$", line)
+        if m:
+            err_pat = (m.group(1) or "").strip()
             i += 1
             sql_lines = []
             while i < len(lines) and lines[i].strip() != "":
                 sql_lines.append(lines[i])
                 i += 1
-            records.append(SltRecord("error", "\n".join(sql_lines), file=path, line=i))
+            records.append(SltRecord("error", "\n".join(sql_lines), file=path, line=i,
+                                     expected_error=err_pat))
             continue
         if re.match(r"query\b", line):
             i += 1
@@ -169,12 +175,39 @@ def run_slt(
                         continue
             res.passed += 1
         except Exception as exc:  # noqa: BLE001 - classification is the check
-            if rec.kind == "error":
+            if rec.kind == "error" and _is_engine_error(exc):
                 res.passed += 1
+            elif rec.kind == "error":
+                # A raw Python bug (TypeError/KeyError/...) is NOT the
+                # query error the slt file expected — an engine defect.
+                res.failures.append(
+                    f"{rec.file}:{rec.line}: expected query error, got "
+                    f"{type(exc).__name__}: {short}"
+                )
             else:
                 msg = str(exc).split("\n")[0][:120]
                 res.failures.append(f"{rec.file}:{rec.line}: {short} -> {msg}")
     return res
+
+
+def _is_engine_error(exc: Exception) -> bool:
+    """True when the exception is a legitimate query/analysis error, not an
+    engine implementation bug. DataFusion's expected-error *messages* are
+    engine-specific (e.g. ``Schema error: No field named``) and do not
+    transfer to Spark wording, so classification is by exception type:
+    ValueError (engine-raised parse/semantic errors), Spark analysis/
+    execution errors, and arithmetic errors pass; bare Python bug types
+    (TypeError, KeyError, AttributeError, IndexError) fail."""
+    try:
+        from pyspark.errors import PySparkException
+
+        if isinstance(exc, PySparkException):
+            return True
+    except ImportError:
+        pass
+    if type(exc).__module__.startswith(("py4j", "pyspark")):
+        return True
+    return isinstance(exc, (ValueError, ArithmeticError, NotImplementedError))
 
 
 # ---------------------------------------------------------------- values

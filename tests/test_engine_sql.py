@@ -102,6 +102,51 @@ def test_update_delete(eng):
     assert eng.sql("SELECT count(*) AS n FROM ud").collect()[0]["n"] == 2
 
 
+def test_update_where_on_set_column(eng):
+    """WHERE must be evaluated against the PRE-update value: `SET f0=0
+    WHERE f0>5` matches the old f0 (and reports the matched count), and a
+    second assignment must not observe the first one's new value."""
+    eng.sql("CREATE TABLE ud2(f0 DOUBLE, f1 DOUBLE, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO ud2(time, t0, f0, f1) VALUES
+        ('2024-01-01 00:00:01', 'a', 10.0, 1.0),
+        ('2024-01-01 00:00:02', 'b', 3.0, 2.0)"""
+    )
+    n = eng.sql("UPDATE ud2 SET f0 = 0 WHERE f0 > 5").collect()[0]["rows"]
+    assert n == 1  # matched on old f0=10, not the new 0
+    vals = {r["t0"]: r["f0"] for r in eng.sql("SELECT t0, f0 FROM ud2").collect()}
+    assert vals == {"a": 0.0, "b": 3.0}
+    # swap-style multi-assignment: both rhs read the original snapshot
+    eng.sql("UPDATE ud2 SET f0 = f1, f1 = f0 WHERE t0 = 'b'")
+    row = eng.sql("SELECT f0, f1 FROM ud2 WHERE t0 = 'b'").collect()[0]
+    assert (row["f0"], row["f1"]) == (2.0, 3.0)
+
+
+def test_drop_qualified_table_keeps_current_db_view(eng):
+    """DROP TABLE db.tbl must drop the mangled view, not the bare-name view
+    of the current database's same-named table."""
+    eng.sql("CREATE TABLE shared(f0 DOUBLE, TAGS(t0))")
+    eng.sql("INSERT INTO shared(time, t0, f0) VALUES ('2024-01-01 00:00:01', 'x', 1.0)")
+    eng.sql("CREATE DATABASE other")
+    eng.sql("CREATE TABLE other.shared(f0 DOUBLE, TAGS(t0))")
+    eng.sql("DROP TABLE other.shared")
+    # current-db table still queryable through its (bare) view
+    assert eng.sql("SELECT count(*) AS n FROM shared").collect()[0]["n"] == 1
+    eng.sql("CREATE DATABASE d3")
+    eng.sql("CREATE TABLE d3.t1(f0 DOUBLE, TAGS(t0))")
+    eng.sql("DROP DATABASE d3")
+    assert "d3" not in eng.catalog.list_databases()
+
+
+def test_string_literal_not_qualified(eng):
+    """A literal 'db.tbl' inside a string must not be rewritten by
+    _qualify even when db.tbl is a known table."""
+    eng.sql("CREATE DATABASE db9")
+    eng.sql("CREATE TABLE db9.t1(f0 DOUBLE, TAGS(t0))")
+    row = eng.sql("SELECT 'db9.t1' AS s").collect()[0]
+    assert row["s"] == "db9.t1"
+
+
 def test_show_statements(eng):
     eng.sql("CREATE DATABASE db2")
     eng.sql("CREATE TABLE db2.m(f0 DOUBLE, TAGS(host, region))")
