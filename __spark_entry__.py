@@ -181,41 +181,32 @@ def tpch_q5(spark, sf_dir):
 
 
 @_q(
-    "join_semi_customers_with_orders",
+    "join_semi_anti_customers",
     """
-    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    SELECT 'semi' AS op, c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
     FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
     GROUP BY c_nationkey
-    """,
-)
-def join_semi(spark, sf_dir):
-    """LEFT SEMI join = IN/EXISTS subquery (SURVEY §2.3 decorrelation)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@_q(
-    "join_anti_customers_without_orders",
-    """
-    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    UNION ALL
+    SELECT 'anti', c_nationkey, CAST(count(*) AS BIGINT)
     FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     GROUP BY c_nationkey
     """,
 )
-def join_anti(spark, sf_dir):
-    """LEFT ANTI join = NOT IN/NOT EXISTS."""
+def join_semi_anti(spark, sf_dir):
+    """LEFT SEMI (= IN/EXISTS) and LEFT ANTI (= NOT IN/NOT EXISTS) joins
+    (SURVEY §2.3 decorrelation), one arm each."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
+
+    def arm(kind: str, how: str):
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, how)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.lit(kind).alias("op"), "c_nationkey", "n_customers")
+        )
+
+    return arm("semi", "left_semi").unionAll(arm("anti", "left_anti"))
 
 
 @_q(
@@ -249,12 +240,14 @@ def join_outer(spark, sf_dir):
            round(var_samp(l_quantity), 4)                AS var_qty,
            round(corr(l_quantity, l_extendedprice), 6)   AS corr_qty_price,
            round(covar_pop(l_quantity, l_discount), 6)   AS covar_qty_disc,
-           round(avg(l_tax), 6)                          AS avg_tax
+           round(avg(l_tax), 6)                          AS avg_tax,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_statistical(spark, sf_dir):
-    """Statistical aggregate family (SURVEY §2.4 statistical_agg slt)."""
+    """Statistical aggregate family (SURVEY §2.4 statistical_agg slt) +
+    array_agg emitted as a sorted joined string (order-insensitive)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
@@ -262,6 +255,7 @@ def agg_statistical(spark, sf_dir):
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
     )
 
 
@@ -284,38 +278,71 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@_q("agg_approx_distinct")  # engine-specific sketches: rows-only check
+@_q(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS distinct_ok, TRUE AS median_ok, TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark, sf_dir):
-    """approx_distinct / approx_percentile (SURVEY §2.4). HLL/KLL sketches
-    differ across engines → no value oracle; driver checks shape."""
+    """approx_distinct / approx_percentile (SURVEY §2.4). Engine sketches
+    (HLL/KLL) can't be value-compared across engines, so the checked
+    contract is the accuracy guarantee itself: each approximate answer must
+    land within its documented error bound of the exact answer (computed in
+    the same query); the oracle supplies the exact values and TRUE bounds."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_median_price"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)), 2
-        ).alias("approx_p90_price"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_med"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_amed"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("_p90"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("_ap90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (F.abs(F.col("_ap") - F.col("exact_parts")) / F.col("exact_parts") <= 0.1).alias(
+            "distinct_ok"
+        ),
+        (F.abs(F.col("_amed") - F.col("_med")) / F.col("_med") <= 0.01).alias("median_ok"),
+        (F.abs(F.col("_ap90") - F.col("_p90")) / F.col("_p90") <= 0.01).alias("p90_ok"),
     )
 
 
 @_q(
-    "window_rank_top_orders",
+    "window_rank_ntile_dist",
     """
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
              CAST(row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
              CAST(rank()       OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderstatus) AS INT)                 AS status_rank
-      FROM orders)
+                                     ORDER BY o_orderstatus) AS INT)                 AS status_rank,
+             CAST(ntile(4) OVER w AS INT)     AS tile,
+             round(percent_rank() OVER w, 6)  AS pr,
+             round(cume_dist() OVER w, 6)     AS cd,
+             round(nth_value(o_totalprice, 2) OVER
+                   (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS second_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey))
     WHERE rn <= 3
     """,
 )
-def window_rank(spark, sf_dir):
-    """Window functions (SURVEY §2.5): row_number/rank partitioned per key."""
+def window_rank_ntile(spark, sf_dir):
+    """Ranking window battery (SURVEY §2.5): row_number/rank/ntile/
+    percent_rank/cume_dist/nth_value partitioned per key; all computed over
+    the full partition, then the rn filter applies on top."""
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     w2 = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    wa = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = wa.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
         o.select(
             "o_custkey",
@@ -323,6 +350,10 @@ def window_rank(spark, sf_dir):
             F.round("o_totalprice", 2).alias("totalprice"),
             F.row_number().over(w).cast("int").alias("rn"),
             F.rank().over(w2).cast("int").alias("status_rank"),
+            F.ntile(4).over(wa).cast("int").alias("tile"),
+            F.round(F.percent_rank().over(wa), 6).alias("pr"),
+            F.round(F.cume_dist().over(wa), 6).alias("cd"),
+            F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -368,16 +399,27 @@ def window_running(spark, sf_dir):
     UNION ALL
     SELECT 'except', nk FROM (SELECT c_nationkey AS nk FROM customer
                               EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cross', r_regionkey * 100 + n_nationkey
+    FROM region CROSS JOIN nation
     """,
 )
 def set_ops(spark, sf_dir):
-    """UNION / INTERSECT / EXCEPT (SURVEY §2.7)."""
+    """UNION / INTERSECT / EXCEPT (SURVEY §2.7) + an explicit CROSS JOIN arm
+    (the reference *rejects* accidental cross joins — reject_cross_join.rs —
+    but supports explicit ones)."""
     cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    cross = r.crossJoin(n).select(
+        (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("nk")
+    )
     return (
         cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
         .unionAll(cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk"))
         .unionAll(cn.subtract(sn).select(F.lit("except").alias("op"), "nk"))
+        .unionAll(cross.select(F.lit("cross").alias("op"), "nk"))
     )
 
 
@@ -407,20 +449,25 @@ def rollup_lineitem(spark, sf_dir):
 
 
 @_q(
-    "conditional_funcs",
+    "conditional_pivot_funcs",
     """
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            round(avg(coalesce(nullif(o_totalprice, 0.0), 0.0)), 4) AS avg_price,
-           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS st_O,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS st_F,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS st_P
     FROM orders GROUP BY o_orderpriority
     """,
 )
-def conditional_funcs(spark, sf_dir):
-    """coalesce / nullif / CASE WHEN (SURVEY §2.8 conditional)."""
+def conditional_pivot_funcs(spark, sf_dir):
+    """coalesce / nullif / CASE WHEN (SURVEY §2.8 conditional) + pivot by
+    category (Catalyst rewrites .pivot to the FILTER aggregates the oracle
+    spells out)."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    base = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("n_big"),
         F.round(F.avg(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0))), 4).alias(
@@ -428,10 +475,22 @@ def conditional_funcs(spark, sf_dir):
         ),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
     )
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("st_O"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("st_F"),
+            F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("st_P"),
+        )
+    )
+    return base.join(piv, "o_orderpriority")
 
 
 @_q(
-    "string_funcs",
+    "string_regexp_funcs",
     """
     SELECT p_partkey,
            upper(p_name)                    AS uname,
@@ -444,12 +503,17 @@ def conditional_funcs(spark, sf_dir):
            concat(p_brand, ':', p_type)     AS brand_type,
            CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
            trim(rpad(p_brand, 12, ' '))     AS trimmed,
-           md5(p_name)                      AS name_md5
+           md5(p_name)                      AS name_md5,
+           regexp_extract(p_name, '([a-z]{4,})', 1) AS first_long_word,
+           CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+           (p_type SIMILAR TO '.*BRASS.*') AS has_brass
     FROM part
     """,
 )
-def string_funcs(spark, sf_dir):
-    """String function battery (SURVEY §2.8)."""
+def string_regexp_funcs(spark, sf_dir):
+    """String + regexp function battery (SURVEY §2.8:
+    upper/lower/substr/length/replace/reverse/pad/concat/instr/trim/md5/
+    regexp_extract/regexp_replace/regexp match)."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -464,11 +528,14 @@ def string_funcs(spark, sf_dir):
         F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
         F.trim(F.rpad("p_brand", 12, " ")).alias("trimmed"),
         F.md5("p_name").alias("name_md5"),
+        F.regexp_extract("p_name", r"([a-z]{4,})", 1).alias("first_long_word"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).cast("long").alias("novowel_len"),
+        F.col("p_type").rlike("BRASS").alias("has_brass"),
     )
 
 
 @_q(
-    "math_funcs",
+    "math_trig_funcs",
     """
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 6)        AS a,
@@ -480,13 +547,29 @@ def string_funcs(spark, sf_dir):
            round(log10(l_extendedprice), 8)        AS l10,
            round(pow(l_quantity, 2), 2)            AS p2,
            round(CAST(l_quantity AS BIGINT) % 7, 1) AS m7,
-           round(sign(l_discount - 0.05), 1)       AS sg
+           round(sign(l_discount - 0.05), 1)       AS sg,
+           round(sin(l_discount), 9)            AS s,
+           round(cos(l_discount), 9)            AS cs,
+           round(tan(l_discount), 9)            AS t,
+           round(asin(l_discount), 9)           AS asn,
+           round(acos(l_discount), 9)           AS acs,
+           round(atan(l_quantity), 9)           AS atn,
+           round(atan2(l_quantity, l_discount + 1), 9) AS at2,
+           round((exp(l_discount) - exp(-l_discount)) / 2, 9)  AS sh,
+           round((exp(l_discount) + exp(-l_discount)) / 2, 9)  AS ch,
+           round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 9) AS th,
+           round(cbrt(l_quantity), 9)           AS cb,
+           round(radians(l_quantity), 9)        AS rad,
+           round(degrees(l_discount), 9)        AS deg
     FROM lineitem WHERE l_orderkey <= 1000
     """,
 )
-def math_funcs(spark, sf_dir):
-    """Math function battery (SURVEY §2.8)."""
+def math_trig_funcs(spark, sf_dir):
+    """Math + trig/hyperbolic battery (SURVEY §2.8 math_function slt:
+    abs/ceil/floor/sqrt/exp/ln/log10/pow/mod/sign + sin/cos/tan/asin/acos/
+    atan/atan2/sinh/cosh/tanh/cbrt/radians/degrees)."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    d, q = F.col("l_discount"), F.col("l_quantity")
     return l.select(
         "l_orderkey",
         "l_linenumber",
@@ -500,11 +583,24 @@ def math_funcs(spark, sf_dir):
         F.round(F.pow("l_quantity", F.lit(2)), 2).alias("p2"),
         F.round((F.col("l_quantity").cast("long") % 7).cast("double"), 1).alias("m7"),
         F.round(F.signum(F.col("l_discount") - 0.05), 1).alias("sg"),
+        F.round(F.sin(d), 9).alias("s"),
+        F.round(F.cos(d), 9).alias("cs"),
+        F.round(F.tan(d), 9).alias("t"),
+        F.round(F.asin(d), 9).alias("asn"),
+        F.round(F.acos(d), 9).alias("acs"),
+        F.round(F.atan(q), 9).alias("atn"),
+        F.round(F.atan2(q, d + 1), 9).alias("at2"),
+        F.round(F.sinh(d), 9).alias("sh"),
+        F.round(F.cosh(d), 9).alias("ch"),
+        F.round(F.tanh(d), 9).alias("th"),
+        F.round(F.cbrt(q), 9).alias("cb"),
+        F.round(F.radians(q), 9).alias("rad"),
+        F.round(F.degrees(d), 9).alias("deg"),
     )
 
 
 @_q(
-    "time_funcs",
+    "time_format_funcs",
     """
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS BIGINT)     AS y,
@@ -514,14 +610,21 @@ def math_funcs(spark, sf_dir):
            CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
            CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
            epoch_us(date_trunc('month', o_orderdate))    AS month_start_us,
-           epoch_us(o_orderdate)                          AS od_us
+           epoch_us(o_orderdate)                          AS od_us,
+           strftime(o_orderdate, '%Y-%m-%d')          AS d_str,
+           strftime(o_orderdate, '%Y-%m')             AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT)          AS epoch_s,
+           epoch_us(o_orderdate + INTERVAL 1 DAY)      AS next_day_us,
+           epoch_us(date_trunc('week', o_orderdate))   AS week_start_us
     FROM orders WHERE o_orderkey <= 2000
     """,
 )
-def time_funcs(spark, sf_dir):
-    """Time function battery (SURVEY §2.8): date_part/date_trunc/extract.
-    dow aligned to DuckDB's Sunday=0 convention via dayofweek-1."""
+def time_format_funcs(spark, sf_dir):
+    """Time function battery (SURVEY §2.8): date_part/date_trunc/extract/
+    date_format/unix_timestamp/interval arithmetic. dow aligned to DuckDB's
+    Sunday=0 convention via dayofweek-1."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    od = F.col("o_orderdate").cast("timestamp")
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").cast("long").alias("y"),
@@ -531,55 +634,47 @@ def time_funcs(spark, sf_dir):
         F.dayofyear("o_orderdate").cast("long").alias("doy"),
         (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
         F.unix_micros(F.date_trunc("month", "o_orderdate").cast("timestamp")).alias("month_start_us"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        F.unix_micros(od).alias("od_us"),
+        F.date_format(od, "yyyy-MM-dd").alias("d_str"),
+        F.date_format(od, "yyyy-MM").alias("ym"),
+        F.unix_seconds(od).alias("epoch_s"),
+        F.unix_micros(od + F.expr("INTERVAL 1 DAY")).alias("next_day_us"),
+        F.unix_micros(F.date_trunc("week", od)).alias("week_start_us"),
     )
 
 
 @_q(
-    "subquery_scalar_above_avg",
+    "subquery_decorrelation",
     """
-    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+    SELECT c_mktsegment, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            round(min(o_totalprice), 2) AS min_price
-    FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-    GROUP BY o_orderstatus
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+      AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY c_mktsegment, o_orderstatus
     """,
 )
-def subquery_scalar(spark, sf_dir):
-    """Scalar subquery → cross-join of a 1-row aggregate (Catalyst
-    ScalarSubqueryToJoin equivalent, SURVEY §4.2)."""
+def subquery_decorrelation(spark, sf_dir):
+    """Scalar subquery (→ broadcast 1-row aggregate) + nested IN subqueries
+    (→ left-semi joins) in one plan (SURVEY §4.2 decorrelation)."""
+    c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nk = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
     avg_df = o.agg(F.avg("o_totalprice").alias("_avg"))
     return (
-        o.crossJoin(F.broadcast(avg_df))
+        c.join(F.broadcast(nk), c.c_nationkey == nk.n_nationkey, "left_semi")
+        .join(o, o.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(avg_df))
         .filter(F.col("o_totalprice") > F.col("_avg"))
-        .groupBy("o_orderstatus")
+        .groupBy("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
         )
-    )
-
-
-@_q(
-    "subquery_in_region",
-    """
-    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
-    FROM customer
-    WHERE c_nationkey IN (
-      SELECT n_nationkey FROM nation WHERE n_regionkey IN (
-        SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
-    GROUP BY c_mktsegment
-    """,
-)
-def subquery_in(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    nk = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
-    return (
-        c.join(F.broadcast(nk), c.c_nationkey == nk.n_nationkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -1487,35 +1582,6 @@ def multimodal_features(spark, sf_dir):
 # =====================================================================
 
 @_q(
-    "window_ntile_dist",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(ntile(4) OVER w AS INT)            AS tile,
-           round(percent_rank() OVER w, 6)          AS pr,
-           round(cume_dist() OVER w, 6)             AS cd,
-           round(nth_value(o_totalprice, 2) OVER
-                 (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
-    """,
-)
-def window_ntile_dist(spark, sf_dir):
-    """ntile/percent_rank/cume_dist/nth_value (SURVEY §2.5 window_func slt)."""
-    o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.ntile(4).over(w).cast("int").alias("tile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
-    )
-
-
-@_q(
     "agg_percentile_exact",
     """
     SELECT l_returnflag,
@@ -1535,80 +1601,6 @@ def agg_percentile_exact(spark, sf_dir):
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
         F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("qty_median"),
-    )
-
-
-@_q(
-    "time_format_funcs",
-    """
-    SELECT o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d')          AS d_str,
-           strftime(o_orderdate, '%Y-%m')             AS ym,
-           CAST(epoch(o_orderdate) AS BIGINT)          AS epoch_s,
-           epoch_us(o_orderdate + INTERVAL 1 DAY)      AS next_day_us,
-           epoch_us(date_trunc('week', o_orderdate))   AS week_start_us
-    FROM orders WHERE o_orderkey <= 1000
-    """,
-)
-def time_format_funcs(spark, sf_dir):
-    """date_format/unix_timestamp/interval arithmetic (SURVEY §2.8 time)."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
-    od = F.col("o_orderdate").cast("timestamp")
-    return o.select(
-        "o_orderkey",
-        F.date_format(od, "yyyy-MM-dd").alias("d_str"),
-        F.date_format(od, "yyyy-MM").alias("ym"),
-        F.unix_seconds(od).alias("epoch_s"),
-        F.unix_micros(od + F.expr("INTERVAL 1 DAY")).alias("next_day_us"),
-        F.unix_micros(F.date_trunc("week", od)).alias("week_start_us"),
-    )
-
-
-@_q(
-    "regexp_funcs",
-    """
-    SELECT doc_id,
-           regexp_extract(text, '([a-z]{4,})', 1)                       AS first_long_word,
-           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
-           (text SIMILAR TO '.*table.*')                                AS has_table
-    FROM documents
-    """,
-)
-def regexp_funcs(spark, sf_dir):
-    """regexp_extract/replace/match (SURVEY §2.8 string/regex surface)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.regexp_extract("text", r"([a-z]{4,})", 1).alias("first_long_word"),
-        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("novowel_len"),
-        F.col("text").rlike("table").alias("has_table"),
-    )
-
-
-@_q(
-    "pivot_order_status",
-    """
-    SELECT o_orderpriority,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS st_O,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS st_F,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS st_P
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def pivot_order_status(spark, sf_dir):
-    """Pivot (wide aggregation by category; Catalyst rewrites to FILTER
-    aggregates — the same plan the oracle spells out)."""
-    o = _t(spark, sf_dir, "orders")
-    out = (
-        o.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.sum("o_totalprice"))
-    )
-    return out.select(
-        "o_orderpriority",
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("st_O"),
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("st_F"),
-        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("st_P"),
     )
 
 
@@ -1639,20 +1631,6 @@ def sessionization(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("_ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
     )
-
-
-@_q(
-    "cross_join_regions",
-    """
-    SELECT r_name, n_name FROM region CROSS JOIN nation
-    """,
-)
-def cross_join_regions(spark, sf_dir):
-    """Explicit cross join (the reference *rejects* accidental cross joins
-    — reject_cross_join.rs — but supports explicit ones)."""
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    return r.crossJoin(n).select("r_name", "n_name")
 
 
 @_q(
@@ -1737,54 +1715,6 @@ def streaming_tumbling_agg(spark, sf_dir):
         "sum_value",
     )
 
-
-@_q(
-    "trig_funcs",
-    """
-    SELECT l_orderkey, l_linenumber,
-           round(sin(l_discount), 9)            AS s,
-           round(cos(l_discount), 9)            AS c,
-           round(tan(l_discount), 9)            AS t,
-           round(asin(l_discount), 9)           AS asn,
-           round(acos(l_discount), 9)           AS acs,
-           round(atan(l_quantity), 9)           AS atn,
-           round(atan2(l_quantity, l_discount + 1), 9) AS at2,
-           round((exp(l_discount) - exp(-l_discount)) / 2, 9)  AS sh,
-           round((exp(l_discount) + exp(-l_discount)) / 2, 9)  AS ch,
-           round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 9) AS th,
-           round(cbrt(l_quantity), 9)           AS cb,
-           round(radians(l_quantity), 9)        AS rad,
-           round(degrees(l_discount), 9)        AS deg
-    FROM lineitem WHERE l_orderkey <= 500
-    """,
-)
-def trig_funcs(spark, sf_dir):
-    """Trigonometric/hyperbolic battery (SURVEY §2.8 math_function slt:
-    sin/cos/tan/asin/acos/atan/atan2/sinh/cosh/tanh/cbrt/radians)."""
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
-    d, q = F.col("l_discount"), F.col("l_quantity")
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.sin(d), 9).alias("s"),
-        F.round(F.cos(d), 9).alias("c"),
-        F.round(F.tan(d), 9).alias("t"),
-        F.round(F.asin(d), 9).alias("asn"),
-        F.round(F.acos(d), 9).alias("acs"),
-        F.round(F.atan(q), 9).alias("atn"),
-        F.round(F.atan2(q, d + 1), 9).alias("at2"),
-        F.round(F.sinh(d), 9).alias("sh"),
-        F.round(F.cosh(d), 9).alias("ch"),
-        F.round(F.tanh(d), 9).alias("th"),
-        F.round(F.cbrt(q), 9).alias("cb"),
-        F.round(F.radians(q), 9).alias("rad"),
-        F.round(F.degrees(d), 9).alias("deg"),
-    )
-
-
-# =====================================================================
-# TSBS-IoT-shaped time-series queries (BASELINE.md §3.2)
-# =====================================================================
 
 @_q(
     "tsbs_last_point_per_series",

@@ -69,7 +69,15 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+def _hyperplanes(
+    dim: int, n_planes: int, seed: int = 42, axis_aligned: bool = False
+) -> list[list[float]]:
+    if axis_aligned:
+        # unit-basis "hyperplanes": sign(v·e_i) = sign(v[i]). Slightly lower
+        # quality than random planes on correlated dims, but exactly
+        # reproducible in ANSI SQL — used when an oracle must replicate the
+        # bucketing.
+        return [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(n_planes)]
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
 
@@ -81,11 +89,12 @@ def lsh_bucket(
     n_planes: int = 8,
     seed: int = 42,
     out_col: str = "lsh_bucket",
+    axis_aligned: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = bit-string of sign(v·plane_i).
     Vectors in the same bucket are cosine-close with high probability.
     Hyperplanes are literal arrays (deterministic, shipped in the plan)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(dim, n_planes, seed, axis_aligned)
     v = F.col(vec_col).cast("array<double>")
     bits = [
         F.when(dot_expr(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
@@ -105,6 +114,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    axis_aligned: bool = False,
 ) -> DataFrame:
     """Approximate top-k: equi-join corpus and queries on the LSH bucket,
     exact cosine within the bucket only. At 100 TB the bucket join is a
@@ -117,6 +127,7 @@ def lsh_topk(
         dim,
         n_planes,
         seed,
+        axis_aligned=axis_aligned,
     )
     q = lsh_bucket(
         queries.select(
@@ -127,6 +138,7 @@ def lsh_topk(
         dim,
         n_planes,
         seed,
+        axis_aligned=axis_aligned,
     )
     scored = c.join(q, "lsh_bucket").select(
         "_qid", "_cid", cosine_expr(F.col("_cv"), F.col("_qv")).alias("_cos")
