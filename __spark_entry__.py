@@ -784,35 +784,7 @@ _GAPFILL_ORACLE_COMMON = """
 
 
 @_q(
-    "gapfill_locf",
-    _GAPFILL_ORACLE_COMMON
-    + """
-    SELECT s.event_type, s.b AS bucket_us,
-           last_value(a.avg_value IGNORE NULLS)
-             OVER (PARTITION BY s.event_type ORDER BY s.b) AS avg_value
-    FROM spine s LEFT JOIN actual a ON a.event_type = s.event_type AND a.b = s.b
-    """,
-)
-def gapfill_locf(spark, sf_dir):
-    """time_window_gapfill + locf (SURVEY §2.6; reference gapfill.rs/locf.rs
-    — custom Spark rewrite: spine via sequence+explode, LOCF via
-    last(ignorenulls) window)."""
-    e = _t(spark, sf_dir, "events")
-    out = time_window_gapfill(
-        e,
-        "ts",
-        "15m",
-        ["event_type"],
-        [F.round(F.avg("value"), 6).alias("avg_value")],
-        fill={"avg_value": "locf"},
-    )
-    return out.select(
-        "event_type", F.unix_micros("bucket").alias("bucket_us"), "avg_value"
-    )
-
-
-@_q(
-    "gapfill_interpolate",
+    "gapfill_locf_interpolate",
     _GAPFILL_ORACLE_COMMON
     + """
     , filled AS (
@@ -831,23 +803,32 @@ def gapfill_locf(spark, sf_dir):
                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
       FROM spine s LEFT JOIN actual a ON a.event_type = s.event_type AND a.b = s.b)
     SELECT event_type, b AS bucket_us,
+           CAST(floor(coalesce(avg_value,
+                 last_value(avg_value IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY b))
+                 * 1000000 + 0.5) AS BIGINT) AS locf_e6,
            CAST(floor(CASE WHEN avg_value IS NOT NULL THEN avg_value
                       ELSE pv + (nv - pv) * (b - pt) / (nt - pt) END
-                      * 1000000 + 0.5) AS BIGINT) AS avg_value_e6
+                      * 1000000 + 0.5) AS BIGINT) AS interp_e6
     FROM filled
     """,
 )
-def gapfill_interpolate(spark, sf_dir):
-    """time_window_gapfill + interpolate (linear between bracketing
-    non-null buckets; reference interpolate.rs)."""
+def gapfill_locf_interpolate(spark, sf_dir):
+    """time_window_gapfill with locf AND interpolate fills (SURVEY §2.6;
+    reference gapfill.rs/locf.rs/interpolate.rs — custom Spark rewrite:
+    spine via sequence+explode, LOCF via last(ignorenulls) window, linear
+    interpolation between bracketing non-null buckets)."""
     e = _t(spark, sf_dir, "events")
     out = time_window_gapfill(
         e,
         "ts",
         "15m",
         ["event_type"],
-        [F.round(F.avg("value"), 6).alias("avg_value")],
-        fill={"avg_value": "interpolate"},
+        [
+            F.round(F.avg("value"), 6).alias("locf_v"),
+            F.round(F.avg("value"), 6).alias("interp_v"),
+        ],
+        fill={"locf_v": "locf", "interp_v": "interpolate"},
     )
     # scaled-integer output: floor(x*1e6+0.5) is the same float algorithm in
     # both engines, immune to round() implementation differences at
@@ -855,28 +836,51 @@ def gapfill_interpolate(spark, sf_dir):
     return out.select(
         "event_type",
         F.unix_micros("bucket").alias("bucket_us"),
-        F.floor(F.col("avg_value") * 1000000 + 0.5).cast("long").alias("avg_value_e6"),
+        F.floor(F.col("locf_v") * 1000000 + 0.5).cast("long").alias("locf_e6"),
+        F.floor(F.col("interp_v") * 1000000 + 0.5).cast("long").alias("interp_e6"),
     )
 
 
 @_q(
-    "first_last_per_series",
+    "series_selector_aggs",
     """
-    SELECT user_id,
-           arg_min(value, ts) FILTER (WHERE value IS NOT NULL)      AS first_value,
-           arg_max(value, ts) FILTER (WHERE value IS NOT NULL)      AS last_value,
-           arg_min(event_type, ts) FILTER (WHERE event_type IS NOT NULL) AS first_type,
-           epoch_us(min(ts)) AS min_ts_us,
-           epoch_us(max(ts)) AS max_ts_us,
-           CAST(count(*) AS BIGINT) AS n
-    FROM events GROUP BY user_id
+    WITH fl AS (
+      SELECT user_id,
+             arg_min(value, ts) FILTER (WHERE value IS NOT NULL)      AS first_value,
+             arg_max(value, ts) FILTER (WHERE value IS NOT NULL)      AS last_value,
+             arg_min(event_type, ts) FILTER (WHERE event_type IS NOT NULL) AS first_type,
+             epoch_us(min(ts)) AS min_ts_us,
+             epoch_us(max(ts)) AS max_ts_us,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    md AS (
+      SELECT user_id, event_type AS mode FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type)
+      WHERE rn = 1),
+    inc AS (
+      SELECT user_id,
+             round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
+                                     WHEN value - pv >= 0 THEN value - pv
+                                     ELSE value END), 0), 4) AS increase
+      FROM (SELECT user_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+            FROM events)
+      GROUP BY user_id)
+    SELECT fl.*, md.mode, inc.increase
+    FROM fl JOIN md USING (user_id) JOIN inc USING (user_id)
     """,
 )
-def first_last(spark, sf_dir):
-    """first(time,value)/last(time,value) selector aggregates (SURVEY §2.4;
-    reference aggregate_function/{first,last}.rs → F.min_by/max_by)."""
+def series_selector_aggs(spark, sf_dir):
+    """Per-series selector-aggregate battery (SURVEY §2.4): first(time,v)/
+    last(time,v) (reference aggregate_function/{first,last}.rs → F.min_by/
+    max_by), mode with deterministic tie-break (mode.rs), and
+    increase(time,value) with counter-reset handling (increase.rs)."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("user_id").agg(
+    fl = e.groupBy("user_id").agg(
         first_agg("ts", "value").alias("first_value"),
         last_agg("ts", "value").alias("last_value"),
         first_agg("ts", "event_type").alias("first_type"),
@@ -884,47 +888,11 @@ def first_last(spark, sf_dir):
         F.unix_micros(F.max("ts")).alias("max_ts_us"),
         F.count(F.lit(1)).alias("n"),
     )
-
-
-@_q(
-    "increase_counter",
-    """
-    WITH d AS (
-      SELECT user_id, value,
-             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS pv
-      FROM events)
-    SELECT user_id,
-           round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
-                                   WHEN value - pv >= 0 THEN value - pv
-                                   ELSE value END), 0), 4) AS increase
-    FROM d GROUP BY user_id
-    """,
-)
-def increase_counter(spark, sf_dir):
-    """increase(time, value) with counter-reset handling (SURVEY §2.4;
-    reference aggregate_function/increase.rs)."""
-    e = _t(spark, sf_dir, "events")
-    out = increase(e, "ts", "value", ["user_id"])
-    return out.select("user_id", F.round("increase", 4).alias("increase"))
-
-
-@_q(
-    "mode_per_series",
-    """
-    SELECT user_id, event_type AS mode FROM (
-      SELECT user_id, event_type,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY count(*) DESC, event_type) AS rn
-      FROM events WHERE event_type IS NOT NULL
-      GROUP BY user_id, event_type)
-    WHERE rn = 1
-    """,
-)
-def mode_per_series(spark, sf_dir):
-    """mode(x) with deterministic tie-break (SURVEY §2.4; reference
-    aggregate_function/mode.rs)."""
-    e = _t(spark, sf_dir, "events")
-    return mode_df(e, ["user_id"], "event_type")
+    md = mode_df(e, ["user_id"], "event_type")
+    inc = increase(e, "ts", "value", ["user_id"]).select(
+        "user_id", F.round("increase", 4).alias("increase")
+    )
+    return fl.join(md, "user_id").join(inc, "user_id")
 
 
 @_q(
@@ -942,34 +910,31 @@ def sample_events(spark, sf_dir):
 
 
 @_q(
-    "topk_values",
+    "topk_bottom_values",
     """
-    SELECT event_id, round(value, 6) AS value FROM events
-    ORDER BY value DESC NULLS LAST, event_id LIMIT 10
+    SELECT 'topk' AS op, event_id, round(value, 6) AS value FROM (
+      SELECT event_id, value FROM events
+      ORDER BY value DESC NULLS LAST, event_id LIMIT 10)
+    UNION ALL
+    SELECT 'bottom', event_id, round(value, 6) FROM (
+      SELECT event_id, value FROM events
+      ORDER BY value ASC NULLS LAST, event_id LIMIT 10)
     """,
 )
-def topk_values(spark, sf_dir):
-    """topk(col, k) selector → TakeOrderedAndProject (SURVEY §2.6;
-    reference transform_topk_func_to_topk_node.rs:27-71)."""
+def topk_bottom_values(spark, sf_dir):
+    """topk(col,k) / bottom(col,k) selectors → TakeOrderedAndProject, no
+    global sort (SURVEY §2.6; reference
+    transform_{topk,bottom}_func_to_topk_node.rs)."""
     e = _t(spark, sf_dir, "events").select(
         "event_id", F.round("value", 6).alias("value")
     )
-    return ts_topk(e, "value", 10, "event_id")
-
-
-@_q(
-    "bottom_values",
-    """
-    SELECT event_id, round(value, 6) AS value FROM events
-    ORDER BY value ASC NULLS LAST, event_id LIMIT 10
-    """,
-)
-def bottom_values(spark, sf_dir):
-    """bottom(col, k) selector (reference transform_bottom_func_to_topk_node.rs)."""
-    e = _t(spark, sf_dir, "events").select(
-        "event_id", F.round("value", 6).alias("value")
+    top = ts_topk(e, "value", 10, "event_id").select(
+        F.lit("topk").alias("op"), "event_id", "value"
     )
-    return ts_bottom(e, "value", 10, "event_id")
+    bot = ts_bottom(e, "value", 10, "event_id").select(
+        F.lit("bottom").alias("op"), "event_id", "value"
+    )
+    return top.unionAll(bot)
 
 
 @_q(
@@ -995,7 +960,7 @@ def state_agg_durations(spark, sf_dir):
 
 
 @_q(
-    "duration_in_state",
+    "state_accessors",
     """
     WITH d AS (
       SELECT user_id, event_type,
@@ -1003,31 +968,27 @@ def state_agg_durations(spark, sf_dir):
               - epoch_us(ts)) / 1e6 AS dur
       FROM events),
     per AS (SELECT user_id, round(sum(coalesce(dur, 0)), 3) AS duration_s
-            FROM d WHERE event_type = 'error' GROUP BY user_id)
-    SELECT u.user_id, coalesce(per.duration_s, 0.0) AS duration_s
+            FROM d WHERE event_type = 'error' GROUP BY user_id),
+    at_ts AS (
+      SELECT user_id, arg_max(event_type, ts) AS state
+      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id)
+    SELECT u.user_id, coalesce(per.duration_s, 0.0) AS duration_s, at_ts.state
     FROM (SELECT DISTINCT user_id FROM events) u
     LEFT JOIN per ON per.user_id = u.user_id
+    LEFT JOIN at_ts ON at_ts.user_id = u.user_id
     """,
 )
-def duration_in_state(spark, sf_dir):
-    """duration_in(state_agg(...), 'error') (reference duration_in.rs)."""
+def state_accessors(spark, sf_dir):
+    """state_agg accessors: duration_in(state_agg(...), 'error')
+    (reference duration_in.rs) and state_at(state_agg(...), ts) as-of
+    lookup (state_at.rs), joined per series."""
     e = _t(spark, sf_dir, "events")
-    out = duration_in(e, "ts", "event_type", ["user_id"], "error")
-    return out.select("user_id", F.round("duration_s", 3).alias("duration_s"))
-
-
-@_q(
-    "state_at_timestamp",
-    """
-    SELECT user_id, arg_max(event_type, ts) AS state
-    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
-    GROUP BY user_id
-    """,
-)
-def state_at_ts(spark, sf_dir):
-    """state_at(state_agg(...), ts): as-of lookup (reference state_at.rs)."""
-    e = _t(spark, sf_dir, "events")
-    return state_at(e, "ts", "event_type", ["user_id"], "2024-01-15 00:00:00")
+    dur = duration_in(e, "ts", "event_type", ["user_id"], "error").select(
+        "user_id", F.round("duration_s", 3).alias("duration_s")
+    )
+    at_ts = state_at(e, "ts", "event_type", ["user_id"], "2024-01-15 00:00:00")
+    return dur.join(at_ts, "user_id", "left")
 
 
 @_q(
@@ -1085,51 +1046,49 @@ def gauge_metrics(spark, sf_dir):
 
 
 @_q(
-    "show_series",
+    "show_series_tag_values",
     """
-    SELECT DISTINCT 'events,event_type=' || event_type
-           || ',user_bucket=' || CAST(user_id % 10 AS VARCHAR) AS key
+    SELECT DISTINCT 'series' AS kind,
+           'events,event_type=' || event_type
+           || ',user_bucket=' || CAST(user_id % 10 AS VARCHAR) AS key,
+           CAST(NULL AS VARCHAR) AS value
     FROM events
+    UNION
+    SELECT 'tag_value', 'lang', lang FROM documents WHERE lang IS NOT NULL
+    UNION
+    SELECT 'tag_value', 'source', source FROM documents WHERE source IS NOT NULL
     """,
 )
-def show_series(spark, sf_dir):
-    """SHOW SERIES: distinct series keys formatted measurement,tag=val,...
-    (SURVEY §2.6; reference sql/planner.rs:1400-1406). Tag-only projection
-    = DISTINCT series (rewrite_tag_scan.rs semantics)."""
+def show_series_tag_values(spark, sf_dir):
+    """SHOW SERIES (distinct series keys formatted measurement,tag=val,...,
+    reference sql/planner.rs:1400-1406; tag-only projection = DISTINCT
+    series per rewrite_tag_scan.rs) and SHOW TAG VALUES WITH KEY IN
+    (lang, source) (planner.rs:1408-1421), unioned with a kind marker."""
     e = _t(spark, sf_dir, "events")
-    return e.select(
+    d = _t(spark, sf_dir, "documents")
+    series = e.select(
+        F.lit("series").alias("kind"),
         F.concat(
             F.lit("events,event_type="),
             F.col("event_type"),
             F.lit(",user_bucket="),
             F.pmod(F.col("user_id"), F.lit(10)).cast("string"),
-        ).alias("key")
+        ).alias("key"),
+        F.lit(None).cast("string").alias("value"),
     ).distinct()
-
-
-@_q(
-    "show_tag_values",
-    """
-    SELECT 'lang' AS key, lang AS value FROM documents WHERE lang IS NOT NULL
-    UNION
-    SELECT 'source', source FROM documents WHERE source IS NOT NULL
-    """,
-)
-def show_tag_values(spark, sf_dir):
-    """SHOW TAG VALUES WITH KEY IN (lang, source) (SURVEY §2.6;
-    reference sql/planner.rs:1408-1421)."""
-    d = _t(spark, sf_dir, "documents")
     lang = (
-        d.select(F.lit("lang").alias("key"), F.col("lang").alias("value"))
+        d.select(F.lit("tag_value").alias("kind"), F.lit("lang").alias("key"),
+                 F.col("lang").alias("value"))
         .filter(F.col("value").isNotNull())
         .distinct()
     )
     src = (
-        d.select(F.lit("source").alias("key"), F.col("source").alias("value"))
+        d.select(F.lit("tag_value").alias("kind"), F.lit("source").alias("key"),
+                 F.col("source").alias("value"))
         .filter(F.col("value").isNotNull())
         .distinct()
     )
-    return lang.unionAll(src).distinct()
+    return series.unionAll(lang).unionAll(src).distinct()
 
 
 @_q(
@@ -1716,15 +1675,6 @@ def streaming_tumbling_agg(spark, sf_dir):
     )
 
 
-@_q(
-    "tsbs_last_point_per_series",
-    """
-    SELECT user_id, epoch_us(max(ts)) AS last_ts_us,
-           arg_max(value, ts) AS last_value,
-           arg_max(event_type, ts) AS last_type
-    FROM events GROUP BY user_id
-    """,
-)
 def tsbs_last_point(spark, sf_dir):
     """TSBS last-loc shape: latest point per series — one agg with max_by,
     no window sort (the plan the reference's time-ordered scan feeds)."""
@@ -1736,17 +1686,6 @@ def tsbs_last_point(spark, sf_dir):
     )
 
 
-@_q(
-    "tsbs_threshold_windows",
-    """
-    WITH w AS (
-      SELECT user_id, (epoch_us(ts) - epoch_us(ts) % 600000000) AS ws,
-             avg(value) AS av
-      FROM events GROUP BY 1, 2)
-    SELECT user_id, CAST(count(*) AS BIGINT) AS n_high_windows
-    FROM w WHERE av > 75 GROUP BY user_id
-    """,
-)
 def tsbs_threshold_windows(spark, sf_dir):
     """TSBS high-load shape: 10-min windows whose avg exceeds a threshold,
     counted per series."""
@@ -1762,15 +1701,6 @@ def tsbs_threshold_windows(spark, sf_dir):
     )
 
 
-@_q(
-    "tsbs_daily_activity",
-    """
-    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           CAST(count(*) AS BIGINT) AS n,
-           round(avg(value), 6) AS avg_value
-    FROM events GROUP BY 1, 2
-    """,
-)
 def tsbs_daily_activity(spark, sf_dir):
     """TSBS daily-activity shape: per-series per-day counts and averages."""
     e = _t(spark, sf_dir, "events")
