@@ -25,13 +25,13 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
-    "window_rank_top_orders",
+    "window_rank_ntile_dist",
     "agg_distinct_counts",
     "time_window_tumbling",
     "time_window_sliding",
-    "gapfill_locf",
-    "first_last_per_series",
-    "topk_values",
+    "gapfill_locf_interpolate",
+    "series_selector_aggs",
+    "topk_bottom_values",
     "lww_dedup_merge",
     "dedup_exact",
     "minhash_lsh_pairs",

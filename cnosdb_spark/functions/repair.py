@@ -71,7 +71,9 @@ def timestamp_repair(
         if interval <= 0:
             return ts, vals
         start = int(ts[0])
-        k = np.round((ts - start) / interval).astype("int64")
+        # floor(x+0.5) (half-up), not np.round (half-even): reproducible in
+        # ANSI SQL for the differential oracle
+        k = np.floor((ts - start) / interval + 0.5).astype("int64")
         new_ts = start + k * interval
         _, first_idx = np.unique(new_ts, return_index=True)
         return new_ts[first_idx], vals[first_idx]

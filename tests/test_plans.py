@@ -40,9 +40,9 @@ def test_q5_no_shuffle_join_on_dims(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    p = _plan(spark, "topk_values")
+    p = _plan(spark, "topk_bottom_values")
     assert "TakeOrderedAndProject" in p
-    assert "Sort " not in p  # selector must not global-sort
+    assert "Sort " not in p  # selectors must not global-sort
 
 
 def test_tumbling_window_single_shuffle(spark):
