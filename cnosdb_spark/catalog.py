@@ -124,6 +124,56 @@ class Catalog:
         schema.schema_version += 1
         self._save_schema(db, schema)
 
+    def alter_table_rename_column(self, db: str, name: str, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN (reference ddl/rename_field.slt,
+        rename_tag.slt; schema machinery tskv_table_schema.rs:361-396).
+        Data files are rewritten with the new column name — the reference
+        resolves old names via schema_version at scan time; at the scale
+        this engine targets the equivalent is a column-mapping rule in the
+        scan, but a rewrite keeps the storage self-describing here."""
+        from .schema import TIME_COL
+
+        schema = self.get_schema(db, name)
+        if old == TIME_COL:
+            raise ValueError("rename time column is not supported")
+        if new in schema.fields or new in schema.tags or new == TIME_COL:
+            raise ValueError(f"column {new} already exists in {name}")
+        is_tag = old in schema.tags
+        if not is_tag and old not in schema.fields:
+            raise ValueError(f"column {old} not found in {name}")
+        path = self._table_path(db, name)
+        has_data = any(e.startswith("_tb=") for e in os.listdir(path))
+        if has_data:
+            raw = self.spark.read.option("basePath", path).parquet(path)
+            renamed = raw.withColumnRenamed(old, new)
+            tmp = path + ".rename"
+            renamed.write.mode("overwrite").partitionBy("_tb").parquet(tmp)
+            for entry in os.listdir(path):
+                if entry.startswith("_tb="):
+                    shutil.rmtree(os.path.join(path, entry))
+            for entry in os.listdir(tmp):
+                if entry.startswith("_tb="):
+                    shutil.move(os.path.join(tmp, entry), os.path.join(path, entry))
+            shutil.rmtree(tmp, ignore_errors=True)
+        if is_tag:
+            schema.tags = [new if t == old else t for t in schema.tags]
+            sp = self._series_path(db, name)
+            if os.path.isdir(sp):
+                series = self.spark.read.parquet(sp).withColumnRenamed(old, new)
+                tmp = sp + ".rename"
+                series.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(sp, ignore_errors=True)
+                shutil.move(tmp, sp)
+        else:
+            schema.fields = {
+                (new if k == old else k): v for k, v in schema.fields.items()
+            }
+        codecs = schema.options.get("codecs", {})
+        if old in codecs:
+            codecs[new] = codecs.pop(old)
+        schema.schema_version += 1
+        self._save_schema(db, schema)
+
     # ---------- DML ----------
     def insert(self, db: str, name: str, df: DataFrame) -> int:
         """INSERT INTO: cast the source to the table schema and append.

@@ -39,6 +39,36 @@ _TYPE_MAP = {
     "boolean": "boolean",
 }
 
+# Display names for DESCRIBE TABLE (reference renders the tskv type names,
+# ddl/describe_table.slt; "TIMESTAMP(NANOSECOND)" is the reference's native
+# time precision — ours stores µs, the label mirrors the surface).
+_TYPE_DISPLAY = {
+    "bigint": "BIGINT",
+    "unsigned": "BIGINT UNSIGNED",
+    "double": "DOUBLE",
+    "string": "STRING",
+    "boolean": "BOOLEAN",
+    "geometry": "GEOMETRY",
+}
+
+# Codec validity per field type (reference common/models/src/codec.rs:5-34:
+# BIGINT_CODEC / DOUBLE_CODEC / STRING_CODEC / BOOLEAN_CODEC).
+_CODEC_COMPAT = {
+    "bigint": {"DEFAULT", "NULL", "DELTA", "DELTATS", "QUANTILE"},
+    "unsigned": {"DEFAULT", "NULL", "DELTA", "DELTATS", "QUANTILE"},
+    "double": {"DEFAULT", "NULL", "GORILLA", "QUANTILE"},
+    "string": {"DEFAULT", "NULL", "GZIP", "BZIP", "ZSTD", "SNAPPY", "ZLIB"},
+    "geometry": {"DEFAULT", "NULL", "GZIP", "BZIP", "ZSTD", "SNAPPY", "ZLIB"},
+    "boolean": {"DEFAULT", "NULL", "BITPACK", "BIT_PACK"},
+}
+
+
+def _check_codec(codec: str | None, ftype: str) -> None:
+    if codec is None:
+        return
+    if codec.upper() not in _CODEC_COMPAT.get(ftype, {"DEFAULT", "NULL"}):
+        raise ValueError(f"Unsupported encoding type {codec} for {ftype}")
+
 
 class Engine:
     def __init__(
@@ -57,6 +87,17 @@ class Engine:
         # DDL/DML mark entries dirty; _register_views only re-reads those.
         self._registered: dict[tuple[str, str], str] = {}
         self._dirty: set[tuple[str, str]] = set()
+        from .functions import weighted
+
+        weighted.register(spark)
+        # DCL metadata (single-process analogue of the reference's meta
+        # service state: common/models/src/auth/{user,role,privilege}.rs).
+        # Spark has no auth layer; these are catalog objects + SHOW surface.
+        self.user = "root"
+        self.users: dict[str, dict] = {"root": {"is_admin": True, "options": {}}}
+        self.tenants: dict[str, dict] = {"cnosdb": {"members": {"root": "owner"}}}
+        self.roles: dict[str, dict] = {}  # custom roles per tenant
+        self.grants: list[tuple[str, str, str]] = []  # (privilege, db, role)
         if database not in self.catalog.list_databases():
             self.catalog.create_database(database)
 
@@ -80,6 +121,14 @@ class Engine:
             return self._create_stream_table(stmt)
         if kw == "CREATE" and kw2 == "TABLE":
             return self._create_table(stmt)
+        if kw == "CREATE" and kw2 in ("TENANT", "USER", "ROLE"):
+            return self._dcl(stmt)
+        if kw in ("GRANT", "REVOKE"):
+            return self._dcl(stmt)
+        if kw in ("DROP", "ALTER") and kw2 in ("TENANT", "USER", "ROLE"):
+            return self._dcl(stmt)
+        if kw in ("DESCRIBE", "DESC"):
+            return self._describe(stmt)
         if kw == "DROP":
             return self._drop(stmt)
         if kw == "ALTER":
@@ -211,8 +260,27 @@ class Engine:
             return reader.format("avro").load(path)
         raise ValueError(f"unsupported external format {fmt!r}")
 
+    def _session_fns(self, sql: str) -> str:
+        """Session/context functions (reference query_server/query/src/
+        extension/expr/session_function/mod.rs: current_user, current_role,
+        current_tenant, current_database) — resolved to literals at plan
+        time, exactly as the reference binds them from the session context."""
+        role = self.tenants.get(self.catalog.tenant, {}).get("members", {}).get(
+            self.user, "owner"
+        )
+        subs = {
+            "current_user": self.user,
+            "current_role": role,
+            "current_tenant": self.catalog.tenant,
+            "current_database": self.database,
+        }
+        for fn, val in subs.items():
+            sql = re.sub(rf"\b{fn}\s*\(\s*\)", f"'{val}'", sql, flags=re.I)
+        return sql
+
     def _select(self, stmt: str) -> DataFrame:
         self._register_views()
+        stmt = self._session_fns(stmt)
         if re.search(r"\btime_window_gapfill\s*\(", stmt, re.I):
             return self._gapfill_select(stmt)
         return self.spark.sql(rewrite_dql(self._qualify(stmt)))
@@ -339,6 +407,7 @@ class Engine:
         body = m.group(3)
         tags: list[str] = []
         fields: dict[str, str] = {}
+        codecs: dict[str, str] = {}
         tm = re.search(r"TAGS\s*\(([^)]*)\)", body, re.I)
         if tm:
             tags = [t.strip().strip('"') for t in tm.group(1).split(",") if t.strip()]
@@ -347,22 +416,29 @@ class Engine:
             coldef = coldef.strip().rstrip(",").strip()
             if not coldef:
                 continue
-            cm = re.match(r'("?[\w]+"?)\s+(.+?)(?:\s+CODEC\s*\(.*\))?\s*$', coldef, re.I)
+            cm = re.match(
+                r'("?[\w]+"?)\s+(.+?)(?:\s+CODEC\s*\(\s*(\w+)\s*\))?\s*$', coldef, re.I
+            )
             if not cm:
                 raise ValueError(f"cannot parse column definition {coldef!r}")
             cname = cm.group(1).strip('"')
             ctype = cm.group(2).strip().lower()
             if cname.lower() == TIME_COL:
                 continue  # implicit in tskv tables
+            if cm.group(3):
+                codecs[cname] = cm.group(3).upper()
             if ctype.startswith("geometry"):
                 fields[cname] = "geometry"  # WKT string + subtype metadata
                 continue
             if ctype not in _TYPE_MAP:
                 raise ValueError(f"unsupported field type {ctype!r} for {cname!r}")
             fields[cname] = _TYPE_MAP[ctype]
+            _check_codec(codecs.get(cname), fields[cname])
         schema = TskvTableSchema(
             tenant=self.catalog.tenant, db=db, name=name, tags=tags, fields=fields
         )
+        if codecs:
+            schema.options["codecs"] = codecs
         self.catalog.create_table(db, schema)
 
     def _create_external_table(self, stmt: str) -> None:
@@ -455,6 +531,34 @@ class Engine:
 
             with open(os.path.join(self.catalog._db_path(db), "_db.json"), "w") as f:
                 _json.dump(opts, f)
+            return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$",
+            stmt,
+            re.I,
+        )
+        if m:  # ddl/rename_field.slt, rename_tag.slt
+            tbl, old, new = m.groups()
+            db, name = self._split_table_name(tbl)
+            self.catalog.alter_table_rename_column(db, name, old, new)
+            self._mark_dirty(db, name)
+            return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(\w+)\s+SET\s+CODEC\s*\(\s*(\w+)\s*\)\s*;?\s*$",
+            stmt,
+            re.I,
+        )
+        if m:  # ddl/alter_codec.slt
+            tbl, col, codec = m.groups()
+            db, name = self._split_table_name(tbl)
+            schema = self.catalog.get_schema(db, name)
+            if col not in schema.fields:
+                raise ValueError(f"column {col} is not a field of {name}")
+            _check_codec(codec, schema.fields[col])
+            codecs = schema.options.setdefault("codecs", {})
+            codecs[col] = codec.upper()
+            schema.schema_version += 1
+            self.catalog._save_schema(db, schema)
             return None
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(?:FIELD|COLUMN)\s+(\w+)(?:\s+(\w+(?:\s+\w+)?))?\s*;?\s*$",
@@ -620,12 +724,183 @@ class Engine:
             return self.spark.createDataFrame([(n,)], ["rows"])
         raise ValueError(f"cannot parse COPY: {stmt[:80]!r}")
 
+    # ------------------------------------------------------------ DESCRIBE
+    def _describe(self, stmt: str) -> DataFrame:
+        """DESCRIBE TABLE/DATABASE (reference ddl/describe_table.slt,
+        describe_database.slt; planner DescribeTable/DescribeDatabase in
+        query_server/query/src/sql/planner.rs). Row shape mirrors the
+        reference: table → (column_name, data_type, column_type,
+        compression_codec); database → the 11 database options."""
+        m = re.match(
+            r"(?:DESCRIBE|DESC)\s+(TABLE|DATABASE)\s+([\w.]+)\s*;?\s*$", stmt, re.I
+        )
+        if not m:
+            # bare `DESC <table>` (rename_field.slt uses `desc table`; the
+            # http surface also allows DESCRIBE <table>)
+            m2 = re.match(r"(?:DESCRIBE|DESC)\s+([\w.]+)\s*;?\s*$", stmt, re.I)
+            if not m2:
+                raise ValueError(f"cannot parse DESCRIBE: {stmt!r}")
+            kind, target = "TABLE", m2.group(1)
+        else:
+            kind, target = m.group(1).upper(), m.group(2)
+        if kind == "DATABASE":
+            if target not in self.catalog.list_databases():
+                raise ValueError(f"Database not found: {target!r}")
+            opts = self.catalog.database_options(target)
+            row = (
+                str(opts.get("ttl", "INF")),
+                int(opts.get("shard", 1)),
+                str(opts.get("vnode_duration", "1year")),
+                int(opts.get("replica", 1)),
+                str(opts.get("precision", "NS")),
+                "128 MiB", 16, "128 MiB", False, False, 32,
+            )
+            return self.spark.createDataFrame(
+                [row],
+                "ttl string, shard bigint, vnode_duration string, replica bigint, "
+                "precision string, max_memcache_size string, memcache_partitions bigint, "
+                "wal_max_file_size string, wal_sync boolean, strict_write boolean, "
+                "max_cache_readers bigint",
+            )
+        db, name = self._split_table_name(target)
+        if name in self.external:
+            fmt, path, opts = self.external[name]
+            df = self._read_external(fmt, path, opts)
+            rows = [
+                (f.name, f.dataType.simpleString().upper(), "FIELD", "DEFAULT")
+                for f in df.schema.fields
+            ]
+        else:
+            schema = self.catalog.get_schema(db, name)
+            codecs = schema.options.get("codecs", {})
+            rows = [(TIME_COL, "TIMESTAMP(NANOSECOND)", "TIME", "DEFAULT")]
+            rows += [(t, "STRING", "TAG", "DEFAULT") for t in schema.tags]
+            rows += [
+                (
+                    fname,
+                    _TYPE_DISPLAY.get(ftype, ftype.upper()),
+                    "FIELD",
+                    codecs.get(fname, "DEFAULT"),
+                )
+                for fname, ftype in schema.fields.items()
+            ]
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, data_type string, column_type string, "
+            "compression_codec string",
+        )
+
+    # ---------------------------------------------------------------- DCL
+    def _dcl(self, stmt: str):
+        """Tenant/user/role/grant DCL as metadata-only catalog objects
+        (reference common/models/src/auth/{user,role,privilege}.rs and
+        cases/dcl/*.slt; Spark has no auth enforcement layer — the surface
+        exists so DCL round-trips and SHOW works)."""
+        s = stmt.rstrip(";").strip()
+        m = re.match(r"CREATE\s+TENANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.I)
+        if m:
+            name = m.group(1)
+            if name in self.tenants and "IF NOT EXISTS" not in s.upper():
+                raise ValueError(f"tenant {name} already exists")
+            self.tenants.setdefault(name, {"members": {}})
+            return None
+        m = re.match(r"DROP\s+TENANT\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
+        if m:
+            name = m.group(1)
+            if name == "cnosdb":
+                raise ValueError("tenant cnosdb is prohibited from being dropped")
+            if name not in self.tenants and "IF EXISTS" not in s.upper():
+                raise ValueError(f"tenant {name} not found")
+            self.tenants.pop(name, None)
+            return None
+        m = re.match(r"CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(.*)$", s, re.I | re.S)
+        if m:
+            name, rest = m.group(1), m.group(2)
+            if name in self.users and "IF NOT EXISTS" not in s.upper():
+                raise ValueError(f"user {name} already exists")
+            opts = dict(re.findall(r"(\w+)\s*=\s*'?([^',\s]+)'?", rest))
+            self.users.setdefault(name, {"is_admin": False, "options": opts})
+            return None
+        m = re.match(r"DROP\s+USER\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
+        if m:
+            name = m.group(1)
+            if name == "root":
+                raise ValueError("User 'root' is prohibited from being dropped")
+            if name not in self.users and "IF EXISTS" not in s.upper():
+                raise ValueError(f"The user {name} not found")
+            self.users.pop(name, None)
+            return None
+        m = re.match(r"ALTER\s+USER\s+(\w+)\s+SET\s+(\w+)\s*=\s*(.+)$", s, re.I)
+        if m:
+            name, key, val = m.group(1), m.group(2).lower(), m.group(3).strip().strip("'")
+            if name == "root" and key == "granted_admin":
+                raise ValueError("The root user does not support changing granted_admin")
+            if name not in self.users:
+                raise ValueError(f"The user {name} not found")
+            self.users[name]["options"][key] = val
+            return None
+        m = re.match(
+            r"ALTER\s+TENANT\s+(\w+)\s+(ADD|REMOVE)\s+USER\s+(\w+)(?:\s+AS\s+(\w+))?",
+            s, re.I,
+        )
+        if m:
+            tenant, action, user, role = m.groups()
+            if tenant not in self.tenants:
+                raise ValueError(f"tenant {tenant} not found")
+            if action.upper() == "ADD":
+                if user not in self.users:
+                    raise ValueError(f"The user {user} not found")
+                self.tenants[tenant]["members"][user] = (role or "member").lower()
+            else:
+                self.tenants[tenant]["members"].pop(user, None)
+            return None
+        m = re.match(r"CREATE\s+ROLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+INHERIT\s+(\w+))?", s, re.I)
+        if m:
+            name, inherit = m.groups()
+            if name in self.roles and "IF NOT EXISTS" not in s.upper():
+                raise ValueError(f"role {name} already exists")
+            self.roles.setdefault(name, {"inherit": (inherit or "member").lower()})
+            return None
+        m = re.match(r"DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
+        if m:
+            name = m.group(1)
+            if name not in self.roles and "IF EXISTS" not in s.upper():
+                raise ValueError(f"role {name} not found")
+            self.roles.pop(name, None)
+            return None
+        m = re.match(r"GRANT\s+(READ|WRITE|ALL)\s+ON\s+DATABASE\s+(\w+)\s+TO\s+(?:ROLE\s+)?(\w+)", s, re.I)
+        if m:
+            priv, db, role = m.groups()
+            if role not in self.roles:
+                raise ValueError(f"role {role} not found")
+            self.grants.append((priv.upper(), db, role))
+            return None
+        m = re.match(r"REVOKE\s+(READ|WRITE|ALL)\s+ON\s+DATABASE\s+(\w+)\s+FROM\s+(?:ROLE\s+)?(\w+)", s, re.I)
+        if m:
+            priv, db, role = m.groups()
+            self.grants = [g for g in self.grants if g != (priv.upper(), db, role)]
+            return None
+        raise ValueError(f"cannot parse DCL statement: {stmt[:80]!r}")
+
     # ---------------------------------------------------------------- SHOW
     def _show(self, stmt: str) -> DataFrame:
         s = stmt.rstrip(";").strip()
         if re.fullmatch(r"SHOW\s+DATABASES", s, re.I):
             return self.spark.createDataFrame(
                 [(d,) for d in self.catalog.list_databases()], ["database_name"]
+            )
+        if re.fullmatch(r"SHOW\s+TENANTS", s, re.I):
+            return self.spark.createDataFrame(
+                [(t,) for t in sorted(self.tenants)], ["tenant_name"]
+            )
+        if re.fullmatch(r"SHOW\s+USERS", s, re.I):
+            return self.spark.createDataFrame(
+                [(u,) for u in sorted(self.users)], ["user_name"]
+            )
+        if re.fullmatch(r"SHOW\s+ROLES", s, re.I):
+            return self.spark.createDataFrame(
+                [(r,) for r in sorted(self.roles)] or [("owner",), ("member",)],
+                ["role_name"],
             )
         if re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I):
             m = re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I)

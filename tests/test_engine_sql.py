@@ -223,6 +223,9 @@ def test_explain_and_errors(eng):
     with pytest.raises(ValueError, match="exactly one statement"):
         eng.sql("SELECT 1; SELECT 2")
     with pytest.raises(ValueError, match="unsupported statement"):
+        eng.sql("VACUUM everything")
+    # GRANT is now DCL surface; a malformed one errors as such
+    with pytest.raises(ValueError, match="cannot parse DCL"):
         eng.sql("GRANT ALL ON x TO y")
 
 
@@ -287,3 +290,123 @@ def test_gapfill_sql_locf_interpolate(eng):
     assert [round(x[1], 2) for x in a] == [10.0, 16.67, 23.33, 30.0]
     b = [r["locf_v"] for r in rows if r["t0"] == "b"]
     assert b == [100.0, 100.0, 200.0]
+
+
+def test_describe_table_and_database(eng):
+    """ddl/describe_table.slt + describe_database.slt shapes."""
+    eng.sql(
+        """CREATE TABLE dt(column1 BIGINT CODEC(DELTA), column2 STRING CODEC(GZIP),
+        column3 BIGINT UNSIGNED CODEC(NULL), column4 BOOLEAN,
+        column5 DOUBLE CODEC(GORILLA), TAGS(column6, column7))"""
+    )
+    rows = {
+        r["column_name"]: (r["data_type"], r["column_type"], r["compression_codec"])
+        for r in eng.sql("DESCRIBE TABLE dt").collect()
+    }
+    assert rows["time"] == ("TIMESTAMP(NANOSECOND)", "TIME", "DEFAULT")
+    assert rows["column1"] == ("BIGINT", "FIELD", "DELTA")
+    assert rows["column2"] == ("STRING", "FIELD", "GZIP")
+    assert rows["column3"] == ("BIGINT UNSIGNED", "FIELD", "NULL")
+    assert rows["column4"] == ("BOOLEAN", "FIELD", "DEFAULT")
+    assert rows["column5"] == ("DOUBLE", "FIELD", "GORILLA")
+    assert rows["column6"] == ("STRING", "TAG", "DEFAULT")
+    eng.sql("CREATE DATABASE ddb WITH TTL '100000d'")
+    row = eng.sql("DESCRIBE DATABASE ddb").collect()[0]
+    # ttl is stored Spark-INTERVAL-normalized ('100000d' → '100000 DAY')
+    assert row["ttl"] == "100000 DAY" and row["shard"] == 1 and row["precision"] == "NS"
+    with pytest.raises(ValueError):
+        eng.sql("DESCRIBE DATABASE nope")
+
+
+def test_alter_rename_column_and_codec(eng):
+    """ddl/rename_field.slt + rename_tag.slt + alter_codec.slt."""
+    eng.sql("CREATE TABLE rn(f0 BIGINT, f1 BIGINT, TAGS(t0))")
+    eng.sql("INSERT INTO rn(time, t0, f0, f1) VALUES ('2024-01-01 00:00:01', 'a', 1, 2)")
+    eng.sql("ALTER TABLE rn RENAME COLUMN f0 TO f0009")
+    rows = eng.sql("SELECT t0, f0009, f1 FROM rn").collect()
+    assert rows[0]["f0009"] == 1
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE rn RENAME COLUMN f1 TO f0009")  # exists
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE rn RENAME COLUMN time TO t_x")  # time column
+    eng.sql("ALTER TABLE rn RENAME COLUMN f0009 TO f0")
+    # tag rename keeps data + series index
+    eng.sql("ALTER TABLE rn RENAME COLUMN t0 TO station")
+    assert eng.sql("SELECT station, f0 FROM rn").collect()[0]["station"] == "a"
+    assert [r["key"] for r in eng.sql("SHOW SERIES FROM rn").collect()] == [
+        "rn,station=a"
+    ]
+    # codec alter: valid for type, then the reference's rejection case
+    eng.sql("CREATE TABLE air2(pressure DOUBLE, TAGS(station))")
+    eng.sql("ALTER TABLE air2 ALTER pressure SET CODEC(GORILLA)")
+    desc = {r["column_name"]: r["compression_codec"]
+            for r in eng.sql("DESC TABLE air2").collect()}
+    assert desc["pressure"] == "GORILLA"
+    with pytest.raises(ValueError, match="Unsupported encoding"):
+        eng.sql("ALTER TABLE air2 ALTER pressure SET CODEC(SNAPPY)")
+
+
+def test_dcl_and_session_functions(eng):
+    """dcl/*.slt surface + session_function/ context fns."""
+    with pytest.raises(ValueError):
+        eng.sql("DROP USER root")
+    with pytest.raises(ValueError):
+        eng.sql("ALTER USER root SET granted_admin = true")
+    eng.sql("CREATE USER IF NOT EXISTS u1")
+    eng.sql("CREATE TENANT IF NOT EXISTS t1")
+    eng.sql("ALTER TENANT t1 ADD USER u1 AS member")
+    assert eng.tenants["t1"]["members"]["u1"] == "member"
+    eng.sql("CREATE ROLE r1 INHERIT member")
+    eng.sql("GRANT READ ON DATABASE public TO ROLE r1")
+    users = [r["user_name"] for r in eng.sql("SHOW USERS").collect()]
+    assert {"root", "u1"} <= set(users)
+    tenants = [r["tenant_name"] for r in eng.sql("SHOW TENANTS").collect()]
+    assert {"cnosdb", "t1"} <= set(tenants)
+    eng.sql("REVOKE READ ON DATABASE public FROM ROLE r1")
+    eng.sql("DROP ROLE r1")
+    eng.sql("DROP USER u1")
+    eng.sql("DROP TENANT t1")
+    row = eng.sql(
+        "SELECT current_user() AS u, current_role() AS r, "
+        "current_tenant() AS t, current_database() AS d"
+    ).collect()[0]
+    assert (row["u"], row["r"], row["t"], row["d"]) == (
+        "root", "owner", "cnosdb", "public"
+    )
+
+
+def test_approx_percentile_cont_with_weight(eng):
+    """approx_agg/approx_percentile_cont_with_weight.slt shape: weighted
+    percentile aggregate usable straight from SQL (grouped-agg pandas
+    UDAF). Exact weighted interpolation — documented divergence from
+    DataFusion's t-digest in low digits."""
+    eng.sql("CREATE TABLE aww(id BIGINT, temperature DOUBLE, weight DOUBLE)")
+    eng.sql(
+        """INSERT INTO aww (TIME, id, temperature, weight) VALUES
+        ('1999-12-31 00:00:00.000', 1, 65.0, 1.0),
+        ('1999-12-31 00:00:00.001', 2, 64.5, 0.5),
+        ('1999-12-31 00:00:00.002', 3, 64.9, 1.5),
+        ('1999-12-31 00:00:00.003', 4, 65.1, 0.8),
+        ('1999-12-31 00:00:00.004', 5, 64.7, 2.0)"""
+    )
+    v = eng.sql(
+        "SELECT approx_percentile_cont_with_weight(temperature, weight, 0.5) AS m FROM aww"
+    ).collect()[0]["m"]
+    assert 64.5 <= v <= 65.1  # weighted median within data range
+    lo = eng.sql(
+        "SELECT approx_percentile_cont_with_weight(temperature, weight, 0.0) AS m FROM aww"
+    ).collect()[0]["m"]
+    hi = eng.sql(
+        "SELECT approx_percentile_cont_with_weight(temperature, weight, 1.0) AS m FROM aww"
+    ).collect()[0]["m"]
+    assert (lo, hi) == (64.5, 65.1)
+    # NULL value and NULL weight rows are ignored
+    eng.sql(
+        """INSERT INTO aww (TIME, id, temperature, weight) VALUES
+        ('1999-12-31 00:00:00.005', 6, NULL, 1.0),
+        ('1999-12-31 00:00:00.006', 7, -2.5, NULL)"""
+    )
+    v2 = eng.sql(
+        "SELECT approx_percentile_cont_with_weight(temperature, weight, 0.5) AS m FROM aww"
+    ).collect()[0]["m"]
+    assert 64.5 <= v2 <= 65.1
