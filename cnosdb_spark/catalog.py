@@ -201,9 +201,11 @@ class Catalog:
                 # µs keeps tiny integer timestamps distinct under the LWW
                 # merge, which ns-div-1000 would collapse. Documented
                 # divergence, consistent with the comparison rewrite.)
-                cols.append(F.timestamp_micros(F.col(src)).alias(f_.name))
+                cols.append(F.timestamp_micros(F.col(f"`{src}`")).alias(f_.name))
             else:
-                cols.append(F.col(src).cast(f_.dataType).alias(f_.name))
+                # backticks: a dotted schemaless name (json "a.b") must not
+                # be parsed as nested-struct access
+                cols.append(F.col(f"`{src}`").cast(f_.dataType).alias(f_.name))
         seq = int(_time.time_ns())
         out = (
             df.select(*cols)
@@ -270,12 +272,14 @@ class Catalog:
         if not dedup:
             return df.drop(INGEST_SEQ_COL, INGEST_ROW_COL)
 
-        keys = [TIME_COL, *schema.tags]
+        keys = [f"`{k}`" for k in (TIME_COL, *schema.tags)]
+        # backticked names: schemaless json ingest can produce dotted
+        # column names like "sev.level" that must not parse as nested access
         aggs = [
             F.max_by(
-                F.col(f_),
+                F.col(f"`{f_}`"),
                 F.when(
-                    F.col(f_).isNotNull(),
+                    F.col(f"`{f_}`").isNotNull(),
                     F.struct(F.col(INGEST_SEQ_COL), F.col(INGEST_ROW_COL)),
                 ),
             ).alias(f_)
@@ -283,7 +287,11 @@ class Catalog:
         ]
         if not aggs:  # tag-only table: distinct series+time
             return df.select(*keys).distinct()
-        return df.groupBy(*keys).agg(*aggs).select(TIME_COL, *schema.tags, *schema.field_names)
+        return (
+            df.groupBy(*keys)
+            .agg(*aggs)
+            .select(*[f"`{c}`" for c in (TIME_COL, *schema.tags, *schema.field_names)])
+        )
 
     def compact(self, db: str, name: str) -> None:
         """Materialize the merge-on-read view (the analogue of tskv

@@ -996,9 +996,56 @@ class Engine:
         then appends. Returns {measurement: rows_written}."""
         from .sources.line_protocol import lines_to_tables
 
+        return self._write_schemaless(
+            lines_to_tables(self.spark, text, precision), db
+        )
+
+    def write_open_tsdb(
+        self, text: str, db: str | None = None, tcp: bool = False
+    ) -> dict[str, int]:
+        """OpenTSDB ingest (api/v1/opentsdb/write, http_service.rs:607;
+        telnet `put` framing when tcp=True). Single implicit double field
+        ``value`` per the reference parser."""
+        from .sources.open_tsdb import open_tsdb_to_tables
+
+        return self._write_schemaless(
+            open_tsdb_to_tables(self.spark, text, tcp=tcp), db
+        )
+
+    def write_es_log(
+        self, text: str, db: str | None = None, default_table: str = "log",
+        tag_keys: set[str] | None = None,
+    ) -> dict[str, int]:
+        """Elasticsearch-bulk JSON ingest (api/v1/es/_bulk,
+        http_service.rs:691): command/fields pairs; _index names the
+        table."""
+        from .sources.json_protocol import json_logs_to_tables, parse_es_log
+
+        return self._write_schemaless(
+            json_logs_to_tables(
+                self.spark, parse_es_log(text), default_table, tag_keys
+            ),
+            db,
+        )
+
+    def write_ndjson(
+        self, text: str, db: str | None = None, table: str = "log",
+        tag_keys: set[str] | None = None,
+    ) -> dict[str, int]:
+        """ndjson ingest: one flattened JSON object per line."""
+        from .sources.json_protocol import json_logs_to_tables, parse_ndjson
+
+        return self._write_schemaless(
+            json_logs_to_tables(self.spark, parse_ndjson(text), table, tag_keys),
+            db,
+        )
+
+    def _write_schemaless(self, tables: dict, db: str | None) -> dict[str, int]:
+        """Shared schemaless write path: auto-create tables/columns, append
+        through Catalog.insert (LWW merge applies on read)."""
         db = db or self.database
         out: dict[str, int] = {}
-        for name, (df, tagkeys) in lines_to_tables(self.spark, text, precision).items():
+        for name, (df, tagkeys) in tables.items():
             tags = [f.name for f in df.schema.fields if f.name in tagkeys]
             fields = {}
             for f in df.schema.fields:

@@ -1,0 +1,120 @@
+"""OpenTSDB + JSON protocol ingest tests, mirroring the reference parser
+cases (common/protocol_parser/src/{open_tsdb,json_protocol}/parser.rs
+`mod test`)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cnosdb_spark.engine import Engine
+from cnosdb_spark.sources.json_protocol import (
+    flatten_json,
+    parse_es_log,
+    parse_ndjson,
+)
+from cnosdb_spark.sources.open_tsdb import (
+    parse_open_tsdb,
+    parse_open_tsdb_tcp,
+)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def test_open_tsdb_parse():
+    out = parse_open_tsdb(
+        "sys.if.bytes.out 1479496100 1.3e3 host=web01 interface=eth0\n"
+        "sys.procs.running 1479496100 42 host=web01"
+    )
+    rows, tags = out["sys.if.bytes.out"]
+    assert rows[0]["value"] == 1300.0
+    assert rows[0]["host"] == "web01" and rows[0]["interface"] == "eth0"
+    assert tags == {"host", "interface"}
+    # seconds vs milliseconds magnitude
+    s_rows, _ = out["sys.procs.running"]
+    assert s_rows[0]["time"].year == 2016
+    ms = parse_open_tsdb("m 1479496100000 1 host=a")["m"][0][0]["time"]
+    assert ms.year == 2016
+    with pytest.raises(ValueError, match="missing field"):
+        parse_open_tsdb("m 1479496100 host=a")
+    with pytest.raises(ValueError, match="bad tag"):
+        parse_open_tsdb("m 1479496100 1 hosta")
+
+
+def test_open_tsdb_tcp_put():
+    out = parse_open_tsdb_tcp(
+        "put sys.cpu.user 1479496100 42.5 host=web01\r\n"
+        "put sys.cpu.user 1479496101 43.5 host=web02\r\n"
+    )
+    rows, _ = out["sys.cpu.user"]
+    assert [r["value"] for r in rows] == [42.5, 43.5]
+    with pytest.raises(ValueError, match="unknown command"):
+        parse_open_tsdb_tcp("PUT sys.cpu.user 1 1 host=a")  # case-sensitive
+    # reference requires ≥4 tokens (put metric ts value); tags optional
+    # (parser.rs:139-141 checks tokens.len() < 4)
+    assert parse_open_tsdb_tcp("put m 1479496100 42.5")["m"][0][0]["value"] == 42.5
+    with pytest.raises(ValueError, match="put needs"):
+        parse_open_tsdb_tcp("put sys.cpu.user 1479496100")
+
+
+def test_flatten_json():
+    flat = flatten_json("", {"a": {"b": 1, "c": [10, {"d": 2}]}, "e": "x"})
+    assert flat == {"a.b": 1, "a.c.0": 10, "a.c.1.d": 2, "e": "x"}
+
+
+def test_es_log_pairs():
+    text = (
+        '{ "index" : { "_index" : "test", "_id" : "1" } }\n'
+        '{ "field1" : "value1", "n": 7 }\n'
+        '{ "create" : { "_index" : "test", "_id" : "3" } }\n'
+        '{ "field1" : "value3", "n": 8 }\n'
+    )
+    logs = parse_es_log(text)
+    assert [l["_table"] for l in logs] == ["test", "test"]
+    assert [l["n"] for l in logs] == [7, 8]
+    with pytest.raises(ValueError, match="pair"):
+        parse_es_log('{ "index": {} }')
+    with pytest.raises(ValueError, match="invalid es command"):
+        parse_es_log('{ "delete": {} }\n{"a": 1}')
+
+
+def test_ndjson_parse():
+    logs = parse_ndjson('{"a": 1, "b": {"c": true}}\n{"a": 2, "b": {"c": false}}')
+    assert logs == [{"a": 1, "b.c": True}, {"a": 2, "b.c": False}]
+
+
+def test_open_tsdb_write_path(eng):
+    n = eng.write_open_tsdb(
+        "cpu 1479496100 42.5 host=web01\ncpu 1479496101 43.5 host=web02"
+    )
+    assert n == {"cpu": 2}
+    rows = eng.sql("SELECT host, value FROM cpu ORDER BY host").collect()
+    assert [(r["host"], r["value"]) for r in rows] == [
+        ("web01", 42.5), ("web02", 43.5)
+    ]
+    desc = {r["column_name"]: r["column_type"]
+            for r in eng.sql("DESC TABLE cpu").collect()}
+    assert desc["host"] == "TAG" and desc["value"] == "FIELD"
+    # telnet framing appends to the same table
+    eng.write_open_tsdb("put cpu 1479496102 44.5 host=web03\r\n", tcp=True)
+    assert eng.sql("SELECT count(*) AS n FROM cpu").collect()[0]["n"] == 3
+
+
+def test_json_write_path(eng):
+    n = eng.write_es_log(
+        '{ "index" : { "_index" : "applog" } }\n'
+        '{ "time": 1700000000000000000, "msg": "hello", "sev": {"level": 3} }\n'
+        '{ "index" : { "_index" : "applog" } }\n'
+        '{ "time": 1700000001000000000, "msg": "bye", "sev": {"level": 4} }\n'
+    )
+    assert n == {"applog": 2}
+    rows = eng.sql("SELECT msg, `sev.level` FROM applog ORDER BY time").collect()
+    assert [r["msg"] for r in rows] == ["hello", "bye"]
+    assert [r["sev.level"] for r in rows] == [3, 4]
+    n2 = eng.write_ndjson(
+        '{"time": 1700000002000000000, "v": 1.5}', table="ndj"
+    )
+    assert n2 == {"ndj": 1}
+    assert eng.sql("SELECT v FROM ndj").collect()[0]["v"] == 1.5
