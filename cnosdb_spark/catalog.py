@@ -212,18 +212,25 @@ class Catalog:
             .withColumn(INGEST_SEQ_COL, F.lit(seq))
             .withColumn(INGEST_ROW_COL, F.monotonically_increasing_id())
             .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
+            # the count, data write, and series-index write below would each
+            # re-execute the source plan (an INSERT..SELECT can be
+            # arbitrarily expensive) — materialize once
+            .persist()
         )
-        n = out.count()
-        path = self._table_path(db, name)
-        out.write.mode("append").partitionBy(_TB_COL).parquet(path)
-        if schema.tags:
-            # maintain the series index on write — the analogue of the
-            # reference's inverted tag index updated during ingest
-            # (tskv/src/index/ts_index.rs). Appends this batch's distinct
-            # tag tuples; readers dedup across appends.
-            out.select(*schema.tags).distinct().write.mode("append").parquet(
-                self._series_path(db, name)
-            )
+        try:
+            n = out.count()
+            path = self._table_path(db, name)
+            out.write.mode("append").partitionBy(_TB_COL).parquet(path)
+            if schema.tags:
+                # maintain the series index on write — the analogue of the
+                # reference's inverted tag index updated during ingest
+                # (tskv/src/index/ts_index.rs). Appends this batch's distinct
+                # tag tuples; readers dedup across appends.
+                out.select(*schema.tags).distinct().write.mode("append").parquet(
+                    self._series_path(db, name)
+                )
+        finally:
+            out.unpersist()
         return n
 
     def _series_path(self, db: str, name: str) -> str:

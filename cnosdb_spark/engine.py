@@ -623,22 +623,38 @@ class Engine:
         # first one's new value (reference plans UPDATE against one snapshot,
         # query/src/execution/ddl -> transform_update semantics).
         upd = (F.expr(where) if where else F.lit(True)).alias("_upd")
-        df = df.withColumn("_upd", upd)
-        assigns = []
-        for i, assign in enumerate(_split_top_level(sets_str, ",")):
-            col, _, expr = assign.partition("=")
-            set_col = f"_set_{i}"
-            df = df.withColumn(set_col, F.expr(expr.strip()))
-            assigns.append((col.strip().strip('"'), set_col))
-        for col, set_col in assigns:
-            df = df.withColumn(
-                col, F.when(F.col("_upd"), F.col(set_col)).otherwise(F.col(col))
-            )
-        df = df.drop(*[s for _, s in assigns])
-        n = df.filter(F.col("_upd")).count()
-        self._overwrite(db, name, df.drop("_upd"))
-        self._mark_dirty(db, name)
-        return self.spark.createDataFrame([(n,)], ["rows"])
+        df = df.withColumn("_upd", upd).persist()
+        try:
+            # ONE pass: matched-row count + the set of affected time-bucket
+            # partitions (only those get rewritten — the analogue of the
+            # reference pruning the delta rewrite to touched vnodes).
+            n, affected = df.filter(F.col("_upd")).agg(
+                F.count(F.lit(1)),
+                F.collect_set(F.date_format(TIME_COL, "yyyyMMdd")),
+            ).first()
+            if n:
+                assigns = []
+                out = df
+                for i, assign in enumerate(_split_top_level(sets_str, ",")):
+                    col, _, expr = assign.partition("=")
+                    set_col = f"_set_{i}"
+                    out = out.withColumn(set_col, F.expr(expr.strip()))
+                    assigns.append((col.strip().strip('"'), set_col))
+                for col, set_col in assigns:
+                    out = out.withColumn(
+                        col, F.when(F.col("_upd"), F.col(set_col)).otherwise(F.col(col))
+                    )
+                out = out.drop("_upd", *[s for _, s in assigns])
+                # SET time=... can move rows across _tb buckets → the
+                # pruned rewrite would strand them; fall back to full
+                touches_time = any(c.lower() == TIME_COL for c, _ in assigns)
+                self._overwrite(
+                    db, name, out, partitions=None if touches_time else affected
+                )
+                self._mark_dirty(db, name)
+        finally:
+            df.unpersist()
+        return self.spark.createDataFrame([(int(n),)], ["rows"])
 
     def _delete(self, stmt: str):
         m = re.match(
@@ -648,30 +664,51 @@ class Engine:
             raise ValueError(f"cannot parse DELETE: {stmt!r}")
         tbl, where = m.groups()
         db, name = self._split_table_name(tbl)
-        df = self.catalog.read(db, name)
-        if where:
-            keep = df.filter(~F.expr(where) | F.expr(where).isNull())
-            n = df.count() - keep.count()
-        else:
-            keep = df.limit(0)
-            n = df.count()
-        self._overwrite(db, name, keep)
-        self._mark_dirty(db, name)
-        return self.spark.createDataFrame([(n,)], ["rows"])
+        df = self.catalog.read(db, name).persist()
+        try:
+            if where:
+                cond = F.expr(where)
+                # ONE pass for deleted-row count + affected partitions
+                n, affected = df.filter(cond).agg(
+                    F.count(F.lit(1)),
+                    F.collect_set(F.date_format(TIME_COL, "yyyyMMdd")),
+                ).first()
+                if n:
+                    keep = df.filter(~cond | cond.isNull())
+                    self._overwrite(db, name, keep, partitions=affected)
+                    self._mark_dirty(db, name)
+            else:
+                n = df.count()
+                self._overwrite(db, name, df.limit(0))
+                self._mark_dirty(db, name)
+        finally:
+            df.unpersist()
+        return self.spark.createDataFrame([(int(n),)], ["rows"])
 
-    def _overwrite(self, db: str, name: str, df: DataFrame) -> None:
+    def _overwrite(
+        self, db: str, name: str, df: DataFrame, partitions: list[str] | None = None
+    ) -> None:
         """Rewrite a table's data files from a merged view (tombstone-free
-        compaction path, tskv/src/compaction analogue)."""
+        compaction path, tskv/src/compaction analogue). When ``partitions``
+        is given, ONLY those ``_tb`` time buckets are rewritten (dynamic
+        partition overwrite restricted to the affected buckets — at 100 TB
+        an UPDATE ... WHERE time > X must not rewrite years of history);
+        the input df is filtered to those buckets before writing."""
         path = self.catalog._table_path(db, name)
         staged = (
             df.withColumn(INGEST_SEQ_COL, F.lit(0))
             .withColumn(INGEST_ROW_COL, F.lit(0))
             .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
         )
+        if partitions is not None:
+            staged = staged.filter(F.col(_TB_COL).isin(list(partitions)))
         tmp = path + ".rewrite"
         staged.write.mode("overwrite").partitionBy(_TB_COL).parquet(tmp)
+        wanted = (
+            None if partitions is None else {f"{_TB_COL}={p}" for p in partitions}
+        )
         for entry in os.listdir(path):
-            if entry.startswith(_TB_COL + "="):
+            if entry.startswith(_TB_COL + "=") and (wanted is None or entry in wanted):
                 shutil.rmtree(os.path.join(path, entry))
         for entry in os.listdir(tmp):
             if entry.startswith(_TB_COL + "="):

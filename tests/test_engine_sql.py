@@ -410,3 +410,37 @@ def test_approx_percentile_cont_with_weight(eng):
         "SELECT approx_percentile_cont_with_weight(temperature, weight, 0.5) AS m FROM aww"
     ).collect()[0]["m"]
     assert 64.5 <= v2 <= 65.1
+
+
+def test_update_delete_partition_pruned(eng, tmp_path):
+    """UPDATE/DELETE with a time-pruning WHERE must rewrite ONLY the
+    affected _tb partitions (at 100 TB a one-day UPDATE must not rewrite
+    years of history)."""
+    eng.sql("CREATE TABLE pp(f0 DOUBLE, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO pp(time, t0, f0) VALUES
+        ('2024-01-01 00:00:01', 'a', 1.0), ('2024-01-02 00:00:01', 'a', 2.0),
+        ('2024-01-03 00:00:01', 'a', 3.0)"""
+    )
+    tbl = eng.catalog._table_path("public", "pp")
+    def part_files(day):
+        d = os.path.join(tbl, f"_tb={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    before_0101 = part_files("20240101")
+    before_0103 = part_files("20240103")
+    n = eng.sql(
+        "UPDATE pp SET f0 = 99 WHERE time >= '2024-01-02' AND time < '2024-01-03'"
+    ).collect()[0]["rows"]
+    assert n == 1
+    # untouched days keep their exact files
+    assert part_files("20240101") == before_0101
+    assert part_files("20240103") == before_0103
+    got = sorted(r["f0"] for r in eng.sql("SELECT f0 FROM pp").collect())
+    assert got == [1.0, 3.0, 99.0]
+    n = eng.sql("DELETE FROM pp WHERE time >= '2024-01-03'").collect()[0]["rows"]
+    assert n == 1
+    assert part_files("20240101") == before_0101
+    assert sorted(r["f0"] for r in eng.sql("SELECT f0 FROM pp").collect()) == [1.0, 99.0]
