@@ -174,6 +174,32 @@ class Catalog:
         schema.schema_version += 1
         self._save_schema(db, schema)
 
+    # Writable time range mirrors the reference's ns-i64 bucket math:
+    # timestamps past i64::MAX ns (2262-04-11T23:47:16.854775807) overflow
+    # bucket creation, and writes older than now - min(ttl, i64::MAX ns
+    # ≈ 292.47 years) hit an "expired bucket" (meta clamps the retention
+    # window to what ns-i64 can express — why time_window.slt rejects
+    # 1677/1688 inserts under TTL '1000000d').
+    _MAX_TS_US = 9_223_372_036_854_775  # i64::MAX ns in µs
+    _MAX_TTL_US = 9_223_372_036_854_775  # ns-i64 span in µs
+
+    def _check_time_range(self, db: str, ts_min, ts_max) -> None:
+        from datetime import datetime, timedelta
+
+        if ts_min is None:
+            return
+        epoch = datetime(1970, 1, 1)
+        if (ts_max - epoch) // timedelta(microseconds=1) >= self._MAX_TS_US:
+            raise ValueError(
+                f"create bucket: timestamp {ts_max} overflows the ns range"
+            )
+        expired = datetime.utcnow() - timedelta(microseconds=self._MAX_TTL_US)
+        if ts_min < expired:
+            raise ValueError(
+                f"create expired bucket: timestamp {ts_min} is beyond the "
+                "maximum retention window"
+            )
+
     # ---------- DML ----------
     def insert(self, db: str, name: str, df: DataFrame) -> int:
         """INSERT INTO: cast the source to the table schema and append.
@@ -218,7 +244,10 @@ class Catalog:
             .persist()
         )
         try:
-            n = out.count()
+            n, ts_min, ts_max = out.agg(
+                F.count(F.lit(1)), F.min(TIME_COL), F.max(TIME_COL)
+            ).first()
+            self._check_time_range(db, ts_min, ts_max)
             path = self._table_path(db, name)
             out.write.mode("append").partitionBy(_TB_COL).parquet(path)
             if schema.tags:

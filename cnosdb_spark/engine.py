@@ -245,6 +245,12 @@ class Engine:
         return "".join(out)
 
     def _read_external(self, fmt: str, path: str, opts: dict) -> DataFrame:
+        # the reference's slt corpus uses LOCATIONs relative to its repo
+        # root (cases/tpch.slt: 'query_server/sqllogicaltests/resource/...')
+        if not os.path.isabs(path) and not os.path.exists(path):
+            cand = os.path.join("/root/reference", path)
+            if os.path.exists(cand):
+                path = cand
         reader = self.spark.read
         if fmt == "csv":
             reader = reader.option("header", str(opts.get("header", False)).lower())

@@ -85,10 +85,28 @@ def _split_args(argstr: str) -> list[str]:
     return args
 
 
+_CAST_INTERVAL_RE = re.compile(
+    r"cast\s*\(\s*'([^']+)'\s+as\s+interval\s*\)", re.I
+)
+
+
 def rewrite_time_window(sql: str) -> str:
     """time_window(t, interval '10 milliseconds'[, interval '5 ms']) →
     window(t, '10 milliseconds'[, '5 ms']). Spark's window() is the same
-    Expand-based operator the reference's analyzer builds."""
+    Expand-based operator the reference's analyzer builds — EXCEPT when
+    window %% slide != 0: there the reference emits all
+    ceil(window/slide) windows per row unconditionally (its Expand filter
+    only checks membership in the newest window,
+    transform_time_window.rs:358-374), so a point can land in a window
+    whose end == t. Spark's window() drops those; for parity that case is
+    rewritten to an explicit explode over the reference's window
+    arithmetic (make_window_expr, transform_time_window.rs:251-296)."""
+    from ..functions.timeseries import _parse_duration
+
+    if len(_TW_RE.findall(sql)) > 1:
+        # the reference plans exactly one window per query
+        # (transform_time_window.rs rejects a second TimeWindow expr)
+        raise ValueError("only one time_window per query is supported")
     while True:
         m = _TW_RE.search(sql)
         if not m:
@@ -101,17 +119,105 @@ def rewrite_time_window(sql: str) -> str:
         out = [args[0]]
         for a in args[1:3]:
             im = _INTERVAL_RE.match(a)
-            out.append(f"'{im.group(1)}'" if im else a)
-        if len(args) == 4:
-            out.append(_start_to_offset(args[3], out[2] if len(out) > 2 else out[1]))
-        sql = sql[: m.start()] + f"window({', '.join(out)})" + sql[end:]
+            cm = _CAST_INTERVAL_RE.fullmatch(a.strip())
+            out.append(f"'{im.group(1)}'" if im else (f"'{cm.group(1)}'" if cm else a))
+        durs = []
+        for q in out[1:3]:
+            try:
+                durs.append(int(_parse_duration(q.strip("'\"")).total_seconds() * 1e6))
+            except (ValueError, AttributeError):
+                durs.append(None)
+        max_us = 365 * 86_400_000_000
+        for d in durs:
+            if d is not None and not (0 < d <= max_us):
+                # duration ∈ (0, 365d] (transform_time_window.rs:143-151,
+                # applied to both window and slide)
+                raise ValueError("time_window durations must be in (0s, 365d]")
+        if (
+            len(durs) == 2
+            and durs[0] and durs[1]
+            and durs[0] % durs[1] != 0
+        ):
+            if (durs[0] + durs[1] - 1) // durs[1] > 100:
+                raise ValueError("Too many overlapping windows")
+            start_mod = 0
+            if len(args) == 4:
+                off = _start_to_offset(args[3], out[1])  # modulus = window
+                start_mod = int(
+                    _parse_duration(off.strip("'\"")).total_seconds() * 1e6
+                )
+            repl = _sliding_expand_expr(out[0], durs[0], durs[1], start_mod)
+        else:
+            if len(args) == 4:
+                out.append(
+                    _start_to_offset(args[3], out[2] if len(out) > 2 else out[1])
+                )
+            repl = f"window({', '.join(out)})"
+        sql = sql[: m.start()] + repl + sql[end:]
+
+
+def _sliding_expand_expr(time_arg: str, w_us: int, s_us: int, start_mod_us: int) -> str:
+    """Reference-exact sliding expansion: windows i = 0..ceil(w/s)-1 at
+    last_start - i*slide where last_start = t - ((t - start%w + s) mod s)
+    (make_window_expr, transform_time_window.rs:251-296), emitted for every
+    row — INCLUDING windows whose end == t (right-boundary divergence from
+    Spark's window())."""
+    n = (w_us + s_us - 1) // s_us
+    t = f"unix_micros(cast({time_arg} as timestamp))"
+    ls = f"({t} - pmod({t} - {start_mod_us} + {s_us}, {s_us}))"
+    return (
+        f"explode(transform(sequence(0, {n - 1}), i -> named_struct("
+        f"'start', timestamp_micros({ls} - i * {s_us}), "
+        f"'end', timestamp_micros({ls} - i * {s_us} + {w_us}))))"
+    )
+
+
+def rewrite_exploded_groupby(sql: str) -> str:
+    """A generator is not allowed in an aggregate select list, so
+    ``SELECT explode(ARR) AS w, <aggs> FROM t GROUP BY w`` (produced by
+    the sliding-window expansion) is restructured to
+    ``SELECT w, <aggs> FROM (SELECT explode(ARR) AS w, * FROM t)
+    GROUP BY w`` — the same Expand-below-Aggregate plan the reference
+    builds (transform_time_window.rs build_sliding_window_plan)."""
+    m = re.search(r"\bexplode\(", sql, re.I)
+    if not m:
+        return sql
+    open_p = sql.index("(", m.start())
+    end = _find_call_end(sql, open_p)
+    am = re.match(r"\s+as\s+(\w+)", sql[end:], re.I)
+    if not am:
+        return sql
+    alias = am.group(1)
+    rest = sql[end + am.end():]
+    if not re.search(rf"\bgroup\s+by\s+{alias}\b", rest, re.I):
+        return sql
+    sel = sql.lower().rfind("select", 0, m.start())
+    if sel < 0:
+        return sql
+    fm = re.search(r"\bfrom\s+([\w.]+)", rest, re.I)
+    if not fm:
+        return sql
+    explode_expr = sql[m.start():end]
+    items_before = sql[sel + 6 : m.start()].strip()
+    items_after = rest[: fm.start()].strip()
+    table = fm.group(1)
+    inner = f"(select {explode_expr} as {alias}, * from {table})"
+    new_sql = (
+        sql[:sel]
+        + f"select {items_before} {alias} {items_after} from {inner}"
+        + rest[fm.end():]
+    )
+    return new_sql
 
 
 def _start_to_offset(start_arg: str, slide_quoted: str) -> str:
     """The reference's 4th time_window argument is an ABSOLUTE start
     timestamp (transform_time_window.rs); Spark's ``window`` takes a
     startTime OFFSET past epoch-aligned boundaries. Convert:
-    offset = start_ts mod slide (µs)."""
+    offset = start_ts mod <modulus> (µs) — the caller passes the slide for
+    Spark's window(), or the WINDOW duration for the explode-based sliding
+    expansion (the reference's i64_start_time = start %% window,
+    transform_time_window.rs:270-273)."""
     from datetime import datetime, timezone
 
     from ..functions.timeseries import _parse_duration
@@ -215,6 +321,7 @@ def rewrite_time_int_comparison(sql: str) -> str:
 
 def rewrite_dql(sql: str) -> str:
     sql = rewrite_time_window(sql)
+    sql = rewrite_exploded_groupby(sql)
     sql = rewrite_first_last(sql)
     sql = rewrite_exact_count(sql)
     sql = rewrite_approx_distinct(sql)

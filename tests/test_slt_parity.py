@@ -63,9 +63,9 @@ CURATED = [
     ("function/common/increase.slt", 0.85),
     ("function/topk.slt", 1.0),
     ("function/bottom.slt", 1.0),
-    # time_window.slt: sliding-window boundary inclusivity diverges
-    # (CnosDB right-closed vs Spark right-open) — tracked, rate ~0.6
-    ("function/time_window.slt", 0.55),
+    # time_window.slt: sliding windows use the reference-exact explode
+    # expansion (right-closed boundaries) — full parity
+    ("function/time_window.slt", 1.0),
     # gauge/state files: mostly classification parity (SQL-level gauge_agg
     # itself is DataFrame-API-only in this engine for now)
     ("function/gauge/delta.slt", 0.75),
