@@ -965,9 +965,16 @@ def state_agg_durations(spark, sf_dir):
     per AS (SELECT user_id, round(sum(coalesce(dur, 0)), 3) AS duration_s
             FROM d WHERE event_type = 'error' GROUP BY user_id),
     at_ts AS (
-      SELECT user_id, arg_max(event_type, ts) AS state
-      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
-      GROUP BY user_id)
+      -- closed-period as-of: NULL when the as-of row is the series' last
+      -- point (state_at.rs zero-length final period)
+      SELECT user_id,
+             CASE WHEN max(ts) > TIMESTAMP '2024-01-15 00:00:00'
+                  THEN arg_max(CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+                                    THEN event_type END,
+                               CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+                                    THEN ts END)
+             END AS state
+      FROM events GROUP BY user_id)
     SELECT u.user_id, coalesce(per.duration_s, 0.0) AS duration_s, at_ts.state
     FROM (SELECT DISTINCT user_id FROM events) u
     LEFT JOIN per ON per.user_id = u.user_id
@@ -1033,7 +1040,9 @@ def gauge_metrics(spark, sf_dir):
         F.round(gauge_last_val(gc), 6).alias("last_val"),
         F.round(gauge_delta(gc), 6).alias("delta"),
         F.round(gauge_time_delta(gc), 3).alias("time_delta_s"),
-        F.round(gauge_rate(gc), 9).alias("rate"),
+        # gauge_rate is per-ns (reference units); ×1e9 → per-second for a
+        # numerically well-conditioned oracle comparison
+        F.round(gauge_rate(gc) * 1e9, 9).alias("rate"),
         F.round(gauge_idelta_left(gc), 6).alias("idelta_left"),
         F.round(gauge_idelta_right(gc), 6).alias("idelta_right"),
         gc["num_elements"].alias("num_elements"),

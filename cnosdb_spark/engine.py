@@ -261,7 +261,31 @@ class Engine:
         if fmt == "json":
             return reader.json(path)
         if fmt == "parquet":
-            return reader.parquet(path)
+            df = reader.parquet(path)
+            # TIMESTAMP(NANOS) columns surface as LongType under the
+            # session's nanosAsLong conf (the reference writes ns parquet,
+            # e.g. resource/parquet/part-0.parquet) — convert back to µs
+            # timestamps so downstream INSERT ... SELECT keeps time typed
+            try:
+                import pyarrow.parquet as pq
+
+                pf = next(
+                    f
+                    for f in sorted(os.listdir(path))
+                    if f.endswith(".parquet")
+                ) if os.path.isdir(path) else None
+                arrow = pq.ParquetFile(
+                    os.path.join(path, pf) if pf else path
+                ).schema_arrow
+                for field in arrow:
+                    if str(field.type) == "timestamp[ns]":
+                        df = df.withColumn(
+                            field.name,
+                            F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                        )
+            except Exception:
+                pass
+            return df
         if fmt == "avro":
             return reader.format("avro").load(path)
         raise ValueError(f"unsupported external format {fmt!r}")
@@ -526,12 +550,17 @@ class Engine:
 
     def _alter(self, stmt: str) -> None:
         m = re.match(
-            r"ALTER\s+DATABASE\s+(\w+)\s+SET\s+TTL\s+'([^']+)'\s*;?\s*$", stmt, re.I
+            r"ALTER\s+DATABASE\s+(\w+)\s+SET\s+"
+            r"(TTL|VNODE_DURATION|REPLICA|SHARD)\s+'?([^';]+)'?\s*;?\s*$",
+            stmt,
+            re.I,
         )
         if m:
-            db, ttl = m.groups()
+            db, opt, val = m.groups()
             opts = self.catalog.database_options(db)
-            opts["ttl"] = _normalize_ttl(ttl)
+            opts[opt.lower()] = (
+                _normalize_ttl(val) if opt.lower() in ("ttl", "vnode_duration") else val
+            )
             os.makedirs(self.catalog._db_path(db), exist_ok=True)
             import json as _json
 

@@ -69,9 +69,10 @@ def gauge_time_delta(g: Column) -> Column:
 
 
 def gauge_rate(g: Column) -> Column:
-    """rate(gauge) = delta / time_delta (null when single point)."""
-    td = gauge_time_delta(g)
-    return F.when(td > 0, gauge_delta(g) / td)
+    """rate(gauge) = delta per NANOSECOND (scalar_function/gauge/rate.rs —
+    rate.slt shows -111 over 0.010 s = -1.11e-5); null when single point."""
+    td_ns = (F.unix_micros(g["last"]["ts"]) - F.unix_micros(g["first"]["ts"])) * 1000
+    return F.when(td_ns > 0, gauge_delta(g) / td_ns)
 
 
 def gauge_first_time(g: Column) -> Column:

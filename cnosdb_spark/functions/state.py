@@ -99,10 +99,14 @@ def state_at(
     ts: str,
 ) -> DataFrame:
     """``state_at(state_agg(...), ts)``: the state in effect at ``ts`` —
-    an as-of lookup = max_by(state, time) over rows with time <= ts
-    (scalar_function/state_at.rs)."""
-    return (
-        df.filter(F.col(time_col) <= F.lit(ts).cast("timestamp"))
-        .groupBy(*group_cols)
-        .agg(F.max_by(state_col, time_col).alias("state"))
+    an as-of lookup over CLOSED periods [tᵢ, tᵢ₊₁). The final observed
+    state is a zero-length period, so ``ts`` at/after the series' last
+    point yields NULL (scalar_function/state_at.rs; state_at.slt's
+    '2020-01-05 12:00:00' → NULL record)."""
+    lit_ts = F.lit(ts).cast("timestamp")
+    as_of = F.max_by(
+        state_col, F.when(F.col(time_col) <= lit_ts, F.col(time_col))
+    )
+    return df.groupBy(*group_cols).agg(
+        F.when(F.max(time_col) > lit_ts, as_of).alias("state")
     )

@@ -304,6 +304,327 @@ def rewrite_selector(sql: str) -> str:
     return f"{body.rstrip().rstrip(';')} ORDER BY {col} {direction} NULLS LAST LIMIT {k}"
 
 
+# ---------------------------------------------------------------------------
+# gauge_agg / state_agg / sample SQL surface
+#
+# Reference: query_server/query/src/extension/expr/aggregate_function/
+# {gauge/gauge_agg.rs, state_agg/*.rs, sample.rs} and the scalar accessors
+# under extension/expr/scalar_function/. Each composite form
+# ``accessor(gauge_agg(t, v))`` is rewritten to a pure built-in-aggregate
+# expression (min_by/max_by/collect_list + array folds) so the whole family
+# plans as one partial→final hash aggregate — no UDAF, no Python. The
+# collect_list-backed members (idelta, state periods) hold one entry per
+# point of ONE series group in memory — the same working set the reference's
+# accumulator keeps (gauge_agg.rs GaugeData building walks every point).
+# ---------------------------------------------------------------------------
+
+_GAUGE_ACC_RE = re.compile(
+    r"\b(delta|rate|time_delta|first_time|first_val|last_time|last_val|"
+    r"idelta_left|idelta_right)\s*\(",
+    re.I,
+)
+_GAUGE_AGG_RE = re.compile(r"\bgauge_agg\s*\(", re.I)
+_STATE_ACC_RE = re.compile(r"\b(duration_in|state_at)\s*\(", re.I)
+_STATE_AGG_RE = re.compile(r"\b(compact_state_agg|state_agg)\s*\(", re.I)
+_SAMPLE_RE = re.compile(r"\bsample\s*\(", re.I)
+_ORDER_BY_TAIL = re.compile(r"\s+order\s+by\s+.+$", re.I | re.S)
+
+_I64_MIN = "-9223372036854775807L"
+_I64_MAX = "9223372036854775807L"
+
+
+def _gauge_inner(arg: str) -> tuple[str, str] | None:
+    """If ``arg`` is exactly ``gauge_agg(t, v)``, return (t, v)."""
+    m = re.match(r"\s*gauge_agg\s*\(", arg, re.I)
+    if not m:
+        return None
+    end = _find_call_end(arg, arg.index("(", m.start()))
+    if arg[end:].strip():
+        return None
+    args = _split_args(arg[arg.index("(", m.start()) + 1 : end - 1])
+    if len(args) != 2:
+        return None
+    return args[0], _ORDER_BY_TAIL.sub("", args[1]).strip()
+
+
+def _state_inner(arg: str) -> tuple[bool, str, str] | None:
+    """If ``arg`` is ``[compact_]state_agg(t, s)``, return (compact, t, s)."""
+    m = re.match(r"\s*(compact_state_agg|state_agg)\s*\(", arg, re.I)
+    if not m:
+        return None
+    end = _find_call_end(arg, arg.index("(", m.end() - 1))
+    if arg[end:].strip():
+        return None
+    args = _split_args(arg[arg.index("(", m.end() - 1) + 1 : end - 1])
+    if len(args) != 2:
+        return None
+    return (
+        m.group(1).lower() == "compact_state_agg",
+        args[0],
+        _ORDER_BY_TAIL.sub("", args[1]).strip(),
+    )
+
+
+# gauge_agg's signature is (timestamp, float64) only (gauge_agg.rs
+# registration) — `v + 0.0d` rejects boolean/timestamp values at analysis
+# time (a plain cast would coerce them), and `cast(t as timestamp)` rejects
+# non-time first arguments, mirroring DataFusion's planner errors.
+def _g_num(v: str) -> str:
+    return f"({v} + 0.0d)"
+
+
+def _g_first_t(t: str, v: str) -> str:
+    return f"min(cast({t} as timestamp)) FILTER (WHERE {_g_num(v)} IS NOT NULL)"
+
+
+def _g_last_t(t: str, v: str) -> str:
+    return f"max(cast({t} as timestamp)) FILTER (WHERE {_g_num(v)} IS NOT NULL)"
+
+
+def _g_first_v(t: str, v: str) -> str:
+    return f"min_by({_g_num(v)}, {t}) FILTER (WHERE {v} IS NOT NULL)"
+
+
+def _g_last_v(t: str, v: str) -> str:
+    return f"max_by({_g_num(v)}, {t}) FILTER (WHERE {v} IS NOT NULL)"
+
+
+def _g_td_us(t: str, v: str) -> str:
+    return (
+        f"(unix_micros({_g_last_t(t, v)}) - unix_micros({_g_first_t(t, v)}))"
+    )
+
+
+def _g_arr(t: str, v: str) -> str:
+    return (
+        f"array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN "
+        f"named_struct('ts', cast({t} as timestamp), 'val', {_g_num(v)}) END))"
+    )
+
+
+def _gauge_accessor_expr(fn: str, t: str, v: str) -> str:
+    delta = f"({_g_last_v(t, v)} - {_g_first_v(t, v)})"
+    if fn == "delta":
+        return delta
+    if fn == "rate":
+        # the reference's rate is delta per NANOSECOND
+        # (scalar_function/gauge/rate.rs; rate.slt: -111 / 0.010 s
+        # = -1.11e-5) — null on a single-point gauge
+        return f"({delta} / nullif(cast({_g_td_us(t, v)} as double) * 1000.0, 0.0D))"
+    if fn == "time_delta":
+        return f"make_dt_interval(0, 0, 0, {_g_td_us(t, v)} / 1e6)"
+    if fn == "first_time":
+        return _g_first_t(t, v)
+    if fn == "first_val":
+        return _g_first_v(t, v)
+    if fn == "last_time":
+        return _g_last_t(t, v)
+    if fn == "last_val":
+        return _g_last_v(t, v)
+    arr = _g_arr(t, v)
+    if fn == "idelta_left":
+        return f"(try_element_at({arr}, 2).val - try_element_at({arr}, 1).val)"
+    # idelta_right
+    return f"(try_element_at({arr}, -1).val - try_element_at({arr}, -2).val)"
+
+
+def rewrite_gauge(sql: str) -> str:
+    """``accessor(gauge_agg(t, v))`` → built-in aggregate expressions;
+    a bare ``gauge_agg(t, v)`` → the GaugeData struct
+    (first/second/penultimate/last TSPoints + num_elements,
+    gauge_agg.rs:22-67). Non-matching arities are left for Spark's
+    unresolved-function error (parity with DataFusion's planner errors)."""
+    pos = 0
+    while True:
+        m = _GAUGE_ACC_RE.search(sql, pos)
+        if not m:
+            break
+        open_p = sql.index("(", m.end() - 1)
+        end = _find_call_end(sql, open_p)
+        args = _split_args(sql[open_p + 1 : end - 1])
+        inner = _gauge_inner(args[0]) if len(args) == 1 else None
+        if inner is None:
+            pos = end
+            continue
+        repl = _gauge_accessor_expr(m.group(1).lower(), *inner)
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+    pos = 0
+    while True:
+        m = _GAUGE_AGG_RE.search(sql, pos)
+        if not m:
+            return sql
+        open_p = sql.index("(", m.end() - 1)
+        end = _find_call_end(sql, open_p)
+        inner = _gauge_inner(sql[m.start() : end])
+        if inner is None:
+            pos = end
+            continue
+        t, v = inner
+        arr = _g_arr(t, v)
+        repl = (
+            f"named_struct('first', try_element_at({arr}, 1), "
+            f"'second', try_element_at({arr}, 2), "
+            f"'penultimate', try_element_at({arr}, -2), "
+            f"'last', try_element_at({arr}, -1), "
+            f"'num_elements', cast(size({arr}) as bigint))"
+        )
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
+def _s_arr(t: str, s: str, compact: bool) -> str:
+    """Sorted (t, s) point array; compact keeps only run starts
+    (state_agg_data.rs compact variant merges consecutive equal states)."""
+    arr = (
+        f"array_sort(collect_list(named_struct("
+        f"'t', cast({t} as timestamp), 's', {s})))"
+    )
+    if not compact:
+        return arr
+    return (
+        f"filter(transform(sequence(1, size({arr})), _i -> "
+        f"CASE WHEN _i = 1 OR NOT (try_element_at({arr}, _i).s <=> "
+        f"try_element_at({arr}, _i - 1).s) THEN try_element_at({arr}, _i) "
+        f"END), _x -> _x IS NOT NULL)"
+    )
+
+
+def _s_duration_fold(arr: str, state: str, start_us: str, end_us: str) -> str:
+    """Σ over closed periods [pᵢ.t, pᵢ₊₁.t) with state = ``state``, clipped
+    to [start_us, end_us] — the last (open) state contributes nothing,
+    matching duration_in.rs."""
+    return (
+        f"CASE WHEN size({arr}) >= 2 THEN aggregate("
+        f"sequence(1, size({arr}) - 1), 0L, (_acc, _i) -> _acc + "
+        f"(CASE WHEN try_element_at({arr}, _i).s <=> {state} THEN "
+        f"greatest(0L, least(unix_micros(try_element_at({arr}, _i + 1).t), {end_us}) - "
+        f"greatest(unix_micros(try_element_at({arr}, _i).t), {start_us})) "
+        f"ELSE 0L END)) ELSE 0L END"
+    )
+
+
+def rewrite_state(sql: str) -> str:
+    """``duration_in([compact_]state_agg(t, s), state[, start[, interval]])``
+    / ``state_at(state_agg(t, s), ts)`` / bare ``[compact_]state_agg(t, s)``
+    → built-in aggregate expressions (state_agg accumulator semantics:
+    periods are closed on the left, the final state is a zero-length period
+    — state_at at/after the last point is NULL, state_at.slt)."""
+    pos = 0
+    while True:
+        m = _STATE_ACC_RE.search(sql, pos)
+        if not m:
+            break
+        fn = m.group(1).lower()
+        open_p = sql.index("(", m.end() - 1)
+        end = _find_call_end(sql, open_p)
+        args = _split_args(sql[open_p + 1 : end - 1])
+        inner = _state_inner(args[0]) if len(args) >= 2 else None
+        if inner is None:
+            pos = end
+            continue
+        compact, t, s = inner
+        if fn == "state_at":
+            if compact:
+                raise ValueError(
+                    "state_at(state_agg, ts) doesn't support compact_agg"
+                )
+            if len(args) != 2:
+                raise ValueError("state_at expects 2 arguments")
+            ts = f"cast({args[1]} as timestamp)"
+            repl = (
+                f"(CASE WHEN max(cast({t} as timestamp)) > {ts} THEN "
+                f"max_by({s}, {t}) FILTER (WHERE cast({t} as timestamp) <= {ts}) END)"
+            )
+        else:  # duration_in
+            if len(args) > 4:
+                raise ValueError("duration_in expects 2-4 arguments")
+            if compact and len(args) > 2:
+                raise ValueError(
+                    "duration_in(state_agg, state, start_time) doesn't "
+                    "support compact_agg"
+                )
+            start_us, end_us = _I64_MIN, _I64_MAX
+            if len(args) >= 3:
+                start_us = f"unix_micros(cast({args[2]} as timestamp))"
+            if len(args) == 4:
+                end_us = (
+                    f"unix_micros(cast({args[2]} as timestamp) + {args[3]})"
+                )
+            fold = _s_duration_fold(
+                _s_arr(t, s, compact), args[1], start_us, end_us
+            )
+            repl = f"make_dt_interval(0, 0, 0, ({fold}) / 1e6)"
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+    pos = 0
+    while True:
+        m = _STATE_AGG_RE.search(sql, pos)
+        if not m:
+            return sql
+        open_p = sql.index("(", m.end() - 1)
+        end = _find_call_end(sql, open_p)
+        inner = _state_inner(sql[m.start() : end])
+        if inner is None:
+            pos = end
+            continue
+        compact, t, s = inner
+        arr = _s_arr(t, s, compact)
+        periods = (
+            f"CASE WHEN size({arr}) >= 2 THEN filter(transform("
+            f"sequence(1, size({arr})), _i -> named_struct("
+            f"'state', try_element_at({arr}, _i).s, "
+            f"'start_time', try_element_at({arr}, _i).t, "
+            f"'end_time', try_element_at({arr}, _i + 1).t)), "
+            f"_p -> _p.end_time IS NOT NULL) END"
+        )
+        durations = (
+            f"transform(array_distinct(transform({periods}, _p -> _p.state)), "
+            f"_st -> named_struct('state', _st, 'duration', "
+            f"make_dt_interval(0, 0, 0, aggregate({periods}, 0L, "
+            f"(_acc, _p) -> _acc + (CASE WHEN _p.state <=> _st THEN "
+            f"unix_micros(_p.end_time) - unix_micros(_p.start_time) "
+            f"ELSE 0L END)) / 1e6)))"
+        )
+        repl = (
+            f"named_struct('state_duration', {durations}, "
+            f"'state_periods', {periods})"
+        )
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
+def rewrite_sample(sql: str) -> str:
+    """``sample(x, n)`` → deterministic md5-keyed n-sample as an array
+    aggregate (aggregate_function/sample.rs: reservoir of n; ours orders by
+    md5 so engine and oracle agree — documented divergence, SURVEY §2.4).
+    n must lie in (1, 2000] (sample.slt's guard records)."""
+    pos = 0
+    while True:
+        m = _SAMPLE_RE.search(sql, pos)
+        if not m:
+            return sql
+        open_p = sql.index("(", m.end() - 1)
+        end = _find_call_end(sql, open_p)
+        args = _split_args(sql[open_p + 1 : end - 1])
+        if len(args) != 2:
+            raise ValueError("sample expects exactly 2 arguments")
+        x, n_str = args
+        try:
+            n = int(n_str)
+        except ValueError as exc:
+            raise ValueError("sample n must be an integer literal") from exc
+        if not 1 < n <= 2000:
+            raise ValueError(f"sample n must be in (1, 2000], got {n}")
+        repl = (
+            f"slice(transform(array_sort(transform(collect_list({x}), "
+            f"_x -> named_struct('k', md5(cast(_x as string)), 'v', _x))), "
+            f"_p -> _p.v), 1, {n})"
+        )
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
 _TIME_INT_CMP = re.compile(
     r"\b(time)\s*(<=|>=|<|>|=|!=)\s*(-?\d+)(?![\d.\w])", re.I
 )
@@ -322,6 +643,9 @@ def rewrite_time_int_comparison(sql: str) -> str:
 def rewrite_dql(sql: str) -> str:
     sql = rewrite_time_window(sql)
     sql = rewrite_exploded_groupby(sql)
+    sql = rewrite_gauge(sql)
+    sql = rewrite_state(sql)
+    sql = rewrite_sample(sql)
     sql = rewrite_first_last(sql)
     sql = rewrite_exact_count(sql)
     sql = rewrite_approx_distinct(sql)

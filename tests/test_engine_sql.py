@@ -444,3 +444,59 @@ def test_update_delete_partition_pruned(eng, tmp_path):
     assert n == 1
     assert part_files("20240101") == before_0101
     assert sorted(r["f0"] for r in eng.sql("SELECT f0 FROM pp").collect()) == [1.0, 99.0]
+
+
+def test_sql_gauge_accessors(eng):
+    """SQL-level gauge_agg + accessors (rewriter.rewrite_gauge). Values
+    pinned from the reference corpus: function/gauge/rate.slt — rate is
+    delta per NANOSECOND; delta/idelta from delta.slt shapes."""
+    eng.sql("CREATE TABLE g_tbl(f1 BIGINT, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO g_tbl(time, f1, t0) VALUES
+        ('1999-12-31 00:00:00.000', 444, 'tag1'),
+        ('1999-12-31 00:00:00.005', 444, 'tag1'),
+        ('1999-12-31 00:00:00.010', 333, 'tag1')"""
+    )
+    row = eng.sql(
+        "select rate(gauge_agg(time, f1)) as r, delta(gauge_agg(time, f1)) as d,"
+        " idelta_left(gauge_agg(time, f1)) as il,"
+        " idelta_right(gauge_agg(time, f1)) as ir,"
+        " first_val(gauge_agg(time, f1)) as fv, last_val(gauge_agg(time, f1)) as lv"
+        " from g_tbl group by t0"
+    ).collect()[0]
+    assert abs(row["r"] - (-0.0000111)) < 1e-12          # rate.slt:36
+    assert row["d"] == -111.0
+    assert row["il"] == 0.0 and row["ir"] == -111.0
+    assert row["fv"] == 444.0 and row["lv"] == 333.0
+
+
+def test_sql_state_agg_family(eng):
+    """SQL-level state_agg/duration_in/state_at (rewriter.rewrite_state).
+    Values pinned from state_agg/duration_in.slt + state_at.slt."""
+    eng.sql("CREATE TABLE st_tbl(state STRING)")
+    eng.sql(
+        """INSERT INTO st_tbl(time, state) VALUES
+        ('2020-01-01 10:00:00', 'starting'), ('2020-01-01 10:30:00', 'running'),
+        ('2020-01-03 16:00:00', 'error'), ('2020-01-03 18:30:00', 'starting'),
+        ('2020-01-03 19:30:00', 'running'), ('2020-01-05 12:00:00', 'stopping')"""
+    )
+    def secs(sql):
+        iv = eng.sql(sql).collect()[0][0]
+        return iv.total_seconds() if iv is not None else None
+
+    day = 86400.0
+    # duration_in.slt: 3 days 22 h
+    assert secs("select duration_in(state_agg(time, state), 'running') from st_tbl") == 3 * day + 22 * 3600
+    assert secs("select duration_in(compact_state_agg(time, state), 'running') from st_tbl") == 3 * day + 22 * 3600
+    # clipped to [start, start+4d]: 3 days 20.5 h
+    assert secs(
+        "select duration_in(state_agg(time, state), 'running',"
+        " Timestamp '2020-01-01 11:00:00', interval '4 day') from st_tbl"
+    ) == 3 * day + 20 * 3600 + 1800
+    # state_at.slt: mid-period → state; at the final point → NULL
+    at = lambda ts: eng.sql(
+        f"select state_at(state_agg(time, state), Timestamp '{ts}') from st_tbl"
+    ).collect()[0][0]
+    assert at("2020-01-01 10:30:00") == "running"
+    assert at("2020-01-03 16:00:00") == "error"
+    assert at("2020-01-05 12:00:00") is None

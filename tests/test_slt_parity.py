@@ -66,15 +66,24 @@ CURATED = [
     # time_window.slt: sliding windows use the reference-exact explode
     # expansion (right-closed boundaries) — full parity
     ("function/time_window.slt", 1.0),
-    # gauge/state files: mostly classification parity (SQL-level gauge_agg
-    # itself is DataFrame-API-only in this engine for now)
-    ("function/gauge/delta.slt", 0.75),
-    ("function/gauge/first_time.slt", 0.80),
-    ("function/gauge/first_val.slt", 0.80),
-    ("function/gauge/gauge_agg.slt", 0.70),
-    ("function/gauge/idelta_left.slt", 0.80),
-    ("function/gauge/idelta_right.slt", 0.80),
+    # gauge/state/sample: SQL-level rewrites (rewriter.rewrite_gauge/
+    # rewrite_state/rewrite_sample) — full parity modulo one
+    # type-signature record (gauge_agg over a bigint time arg)
+    ("function/gauge/delta.slt", 1.0),
+    ("function/gauge/rate.slt", 1.0),
+    ("function/gauge/time_delta.slt", 1.0),
+    ("function/gauge/first_time.slt", 1.0),
+    ("function/gauge/first_val.slt", 1.0),
+    ("function/gauge/last_time.slt", 1.0),
+    ("function/gauge/last_val.slt", 1.0),
+    ("function/gauge/gauge_agg.slt", 0.95),
+    ("function/gauge/idelta_left.slt", 1.0),
+    ("function/gauge/idelta_right.slt", 1.0),
     ("function/state_agg/state_agg.slt", 1.0),
+    ("function/state_agg/duration_in.slt", 1.0),
+    ("function/state_agg/state_at.slt", 1.0),
+    ("function/state_agg/compact_state_agg.slt", 1.0),
+    ("function/sample.slt", 1.0),
     ("function/common/time_functions/extract.slt", 0.75),
     ("function/common/time_functions/from_unixtime.slt", 0.70),
     ("function/common/time_functions/current_date.slt", 0.75),
@@ -157,6 +166,9 @@ def test_slt_file(eng, rel, floor):
 # pre-merge physical rows (its exact_count quirk — ours is exact
 # post-merge), and permissive type coercion on error records.
 VALUE_CHECKED = [
+    # the reference's flagship integration test: CREATE EXTERNAL TABLE over
+    # CSV (cases/tpch.slt:6-36) + the 22 TPC-H queries, value-level
+    ("tpch.slt", 1.0),
     ("function/common/mode.slt", 1.0),
     ("function/common/math_function/abs.slt", 1.0),
     ("dql/limit.slt", 1.0),
