@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time as _time
 
@@ -92,7 +93,9 @@ class Catalog:
     def get_schema(self, db: str, name: str) -> TskvTableSchema:
         p = os.path.join(self._table_path(db, name), _CATALOG_FILE)
         if not os.path.exists(p):
-            raise KeyError(f"table {db}.{name} not found")
+            # ValueError = legitimate semantic error (the slt expected-error
+            # classifier treats KeyError as an engine bug)
+            raise ValueError(f"table {db}.{name} not found")
         with open(p) as f:
             return TskvTableSchema.from_json(json.load(f))
 
@@ -116,10 +119,24 @@ class Catalog:
         schema.schema_version += 1
         self._save_schema(db, schema)
 
+    def alter_table_add_tag(self, db: str, name: str, col: str) -> None:
+        """ALTER TABLE ADD TAG (ddl/alter_table.slt) — new tag is NULL on
+        existing rows (tskv_table_schema.rs add-column semantics)."""
+        schema = self.get_schema(db, name)
+        if col in schema.fields or col in schema.tags or col == TIME_COL:
+            raise ValueError(f"column {col} already exists in table {name}")
+        schema.tags.append(col)
+        schema.schema_version += 1
+        self._save_schema(db, schema)
+
     def alter_table_drop_field(self, db: str, name: str, col: str) -> None:
         schema = self.get_schema(db, name)
         if col not in schema.fields:
             raise ValueError(f"column {col} is not a field of {name}")
+        if len(schema.fields) == 1:
+            # parity: a tskv table must keep ≥1 field (ddl/alter_table.slt
+            # DROP-of-only-field record)
+            raise ValueError(f"cannot drop the only field {col} of {name}")
         del schema.fields[col]
         schema.schema_version += 1
         self._save_schema(db, schema)
@@ -193,11 +210,24 @@ class Catalog:
             raise ValueError(
                 f"create bucket: timestamp {ts_max} overflows the ns range"
             )
-        expired = datetime.utcnow() - timedelta(microseconds=self._MAX_TTL_US)
+        # a write older than now - ttl lands in an expired bucket (meta
+        # rejects bucket creation — ddl/describe_database.slt's TIME=100
+        # insert under ttl '10d'); ttl unset/INF → only the ns-i64 bound
+        ttl_us = self._MAX_TTL_US
+        ttl = self.database_options(db).get("ttl")
+        m = re.fullmatch(r"(\d+)\s+(\w+)", str(ttl or "")) if ttl else None
+        if m:
+            per_unit = {
+                "DAY": 86_400_000_000, "HOUR": 3_600_000_000,
+                "MINUTE": 60_000_000, "SECOND": 1_000_000,
+            }.get(m.group(2).upper())
+            if per_unit:
+                ttl_us = min(int(m.group(1)) * per_unit, self._MAX_TTL_US)
+        expired = datetime.utcnow() - timedelta(microseconds=ttl_us)
         if ts_min < expired:
             raise ValueError(
                 f"create expired bucket: timestamp {ts_min} is beyond the "
-                "maximum retention window"
+                "retention window"
             )
 
     # ---------- DML ----------
@@ -220,14 +250,59 @@ class Catalog:
             if src is None:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
             elif f_.name == TIME_COL and isinstance(
+                src_types[src], (T.DoubleType, T.FloatType, T.DecimalType)
+            ):
+                # parity: DataFusion has no Float64 → Timestamp cast
+                # (ddl/create_table.slt TIME=0.1 record)
+                raise ValueError(
+                    "Unsupported CAST from Float64 to Timestamp"
+                )
+            elif f_.name == TIME_COL and isinstance(
                 src_types[src], (T.LongType, T.IntegerType, T.ShortType)
             ):
-                # integer time literals are epoch MICROSECONDS — Spark's
-                # native timestamp precision. (The reference default is ns;
-                # µs keeps tiny integer timestamps distinct under the LWW
-                # merge, which ns-div-1000 would collapse. Documented
-                # divergence, consistent with the comparison rewrite.)
-                cols.append(F.timestamp_micros(F.col(f"`{src}`")).alias(f_.name))
+                # integer time literals scale by the database PRECISION
+                # option (ddl/db_precision.slt). Default (NS) is
+                # interpreted as epoch MICROSECONDS — Spark's native
+                # precision; µs keeps tiny integer timestamps distinct
+                # under the LWW merge, which ns-div-1000 would collapse.
+                # Documented divergence, consistent with the comparison
+                # rewrite.
+                prec = str(
+                    self.database_options(db).get("precision") or "NS"
+                ).upper()
+                scale = {"MS": 1000, "S": 1_000_000}.get(prec, 1)
+                c = F.col(f"`{src}`")
+                if scale == 1:
+                    # default-precision (NS) dbs: values of ns magnitude
+                    # (≥1e16 µs would be year 2286+) are epoch ns — the
+                    # reference's interpretation; small literals stay µs
+                    # (see divergence note above)
+                    # integer div — double division loses ns precision
+                    expr = F.when(
+                        F.abs(c) >= 10_000_000_000_000_000,
+                        F.expr(f"`{src}` div 1000"),
+                    ).otherwise(c).cast("long")
+                else:
+                    expr = c * scale
+                cols.append(F.timestamp_micros(expr).alias(f_.name))
+            elif schema.fields.get(f_.name) == "unsigned":
+                # BIGINT UNSIGNED stores as long; negatives are a cast
+                # error in the reference ("Can't cast value -N to UInt64")
+                c = F.col(f"`{src}`").cast(f_.dataType)
+                cols.append(
+                    F.when(
+                        c < 0,
+                        F.raise_error(
+                            F.concat(
+                                F.lit("Can't cast value "),
+                                c.cast("string"),
+                                F.lit(" to type UInt64"),
+                            )
+                        ).cast(f_.dataType),
+                    )
+                    .otherwise(c)
+                    .alias(f_.name)
+                )
             else:
                 # backticks: a dotted schemaless name (json "a.b") must not
                 # be parsed as nested-struct access

@@ -79,7 +79,9 @@ class Engine:
         database: str = "public",
     ):
         self.spark = spark
-        self.catalog = Catalog(spark, warehouse, tenant)
+        self.warehouse = warehouse
+        self._home_tenant = tenant
+        self._catalogs: dict[str, Catalog] = {tenant: Catalog(spark, warehouse, tenant)}
         self.database = database
         self.external: dict[str, tuple[str, str, dict]] = {}  # name -> (fmt, path, opts)
         self.streams: dict[str, StreamTable] = {}
@@ -94,12 +96,60 @@ class Engine:
         # service state: common/models/src/auth/{user,role,privilege}.rs).
         # Spark has no auth layer; these are catalog objects + SHOW surface.
         self.user = "root"
-        self.users: dict[str, dict] = {"root": {"is_admin": True, "options": {}}}
+        self.users: dict[str, dict] = {
+            "root": {
+                "is_admin": True,
+                "options": {
+                    "must_change_password": "true",
+                    "comment": "system admin",
+                },
+            }
+        }
         self.tenants: dict[str, dict] = {"cnosdb": {"members": {"root": "owner"}}}
-        self.roles: dict[str, dict] = {}  # custom roles per tenant
+        # delayed-drop resource machinery (reference meta resource manager:
+        # ddl/drop_and_recover_{database,tenant}.slt). The slt runner's
+        # `sleep` advances a VIRTUAL clock so expiry is testable without
+        # wall-clock waits.
+        self.current_tenant = tenant
+        self.clock_offset_us = 0
+        self._resources: dict[str, dict] = {}
+        self._hidden_dbs: set[str] = set()
+        self._hidden_tenants: set[str] = set()
+        self._roles_by_tenant: dict[str, dict] = {}  # custom roles, per tenant
         self.grants: list[tuple[str, str, str]] = []  # (privilege, db, role)
         if database not in self.catalog.list_databases():
             self.catalog.create_database(database)
+
+    @property
+    def catalog(self) -> Catalog:
+        """Per-tenant catalog (warehouse paths are tenant-namespaced, so
+        tenants are fully data-isolated — dcl/user_access.slt's
+        'Table not found: tenant_b.db_a.air_a' semantics)."""
+        t = self.current_tenant
+        if t not in self._catalogs:
+            self._catalogs[t] = Catalog(self.spark, self.warehouse, t)
+        return self._catalogs[t]
+
+    @property
+    def roles(self) -> dict:
+        """Custom roles of the CURRENT tenant (roles are tenant-scoped:
+        dcl/user_access.slt 'The role role_a not found' under tenant_a for
+        a role created under cnosdb)."""
+        return self._roles_by_tenant.setdefault(self.current_tenant, {})
+
+    def set_tenant(self, tenant: str) -> None:
+        """Switch session tenant, invalidating every registered temp view
+        (views are session-global; each tenant resolves its own tables)."""
+        if tenant == self.current_tenant:
+            return
+        for view in list(self._registered.values()):
+            try:
+                self.spark.catalog.dropTempView(view)
+            except Exception:
+                pass
+        self._registered.clear()
+        self._dirty.clear()
+        self.current_tenant = tenant
 
     # ------------------------------------------------------------- dispatch
     def sql(self, text: str) -> DataFrame | None:
@@ -113,6 +163,18 @@ class Engine:
         kw = head[0].upper() if head else ""
         kw2 = head[1].upper() if len(head) > 1 else ""
 
+        self._process_resources()
+        # session handshake: a non-admin user must be a member of the
+        # current tenant (user_access.slt "The member ... not found")
+        if not self._is_admin() and kw not in ("CREATE", "DROP", "ALTER", "GRANT", "REVOKE"):
+            members = self.tenants.get(self.current_tenant, {}).get("members", {})
+            if self.user not in members:
+                raise ValueError(
+                    f"Auth error: The member {self.user} of tenant "
+                    f"{self.current_tenant} not found"
+                )
+        if kw == "RECOVER":
+            return self._recover(stmt)
         if kw == "CREATE" and kw2 == "DATABASE":
             return self._create_database(stmt)
         if kw == "CREATE" and kw2 == "EXTERNAL":
@@ -188,41 +250,70 @@ class Engine:
                 self._dirty.discard(key)
         for name, (fmt, path, opts) in self.external.items():
             key = ("", name)
-            if self._registered.get(key) == name and key not in self._dirty:
+            view = _ext_view_name(name)
+            if self._registered.get(key) == view and key not in self._dirty:
                 continue
-            self._read_external(fmt, path, opts).createOrReplaceTempView(name)
-            self._registered[key] = name
+            self._read_external(fmt, path, opts).createOrReplaceTempView(view)
+            self._registered[key] = view
             self._dirty.discard(key)
         from . import sys_schema
 
-        sys_schema.databases_df(self.spark, self.catalog).createOrReplaceTempView(
-            "__information_schema__databases"
-        )
+        sys_schema.databases_df(
+            self.spark, self.catalog, hidden=self._hidden_dbs
+        ).createOrReplaceTempView("__information_schema__databases")
         sys_schema.tables_df(
             self.spark, self.catalog, self.external, self.streams
         ).createOrReplaceTempView("__information_schema__tables")
         sys_schema.columns_df(self.spark, self.catalog).createOrReplaceTempView(
             "__information_schema__columns"
         )
+        self.spark.createDataFrame(
+            self.resource_status_rows() or [],
+            "name string, action string, try_count string, status string",
+        ).createOrReplaceTempView("__information_schema__resource_status")
+        sys_schema.tenants_df(self.spark, self.tenants).createOrReplaceTempView(
+            "__cluster_schema__tenants"
+        )
+        sys_schema.users_df(self.spark, self.users).createOrReplaceTempView(
+            "__cluster_schema__users"
+        )
+        sys_schema.roles_df(
+            self.spark,
+            # roles are visible only to tenant owners (dcl_role.slt: a
+            # plain member's SELECT on information_schema.roles is empty)
+            self.roles if self._sys_role() == "owner" else None,
+        ).createOrReplaceTempView("__information_schema__roles")
 
     def _qualify(self, sql: str) -> str:
         """Rewrite known ``db.table`` references to their mangled temp-view
         names (Spark temp views live in a flat namespace). Substitutions are
         applied only OUTSIDE quoted regions so a string literal like
         ``'db2.t1'`` (or a quoted identifier) is never mangled."""
+        # external tables with non-identifier names ("ba sic") are
+        # addressed as quoted tokens — map those to their sanitized views
+        # before the quote-aware pass (which skips quoted regions)
+        for ext in self.external:
+            if not re.fullmatch(r"\w+", ext):
+                view = _ext_view_name(ext)
+                sql = sql.replace(f'"{ext}"', view).replace(f"'{ext}'", view)
 
         def subst(segment: str) -> str:
             segment = re.sub(
                 r"\binformation_schema\.(\w+)", r"__information_schema__\1",
                 segment, flags=re.I,
             )
+            segment = re.sub(
+                r"\bcluster_schema\.(\w+)", r"__cluster_schema__\1",
+                segment, flags=re.I,
+            )
             for db in self.catalog.list_databases():
-                if db == self.database:
-                    continue
                 for name in self.catalog.list_tables(db):
+                    # current database: qualified db.tbl → the bare view;
+                    # other databases: → the __db__tbl mangled view
+                    target = name if db == self.database else f"__{db}__{name}"
                     segment = re.sub(
                         rf"\b{re.escape(db)}\.{re.escape(name)}\b",
-                        f"__{db}__{name}", segment,
+                        target, segment,
                     )
             return segment
 
@@ -252,13 +343,21 @@ class Engine:
             if os.path.exists(cand):
                 path = cand
         reader = self.spark.read
+        decl = opts.get("columns")
+        if decl:
+            # declared schema: no inference scan (at 100 TB inference reads
+            # data; a declared schema is free)
+            reader = reader.schema(
+                ", ".join(f"`{c}` {t}" for c, t, _ in decl)
+            )
         if fmt == "csv":
             reader = reader.option("header", str(opts.get("header", False)).lower())
-            reader = reader.option("inferSchema", "true")
+            if not decl:
+                reader = reader.option("inferSchema", "true")
             if "delimiter" in opts:
                 reader = reader.option("sep", opts["delimiter"])
             return reader.csv(path)
-        if fmt == "json":
+        if fmt in ("json", "ndjson"):
             return reader.json(path)
         if fmt == "parquet":
             df = reader.parquet(path)
@@ -405,17 +504,32 @@ class Engine:
     # ---------------------------------------------------------------- DDL
     def _create_database(self, stmt: str) -> None:
         m = re.match(
-            r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+WITH\s+(.*))?\s*;?\s*$",
+            r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\w+|'[^']*'|\"[^\"]*\")(?:\s+WITH\s+(.*))?\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse CREATE DATABASE: {stmt!r}")
-        name, opts_str = m.group(1), m.group(2) or ""
+        name, opts_str = m.group(1).strip("'\""), m.group(2) or ""
+        # name rules from the reference parser (ddl/create_database.slt):
+        # non-empty, non-blank, no '/'
+        if not name.strip():
+            raise ValueError("Name cannot be empty or contain only spaces")
+        if "/" in name:
+            raise ValueError(f"not supported keyword contains '/': {name}")
+        if self._sys_role() != "owner":
+            raise ValueError(
+                "Insufficient privileges, expected "
+                f"[Write on all databases of tenant {self.current_tenant}]"
+            )
         opts = {}
         tm = re.search(r"TTL\s+'([^']+)'", opts_str, re.I)
         if tm:
             opts["ttl"] = _normalize_ttl(tm.group(1))
+        pm = re.search(r"PRECISION\s+'(\w+)'", opts_str, re.I)
+        if pm:
+            opts["precision"] = pm.group(1).upper()
         for key in ("shard", "replica"):
             km = re.search(rf"{key}\s+(\d+)", opts_str, re.I)
             if km:
@@ -432,9 +546,15 @@ class Engine:
             raise ValueError(f"cannot parse CREATE TABLE: {stmt!r}")
         if_not_exists = bool(m.group(1))
         db, name = self._split_table_name(m.group(2))
+        if db not in self.catalog.list_databases():
+            raise ValueError(f'Database not found: "{db}"')
         if if_not_exists and name in self.catalog.list_tables(db):
             return
         body = m.group(3)
+        if re.search(r",\s*$", body):
+            # parity: the reference parser rejects a trailing comma
+            # (ddl/create_table.slt "Expected identifier, found: )")
+            raise ValueError("Expected identifier, found: )")
         tags: list[str] = []
         fields: dict[str, str] = {}
         codecs: dict[str, str] = {}
@@ -455,6 +575,8 @@ class Engine:
             ctype = cm.group(2).strip().lower()
             if cname.lower() == TIME_COL:
                 continue  # implicit in tskv tables
+            if cname in fields or cname in tags:
+                raise ValueError(f"column {cname} already exists")
             if cm.group(3):
                 codecs[cname] = cm.group(3).upper()
             if ctype.startswith("geometry"):
@@ -473,37 +595,64 @@ class Engine:
 
     def _create_external_table(self, stmt: str) -> None:
         m = re.match(
-            r"CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r'((?:"[^"]*"|\'[^\']*\'|\w+)(?:\s*\.\s*(?:"[^"]*"|\'[^\']*\'|\w+))?)\s*'
             r"(?:\((.*?)\)\s*)?STORED\s+AS\s+(\w+)\s*(.*?)\s*LOCATION\s+'([^']+)'\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse CREATE EXTERNAL TABLE: {stmt!r}")
-        name, _cols, fmt, middle, path = m.groups()
+        name, cols_str, fmt, middle, path = m.groups()
+        # external tables live in the session namespace; a qualified
+        # "db"."tbl" registers under the bare table name (the reference
+        # scopes them per-database — flat here, same resolution behavior
+        # for the corpus' usage)
+        name = name.split(".")[-1].strip().strip("'\"").strip()
+        if not name:
+            raise ValueError("Name cannot be empty or contain only spaces")
+        if "/" in name:
+            raise ValueError(f"not supported keyword contains '/': {name}")
         opts: dict = {}
         if re.search(r"WITH\s+HEADER\s+ROW", middle or "", re.I):
             opts["header"] = True
         dm = re.search(r"DELIMITER\s+'(.)'", middle or "", re.I)
         if dm:
             opts["delimiter"] = dm.group(1)
+        if cols_str and cols_str.strip():
+            # honor the DECLARED schema (the reference plans against it —
+            # an empty CSV still DESCRIBEs its declared columns, and at
+            # scale a declared schema avoids an inference scan entirely)
+            opts["columns"] = _parse_external_columns(cols_str)
         self.external[name] = (fmt.lower(), path, opts)
 
     def _create_stream_table(self, stmt: str) -> None:
         """CREATE STREAM TABLE name(...) WITH (db='..', table='..',
         event_time_column='..') engine=tskv (stream/basic.slt:40-50)."""
         m = re.match(
-            r"CREATE\s+STREAM\s+TABLE\s+(\w+)\s*(?:\(.*?\)\s*)?WITH\s*\((.*?)\)\s*"
+            r"CREATE\s+STREAM\s+TABLE\s+(\w+)\s*(?:\((.*?)\)\s*)?WITH\s*\((.*?)\)\s*"
             r"(?:engine\s*=\s*tskv)?\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse CREATE STREAM TABLE: {stmt!r}")
-        name, withs = m.groups()
+        name, cols_str, withs = m.groups()
         opts = dict(re.findall(r"(\w+)\s*=\s*'([^']*)'", withs))
         src_db = opts.get("db", self.database)
         src_table = opts["table"]
+        if cols_str:
+            # declared columns must exist in the source table
+            # (ddl/create_stream_table.slt 'Unable to get field' record)
+            schema = self.catalog.get_schema(src_db, src_table)
+            valid = {TIME_COL, *schema.tags, *schema.fields}
+            for coldef in _split_top_level(cols_str, ","):
+                cname = coldef.split()[0].strip('"') if coldef.split() else ""
+                if cname and cname not in valid:
+                    raise ValueError(
+                        f'Unable to get field named "{cname}". '
+                        f"Valid fields: {sorted(valid)}"
+                    )
         path = self.catalog._table_path(src_db, src_table)
         self.streams[name] = StreamTable(
             name=name,
@@ -514,13 +663,27 @@ class Engine:
 
     def _drop(self, stmt: str) -> None:
         m = re.match(
-            r"DROP\s+(DATABASE|TABLE|STREAM\s+TABLE)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+            r"DROP\s+(DATABASE|TABLE|STREAM\s+TABLE)\s+(?:IF\s+EXISTS\s+)?"
+            r"([\w.]+|'[^']*'|\"[^\"]*\")(?:\s+AFTER\s+'([^']+)')?\s*;?\s*$",
             stmt,
             re.I,
         )
         if not m:
             raise ValueError(f"cannot parse DROP: {stmt!r}")
-        kind, name = m.group(1).upper(), m.group(2)
+        kind, name, after = m.group(1).upper(), m.group(2).strip("'\""), m.group(3)
+        if after is not None:
+            if kind != "DATABASE":
+                raise ValueError("AFTER is only supported for DROP DATABASE/TENANT")
+            if name not in self.catalog.list_databases():
+                if re.search(r"IF\s+EXISTS", stmt, re.I):
+                    return None
+                raise ValueError(f'Database not found: "{name}"')
+            self._schedule_drop("DropDatabase", name, after)
+            return None
+        if kind == "DATABASE" and name.lower() == "public":
+            # parity: the reference forbids dropping the default database
+            # (ddl/drop_database.slt:66)
+            raise ValueError("Forbidden to drop database public")
         if kind == "DATABASE":
             # Invalidate every registered view of the dropped db's tables
             # (they may be registered under bare names if it is the current
@@ -536,6 +699,10 @@ class Engine:
                 del self.external[tbl]
                 key = ("", tbl)
             else:
+                if tbl not in self.catalog.list_tables(db):
+                    if re.search(r"IF\s+EXISTS", stmt, re.I):
+                        return None
+                    raise ValueError(f'Table not found: "{tbl}"')
                 self.catalog.drop_table(db, tbl)
                 key = (db, tbl)
             # Drop the view actually registered for this key — dropping the
@@ -557,6 +724,8 @@ class Engine:
         )
         if m:
             db, opt, val = m.groups()
+            if db not in self.catalog.list_databases():
+                raise ValueError(f'Database not found: "{db}"')
             opts = self.catalog.database_options(db)
             opts[opt.lower()] = (
                 _normalize_ttl(val) if opt.lower() in ("ttl", "vnode_duration") else val
@@ -596,16 +765,28 @@ class Engine:
             self.catalog._save_schema(db, schema)
             return None
         m = re.match(
-            r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(?:FIELD|COLUMN)\s+(\w+)(?:\s+(\w+(?:\s+\w+)?))?\s*;?\s*$",
+            r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(?:(FIELD|TAG|COLUMN)\s+)?(\w+)"
+            r"(?:\s+(\w+(?:\s+\w+)?))?(?:\s+CODEC\s*\(\s*(\w+)\s*\))?\s*;?\s*$",
             stmt,
             re.I,
         )
         if not m:
             raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
-        tbl, action, col, ctype = m.groups()
+        tbl, action, kind, col, ctype, codec = m.groups()
         db, name = self._split_table_name(tbl)
         if action.upper() == "ADD":
-            self.catalog.alter_table_add_field(db, name, col, _TYPE_MAP[ctype.lower()])
+            if (kind or "").upper() == "TAG":
+                self.catalog.alter_table_add_tag(db, name, col)
+            else:
+                if not ctype:
+                    raise ValueError("ADD FIELD requires a type")
+                ftype = _TYPE_MAP[ctype.lower()]
+                _check_codec(codec and codec.upper(), ftype)
+                self.catalog.alter_table_add_field(db, name, col, ftype)
+                if codec:
+                    schema = self.catalog.get_schema(db, name)
+                    schema.options.setdefault("codecs", {})[col] = codec.upper()
+                    self.catalog._save_schema(db, schema)
         else:
             self.catalog.alter_table_drop_field(db, name, col)
         self._mark_dirty(db, name)
@@ -778,8 +959,23 @@ class Engine:
             getattr(df.write.mode("overwrite"), fmt)(url)
             return self.spark.createDataFrame([(df.count(),)], ["rows"])
         m = re.match(
+            r"COPY\s+INTO\s+'([^']+)'\s+FROM\s+([\w.]+)\s*"
+            r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*(?:=\s*)?'(\w+)'\s*\))?\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if m:  # export of a whole table (dcl/assignment.slt space-form TYPE)
+            url, tbl, fmt = m.groups()
+            df = self._select(f"SELECT * FROM {tbl}")
+            fmt = (fmt or "parquet").lower()
+            writer = df.write.mode("overwrite")
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            getattr(writer, fmt)(url)
+            return self.spark.createDataFrame([(df.count(),)], ["rows"])
+        m = re.match(
             r"COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s*"
-            r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*'(\w+)'(.*?)\))?\s*;?\s*$",
+            r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*(?:=\s*)?'(\w+)'(.*?)\))?\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
@@ -837,11 +1033,15 @@ class Engine:
         db, name = self._split_table_name(target)
         if name in self.external:
             fmt, path, opts = self.external[name]
-            df = self._read_external(fmt, path, opts)
-            rows = [
-                (f.name, f.dataType.simpleString().upper(), "FIELD", "DEFAULT")
-                for f in df.schema.fields
-            ]
+            decl = opts.get("columns")
+            if decl:
+                rows = [(c, disp, "FIELD", "NULL") for c, _, disp in decl]
+            else:
+                df = self._read_external(fmt, path, opts)
+                rows = [
+                    (f.name, f.dataType.simpleString().upper(), "FIELD", "NULL")
+                    for f in df.schema.fields
+                ]
         else:
             schema = self.catalog.get_schema(db, name)
             codecs = schema.options.get("codecs", {})
@@ -862,6 +1062,106 @@ class Engine:
             "compression_codec string",
         )
 
+    # ------------------------------------------------- delayed-drop resources
+    def _now_us(self) -> int:
+        import time as _t
+
+        return _t.time_ns() // 1000 + self.clock_offset_us
+
+    def advance_clock(self, dur: str) -> None:
+        """slt `sleep <dur>` advances the virtual clock (expiry is testable
+        without wall-clock waits)."""
+        self.clock_offset_us += _parse_short_duration_us(dur)
+
+    def _process_resources(self) -> None:
+        """Execute scheduled drops whose deadline has passed (the reference
+        meta resource manager's background loop, evaluated lazily here)."""
+        for name, r in self._resources.items():
+            if r["status"] != "Schedule" or r["deadline_us"] > self._now_us():
+                continue
+            if r["action"] == "DropDatabase":
+                self._drop_database_now(r["target"])
+            else:
+                self.tenants.pop(r["target"], None)
+                self._hidden_tenants.discard(r["target"])
+            r["try_count"] += 1
+            r["status"] = "Successed"  # sic — the reference's spelling
+
+    def _drop_database_now(self, db: str) -> None:
+        for key in [k for k in self._registered if k[0] == db]:
+            view = self._registered.pop(key)
+            self.spark.catalog.dropTempView(view)
+            self._dirty.discard(key)
+        shutil.rmtree(self.catalog._db_path(db), ignore_errors=True)
+        self._hidden_dbs.discard(db)
+
+    def _schedule_drop(self, kind: str, target: str, dur: str) -> None:
+        name = f"{self.catalog.tenant}-{target}" if kind == "DropDatabase" else target
+        self._resources[name] = {
+            "action": kind,
+            "target": target,
+            "try_count": self._resources.get(name, {}).get("try_count", 0),
+            "status": "Schedule",
+            "deadline_us": self._now_us() + _parse_short_duration_us(dur),
+        }
+        (self._hidden_dbs if kind == "DropDatabase" else self._hidden_tenants).add(
+            target
+        )
+
+    def _recover(self, stmt: str):
+        m = re.match(
+            r"RECOVER\s+(DATABASE|TENANT)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse RECOVER: {stmt!r}")
+        kind, target = m.group(1).upper(), m.group(2)
+        if_exists = re.search(r"IF\s+EXISTS", stmt, re.I) is not None
+        key = f"{self.catalog.tenant}-{target}" if kind == "DATABASE" else target
+        r = self._resources.get(key)
+        if r is None or r["status"] != "Schedule":
+            if if_exists:
+                return None
+            raise ValueError(f"{kind.lower()} {target} is not scheduled for drop")
+        r["status"] = "Cancel"
+        (self._hidden_dbs if kind == "DATABASE" else self._hidden_tenants).discard(
+            target
+        )
+        return None
+
+    def resource_status_rows(self) -> list[tuple[str, str, str, str]]:
+        self._process_resources()
+        return [
+            (name, r["action"], str(r["try_count"]), r["status"])
+            for name, r in sorted(self._resources.items())
+        ]
+
+    def _is_admin(self) -> bool:
+        u = self.users.get(self.user) or {}
+        return bool(
+            u.get("is_admin")
+            or str(u.get("options", {}).get("granted_admin")).lower() == "true"
+        )
+
+    def _sys_role(self) -> str:
+        """Current user's effective system role in the current tenant:
+        'owner', 'member', or '' (no membership) — the reference's
+        privilege checks reduce to this (auth/role.rs system roles)."""
+        if self._is_admin():
+            return "owner"
+        role = (
+            self.tenants.get(self.current_tenant, {})
+            .get("members", {})
+            .get(self.user)
+        )
+        if role is None:
+            return ""
+        r = role.lower()
+        if r in ("owner", "member"):
+            return r
+        return self.roles.get(role, {}).get("inherit", "member")
+
     # ---------------------------------------------------------------- DCL
     def _dcl(self, stmt: str):
         """Tenant/user/role/grant DCL as metadata-only catalog objects
@@ -869,28 +1169,59 @@ class Engine:
         cases/dcl/*.slt; Spark has no auth enforcement layer — the surface
         exists so DCL round-trips and SHOW works)."""
         s = stmt.rstrip(";").strip()
-        m = re.match(r"CREATE\s+TENANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.I)
+        m = re.match(
+            r"CREATE\s+TENANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+|'[^']*'|\"[^\"]*\")"
+            r"(?:\s+WITH\s+(.*))?$",
+            s, re.I | re.S,
+        )
         if m:
-            name = m.group(1)
+            name, withs = m.group(1).strip("'\""), m.group(2) or ""
+            if not name.strip():
+                raise ValueError("Name cannot be empty or contain only spaces")
             if name in self.tenants and "IF NOT EXISTS" not in s.upper():
                 raise ValueError(f"tenant {name} already exists")
-            self.tenants.setdefault(name, {"members": {}})
+            opts = _parse_with_options(withs)
+            if opts.get("drop_after"):
+                _parse_short_duration_us(opts["drop_after"])  # validate now
+            self.tenants.setdefault(name, {"members": {}, "options": opts})
+            self._hidden_tenants.discard(name)
             return None
-        m = re.match(r"DROP\s+TENANT\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
+        m = re.match(
+            r"DROP\s+TENANT\s+(?:IF\s+EXISTS\s+)?(\w+)(?:\s+AFTER\s+'([^']+)')?", s, re.I
+        )
         if m:
-            name = m.group(1)
+            name, after = m.groups()
             if name == "cnosdb":
                 raise ValueError("tenant cnosdb is prohibited from being dropped")
-            if name not in self.tenants and "IF EXISTS" not in s.upper():
-                raise ValueError(f"tenant {name} not found")
-            self.tenants.pop(name, None)
+            gone = name not in self.tenants or name in self._hidden_tenants
+            if gone and "IF EXISTS" not in s.upper():
+                raise ValueError(f"The tenant {name} not found")
+            if gone:
+                return None
+            # an explicit AFTER, or the tenant's own drop_after option,
+            # schedules the drop instead of executing it
+            # (ddl/drop_and_recover_tenant.slt)
+            after = after or self.tenants[name].get("options", {}).get("drop_after")
+            if after:
+                self._schedule_drop("DropTenant", name, after)
+            else:
+                self.tenants.pop(name, None)
             return None
-        m = re.match(r"CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(.*)$", s, re.I | re.S)
+        m = re.match(
+            r"CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+|'[^']*'|\"[^\"]*\")(.*)$",
+            s, re.I | re.S,
+        )
         if m:
-            name, rest = m.group(1), m.group(2)
+            name, rest = m.group(1).strip("'\""), m.group(2)
+            if not name.strip():
+                raise ValueError("Name cannot be empty or contain only spaces")
+            if "/" in name:
+                raise ValueError(f"not supported keyword contains '/': {name}")
             if name in self.users and "IF NOT EXISTS" not in s.upper():
                 raise ValueError(f"user {name} already exists")
-            opts = dict(re.findall(r"(\w+)\s*=\s*'?([^',\s]+)'?", rest))
+            wm = re.match(r"\s*(?:WITH\s+(.*?))?\s*$", rest, re.I | re.S)
+            withs = (wm.group(1) or "") if wm else ""
+            opts = _parse_with_options(withs)
             self.users.setdefault(name, {"is_admin": False, "options": opts})
             return None
         m = re.match(r"DROP\s+USER\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
@@ -905,11 +1236,38 @@ class Engine:
         m = re.match(r"ALTER\s+USER\s+(\w+)\s+SET\s+(\w+)\s*=\s*(.+)$", s, re.I)
         if m:
             name, key, val = m.group(1), m.group(2).lower(), m.group(3).strip().strip("'")
+            if name == "root" and self.user != "root":
+                raise ValueError("Insufficient privileges, expected [root user]")
             if name == "root" and key == "granted_admin":
                 raise ValueError("The root user does not support changing granted_admin")
+            if key == "granted_admin" and not self._is_admin():
+                raise ValueError(
+                    "Insufficient privileges, expected [maintainer for system]"
+                )
             if name not in self.users:
                 raise ValueError(f"The user {name} not found")
             self.users[name]["options"][key] = val
+            return None
+        m = re.match(
+            r"ALTER\s+TENANT\s+(\w+)\s+(SET|UNSET)\s+(\w+)(?:(?:\s*=\s*|\s+)'([^']*)')?\s*$",
+            s, re.I,
+        )
+        if m:
+            tenant, action, key, val = m.groups()
+            key = key.lower()
+            if tenant not in self.tenants or tenant in self._hidden_tenants:
+                raise ValueError(f"The tenant {tenant} not found")
+            if key not in ("drop_after", "comment", "limiter_config"):
+                # internal options are unmodifiable (dcl_tenant.slt
+                # tenant_is_hidden record)
+                raise ValueError(f"tenant option {key} is unmodifiable")
+            opts = self.tenants[tenant].setdefault("options", {})
+            if action.upper() == "SET":
+                if key == "drop_after" and val is not None:
+                    _parse_short_duration_us(val)  # validate now
+                opts[key] = val
+            else:
+                opts[key] = None
             return None
         m = re.match(
             r"ALTER\s+TENANT\s+(\w+)\s+(ADD|REMOVE)\s+USER\s+(\w+)(?:\s+AS\s+(\w+))?",
@@ -922,13 +1280,32 @@ class Engine:
             if action.upper() == "ADD":
                 if user not in self.users:
                     raise ValueError(f"The user {user} not found")
-                self.tenants[tenant]["members"][user] = (role or "member").lower()
+                r = (role or "member").lower()
+                if r not in ("owner", "member") and role not in self._roles_by_tenant.get(
+                    tenant, {}
+                ):
+                    raise ValueError(f"The role {role} not found")
+                self.tenants[tenant]["members"][user] = r if r in ("owner", "member") else role
             else:
                 self.tenants[tenant]["members"].pop(user, None)
             return None
-        m = re.match(r"CREATE\s+ROLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+INHERIT\s+(\w+))?", s, re.I)
+        m = re.match(
+            r"CREATE\s+ROLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+|'[^']*'|\"[^\"]*\")"
+            r"(?:\s+INHERIT\s+(\w+))?",
+            s, re.I,
+        )
         if m:
-            name, inherit = m.groups()
+            name, inherit = m.group(1).strip("'\""), m.group(2)
+            if inherit and inherit.lower() not in ("owner", "member"):
+                # parity: only system roles are inheritable (dcl_role.slt)
+                raise ValueError(f"Expected [owner,member], found {inherit}")
+            if self._sys_role() != "owner":
+                raise ValueError(
+                    "Insufficient privileges, expected "
+                    f"[maintainer for all roles of tenant {self.current_tenant}]"
+                )
+            if not name.strip():
+                raise ValueError("Name cannot be empty or contain only spaces")
             if name in self.roles and "IF NOT EXISTS" not in s.upper():
                 raise ValueError(f"role {name} already exists")
             self.roles.setdefault(name, {"inherit": (inherit or "member").lower()})
@@ -936,6 +1313,8 @@ class Engine:
         m = re.match(r"DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
         if m:
             name = m.group(1)
+            if name.lower() in ("owner", "member"):
+                raise ValueError(f"Couldn't drop system role {name}")
             if name not in self.roles and "IF EXISTS" not in s.upper():
                 raise ValueError(f"role {name} not found")
             self.roles.pop(name, None)
@@ -958,8 +1337,22 @@ class Engine:
     def _show(self, stmt: str) -> DataFrame:
         s = stmt.rstrip(";").strip()
         if re.fullmatch(r"SHOW\s+DATABASES", s, re.I):
+            if (
+                self.current_tenant in self._hidden_tenants
+                or self.current_tenant not in self.tenants
+            ):
+                raise ValueError("Auth error: The tenant not found")
+            dbs = (
+                [
+                    d
+                    for d in self.catalog.list_databases()
+                    if d not in self._hidden_dbs
+                ]
+                if self.current_tenant == self.catalog.tenant
+                else []  # other tenants own no databases in this session
+            )
             return self.spark.createDataFrame(
-                [(d,) for d in self.catalog.list_databases()], ["database_name"]
+                [(d,) for d in dbs], "database_name string"
             )
         if re.fullmatch(r"SHOW\s+TENANTS", s, re.I):
             return self.spark.createDataFrame(
@@ -978,7 +1371,9 @@ class Engine:
             m = re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I)
             db = m.group(1) or self.database
             names = self.catalog.list_tables(db) + sorted(self.external) + sorted(self.streams)
-            return self.spark.createDataFrame([(t,) for t in names], ["table_name"])
+            return self.spark.createDataFrame(
+                [(t,) for t in names], "table_name string"
+            )
         m = re.fullmatch(
             r"SHOW\s+SERIES\s+(?:ON\s+(\w+)\s+)?FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?"
             r"(?:\s+ORDER\s+BY\s+([\w\s,]+?))?(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?",
@@ -1129,7 +1524,7 @@ class Engine:
                     "boolean": "boolean",
                     "string": "string",
                 }[f.dataType.simpleString()]
-            try:
+            if name in self.catalog.list_tables(db):
                 schema = self.catalog.get_schema(db, name)
                 for t in tags:
                     if t not in schema.tags and t not in schema.fields:
@@ -1140,7 +1535,7 @@ class Engine:
                         schema.fields[fname] = ftype
                         schema.schema_version += 1
                 self.catalog._save_schema(db, schema)
-            except KeyError:
+            else:
                 schema = TskvTableSchema(
                     tenant=self.catalog.tenant, db=db, name=name, tags=tags, fields=fields
                 )
@@ -1178,6 +1573,107 @@ def _apply_show_order(df: DataFrame, order: str | None, valid: tuple[str, ...]) 
         desc = len(parts) > 1 and parts[1].upper() == "DESC"
         exprs.append(F.col(col).desc() if desc else F.col(col).asc())
     return df.orderBy(*exprs) if exprs else df
+
+
+def _parse_short_duration_us(dur: str) -> int:
+    """'3m'/'65s'/'100ms'/'7d'/'1y'/'7' → µs (bare digits default to
+    minutes). Units are CASE-SENSITIVE lowercase — the reference rejects
+    '1Y' ("1Y is not a valid duration", dcl_tenant.slt:133) while '1y'
+    parses."""
+    m = re.fullmatch(r"\s*(\d+)\s*(\w*)\s*", str(dur))
+    if not m:
+        raise ValueError(f"{dur} is not a valid duration or duration overflow")
+    n, unit = int(m.group(1)), m.group(2)
+    per = {
+        "": 60_000_000, "m": 60_000_000, "min": 60_000_000,
+        "ms": 1_000, "s": 1_000_000, "h": 3_600_000_000,
+        "d": 86_400_000_000, "w": 7 * 86_400_000_000,
+        "y": 365 * 86_400_000_000,
+    }.get(unit)
+    if per is None:
+        raise ValueError(f"{dur} is not a valid duration or duration overflow")
+    return n * per
+
+
+def _parse_with_options(withs: str) -> dict:
+    """WITH key='value'[, ...] — strict: a key without a value is a parse
+    error (dcl_user.slt `with comment;` record)."""
+    opts: dict = {}
+    if not withs or not withs.strip():
+        return opts
+    for part in _split_top_level(withs, ","):
+        part = part.strip().rstrip(";").strip()
+        if not part:
+            continue
+        # forms: key='v' | key 'v' | key subkey= v | nested multi-line
+        # limiter configs ("object_config max_users_number= 1\n
+        # max_databases = 3 ...", dcl_tenant.slt:199)
+        pm = re.fullmatch(
+            r"(\w+(?:\s+\w+)*?)\s*(?:=\s*|\s+)(?:'([^']*)'|(\S+))", part
+        )
+        if pm:
+            opts[pm.group(1).lower()] = (
+                pm.group(2) if pm.group(2) is not None else pm.group(3)
+            )
+            continue
+        pairs = re.findall(r"(\w+)\s*=\s*(?:'([^']*)'|([^\s,;]+))", part)
+        if not pairs:
+            raise ValueError(f"Expected a value, found: {part!r}")
+        for k, v1, v2 in pairs:
+            opts[k.lower()] = v1 if v1 else v2
+    return opts
+
+
+def _ext_view_name(name: str) -> str:
+    """Temp-view name for an external table: identifiers pass through,
+    anything else ("ba sic") gets a sanitized __ext__ name."""
+    if re.fullmatch(r"\w+", name):
+        return name
+    return "__ext__" + re.sub(r"\W", "_", name)
+
+
+def _parse_external_columns(cols_str: str) -> list[tuple[str, str, str]]:
+    """Declared external-table columns → [(name, spark_type, datafusion
+    display)] (reference renders Arrow type names in DESCRIBE,
+    ddl/create_external_table.slt:28-33)."""
+    out: list[tuple[str, str, str]] = []
+    for coldef in _split_top_level(cols_str, ","):
+        coldef = coldef.strip()
+        if not coldef:
+            continue
+        cm = re.match(
+            r'("[^"]+"|\w+)\s+(\w+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)', coldef
+        )
+        if not cm:
+            raise ValueError(f"cannot parse external column {coldef!r}")
+        cname = cm.group(1).strip().strip('"')
+        ctype = re.sub(r"\s", "", cm.group(2)).lower()
+        dm = re.match(r"decimal\((\d+),(\d+)\)", ctype)
+        if dm:
+            p, s = dm.groups()
+            out.append((cname, f"decimal({p},{s})", f"Decimal128({p}, {s})"))
+            continue
+        mapping = {
+            "double": ("double", "Float64"),
+            "float": ("float", "Float32"),
+            "real": ("float", "Float32"),
+            "bigint": ("bigint", "Int64"),
+            "int": ("int", "Int32"),
+            "integer": ("int", "Int32"),
+            "smallint": ("smallint", "Int16"),
+            "tinyint": ("tinyint", "Int8"),
+            "string": ("string", "Utf8"),
+            "varchar": ("string", "Utf8"),
+            "text": ("string", "Utf8"),
+            "boolean": ("boolean", "Boolean"),
+            "bool": ("boolean", "Boolean"),
+            "timestamp": ("timestamp", "Timestamp(Nanosecond, None)"),
+            "date": ("date", "Date32"),
+        }
+        if ctype not in mapping:
+            raise ValueError(f"unsupported external column type {ctype!r}")
+        out.append((cname, *mapping[ctype]))
+    return out
 
 
 def _normalize_ttl(ttl: str) -> str:

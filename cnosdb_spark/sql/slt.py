@@ -58,6 +58,13 @@ def parse_slt(path: str) -> list[SltRecord]:
             records.extend(parse_slt(inc_path))
             i += 1
             continue
+        m = re.match(r"sleep\s+(\S+)\s*$", line, re.I)
+        if m:
+            # advances the engine's VIRTUAL clock (delayed-drop expiry) —
+            # no wall-clock wait
+            records.append(SltRecord("sleep", m.group(1), file=path, line=i))
+            i += 1
+            continue
         m = re.match(r"statement\s+(ok|error)(\s+.*)?$", line)
         if m:
             kind = m.group(1)
@@ -121,6 +128,32 @@ def _handle_pragma(engine, sql: str) -> bool:
             engine.catalog.create_database(db)
         engine.database = db
         return True
+    m = re.match(r"--#TENANT\s*=\s*(\w+)\s*$", s)
+    if m:
+        engine.set_tenant(m.group(1))
+        return True
+    m = re.match(r"--#USER_NAME\s*=\s*(\w+)\s*$", s)
+    if m:
+        engine.user = m.group(1)
+        return True
+    if s.startswith("--#") and all(
+        ln.strip().startswith("--#") for ln in s.splitlines()
+    ):
+        # multi-pragma record (--#TENANT=... \n --#USER_NAME=...)
+        for ln in s.splitlines():
+            ln = ln.strip()
+            m = re.match(r"--#DATABASE\s*=\s*(\w+)\s*$", ln)
+            if m:
+                if m.group(1) not in engine.catalog.list_databases():
+                    engine.catalog.create_database(m.group(1))
+                engine.database = m.group(1)
+            m = re.match(r"--#TENANT\s*=\s*(\w+)\s*$", ln)
+            if m:
+                engine.set_tenant(m.group(1))
+            m = re.match(r"--#USER_NAME\s*=\s*(\w+)\s*$", ln)
+            if m:
+                engine.user = m.group(1)
+        return True
     if s.startswith("--#LP_BEGIN"):
         body = []
         for line in s.splitlines()[1:]:
@@ -138,14 +171,34 @@ def run_slt(
     engine, path: str, check_row_counts: bool = True, check_values: bool = False
 ) -> SltResult:
     res = SltResult()
+    # each slt file runs in a fresh session in the reference runner — the
+    # --#DATABASE pragma must not leak into the next file
+    engine.database = "public"
+    if hasattr(engine, "set_tenant"):
+        engine.set_tenant(getattr(engine, "_home_tenant", engine.catalog.tenant))
+    engine.user = "root"
     for rec in parse_slt(path):
+        if rec.kind == "sleep":
+            if hasattr(engine, "advance_clock"):
+                engine.advance_clock(rec.sql)
+            continue
         res.total += 1
         short = " ".join(rec.sql.split())[:90]
         try:
-            if _handle_pragma(engine, rec.sql):
+            # leading pragma lines can prefix a real statement
+            # (dcl_role.slt "--#USER_NAME = root\ncreate user u_admin;");
+            # LP_BEGIN blocks are handled whole by _handle_pragma
+            sql = rec.sql
+            while sql.lstrip().startswith("--#") and not sql.lstrip().startswith(
+                "--#LP_BEGIN"
+            ):
+                first, _, rest = sql.lstrip().partition("\n")
+                _handle_pragma(engine, first)
+                sql = rest
+            if not sql.strip() or _handle_pragma(engine, sql):
                 res.passed += 1
                 continue
-            df = engine.sql(rec.sql)
+            df = engine.sql(sql)
             if rec.kind == "error":
                 if df is not None:
                     df.collect()  # force execution: runtime (ANSI) errors

@@ -18,9 +18,70 @@ from pyspark.sql import DataFrame, SparkSession
 from .schema import TIME_COL
 
 
-def databases_df(spark: SparkSession, catalog) -> DataFrame:
+def tenants_df(spark: SparkSession, tenants: dict) -> DataFrame:
+    """cluster_schema.tenants (reference meta tenant options as JSON —
+    ddl/alter_drop_after.slt LIKE-matches the rendered
+    '"drop_after":{"duration"...}' / '"drop_after":null' text)."""
+    import json
+
+    rows = []
+    for name, t in sorted(tenants.items()):
+        opts = t.get("options", {}) or {}
+        da = opts.get("drop_after")
+        rendered = {
+            "comment": opts.get("comment"),
+            "limiter_config": None,
+            "drop_after": ({"duration": da} if da else None),
+        }
+        rows.append((name, json.dumps(rendered, separators=(",", ":"))))
+    return spark.createDataFrame(
+        rows, "tenant_name string, tenant_options string"
+    )
+
+
+def users_df(spark: SparkSession, users: dict) -> DataFrame:
+    """cluster_schema.users (ddl/user.slt renders options JSON with a
+    masked hash_password first)."""
+    import json
+
+    rows = []
+    for name, u in sorted(users.items()):
+        opts = {"hash_password": "*****"}
+        for k, v in (u.get("options") or {}).items():
+            if k in ("true", "false"):
+                continue
+            opts[k] = (
+                v if not isinstance(v, str)
+                else True if v == "true" else False if v == "false" else v
+            )
+        rows.append(
+            (name, bool(u.get("is_admin")), json.dumps(opts, separators=(",", ":")))
+        )
+    return spark.createDataFrame(
+        rows, "user_name string, is_admin boolean, user_options string"
+    )
+
+
+def roles_df(spark: SparkSession, roles: dict | None) -> DataFrame:
+    """information_schema.roles: system roles (owner/member) + custom.
+    ``roles=None`` → caller lacks the privilege: empty view."""
+    if roles is None:
+        rows = []
+    else:
+        rows = [("owner", "system", None), ("member", "system", None)] + [
+            (r, "custom", meta.get("inherit"))
+            for r, meta in sorted(roles.items())
+        ]
+    return spark.createDataFrame(
+        rows, "role_name string, role_type string, inherit_role string"
+    )
+
+
+def databases_df(spark: SparkSession, catalog, hidden: set | None = None) -> DataFrame:
     rows = []
     for db in catalog.list_databases():
+        if hidden and db in hidden:
+            continue
         opts = catalog.database_options(db)
         rows.append(
             (
