@@ -94,8 +94,15 @@ def test_ttl_filter(spark, cat):
     cat.create_table("dbttl", schema)
     old = datetime(2000, 1, 1)
     now = datetime.utcnow()
+    # Writes older than now - ttl hit an expired bucket and are rejected,
+    # mirroring the reference's meta bucket-creation error.
+    with pytest.raises(ValueError, match="expired bucket"):
+        cat.insert(
+            "dbttl", "m",
+            spark.createDataFrame([(old, "a", 1.0)], ["time", "t0", "f0"]),
+        )
     cat.insert(
-        "dbttl", "m", spark.createDataFrame([(old, "a", 1.0), (now, "b", 2.0)], ["time", "t0", "f0"])
+        "dbttl", "m", spark.createDataFrame([(now, "b", 2.0)], ["time", "t0", "f0"])
     )
     rows = cat.read("dbttl", "m").collect()
     assert len(rows) == 1 and rows[0]["t0"] == "b"
