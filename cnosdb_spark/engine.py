@@ -384,7 +384,10 @@ class Engine:
                         )
             except Exception:
                 pass
-            return df
+            from cnosdb_spark.session import normalize_timestamps
+
+            # µs-NTZ parquet → TimestampType (UTC session: value no-op)
+            return normalize_timestamps(df, ts_nanos_long_cols=())
         if fmt == "avro":
             return reader.format("avro").load(path)
         raise ValueError(f"unsupported external format {fmt!r}")
@@ -735,6 +738,10 @@ class Engine:
 
             with open(os.path.join(self.catalog._db_path(db), "_db.json"), "w") as f:
                 _json.dump(opts, f)
+            # TTL changes alter the read-time retention filter baked into
+            # each registered view — force re-registration
+            for t in self.catalog.list_tables(db):
+                self._mark_dirty(db, t)
             return None
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$",

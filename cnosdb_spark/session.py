@@ -79,22 +79,45 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return out
 
 
+def normalize_timestamps(df, ts_nanos_long_cols: tuple[str, ...] = ("ts",)):
+    """Normalize every timestamp column to Spark µs ``TimestampType``
+    regardless of how the parquet file encoded it. The driver's testdata
+    has historically shipped three encodings for ``events.ts``:
+
+    - ``TIMESTAMP(NANOS)`` → surfaced as ``LongType`` nanoseconds under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (round 1 data),
+    - ``timestamp[us]`` with no timezone → ``TimestampNTZType`` under
+      Spark 4's ``parquet.inferTimestampNTZ`` (round 3 data),
+    - ``timestamp[us]`` UTC-adjusted → ``TimestampType`` already.
+
+    All engine time-series helpers use ``F.unix_micros`` which accepts only
+    ``TimestampType``; session timezone is pinned to UTC so the NTZ→LTZ
+    cast is a value no-op. Handling all three here means the next testdata
+    regeneration can't silently break nine operators again (round-2
+    postmortem).
+    """
+    from pyspark.sql import functions as F, types as T
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+        elif field.name in ts_nanos_long_cols and isinstance(field.dataType, T.LongType):
+            # nanos-as-long era: integer div keeps µs precision exact
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver parquet table, normalizing nanosecond timestamp
-    columns (stored TIMESTAMP(NANOS), surfaced as LongType under
-    nanosAsLong) back to Spark µs TimestampType. The testdata is µs-aligned
-    so the division is lossless.
+    """Read one driver parquet table with timestamps normalized to
+    ``TimestampType`` (see :func:`normalize_timestamps`).
 
     Defensive: the conf is set here (runtime-settable) so this works under
     ANY caller-provided SparkSession, not just get_spark()'s.
     """
-    from pyspark.sql import functions as F, types as T
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        f = dict(zip(df.columns, df.schema.fields))
-        if isinstance(f.get("ts") and f["ts"].dataType, T.LongType):
-            # integer div: long→double division would lose ns precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # only `events.ts` ever shipped as TIMESTAMP(NANOS); other tables' long
+    # columns (keys, counts) must not be touched
+    return normalize_timestamps(df, ts_nanos_long_cols=("ts",) if name == "events" else ())

@@ -40,6 +40,11 @@ class StreamTable:
             # batch read of the same directory (cheap footer-only read).
             s = spark.read.parquet(self.source_path).schema
         df = reader.schema(s).parquet(self.source_path)
+        from cnosdb_spark.session import normalize_timestamps
+
+        # event-time column must be TimestampType whatever the parquet
+        # encoding (nanos-long / µs-NTZ / µs-LTZ) — see session.py
+        df = normalize_timestamps(df, ts_nanos_long_cols=(self.event_time_column,))
         if self.watermark_delay and self.watermark_delay != "0 seconds":
             df = df.withWatermark(self.event_time_column, self.watermark_delay)
         return df

@@ -4,7 +4,7 @@ SHOW TAG VALUES, compaction, schema evolution."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 
@@ -101,11 +101,21 @@ def test_ttl_filter(spark, cat):
             "dbttl", "m",
             spark.createDataFrame([(old, "a", 1.0)], ["time", "t0", "f0"]),
         )
+    mid = now - timedelta(minutes=30)
+    cat.insert(
+        "dbttl", "m", spark.createDataFrame([(mid, "a", 1.5)], ["time", "t0", "f0"])
+    )
     cat.insert(
         "dbttl", "m", spark.createDataFrame([(now, "b", 2.0)], ["time", "t0", "f0"])
     )
     rows = cat.read("dbttl", "m").collect()
-    assert len(rows) == 1 and rows[0]["t0"] == "b"
+    assert sorted(r["t0"] for r in rows) == ["a", "b"]
+    # read-side retention filter (catalog.py read): shrink the TTL so the
+    # already-written 30-min-old row falls outside the window — no insert
+    # guard involved, only the query-time filter can hide it
+    cat.create_database("dbttl", ttl="10 MINUTE")
+    rows = cat.read("dbttl", "m").collect()
+    assert [r["t0"] for r in rows] == ["b"]
 
 
 def test_alter_add_drop_field(spark, cat):

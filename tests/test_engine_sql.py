@@ -196,10 +196,24 @@ def test_external_table_and_copy(eng, spark, tmp_path):
 
 
 def test_ttl_applied_via_sql(eng):
+    """Write-time: inserting beyond the retention window is rejected at
+    bucket creation (reference meta 'create expired bucket'); read-time:
+    shrinking the TTL via ALTER DATABASE hides rows already written
+    (catalog.read's retention filter, reference tskv read-path TTL)."""
     eng.sql("CREATE DATABASE short WITH TTL '1h'")
     eng.sql("CREATE TABLE short.t(f0 DOUBLE, TAGS(t0))")
-    eng.sql("INSERT INTO short.t(time, t0, f0) VALUES ('2000-01-01 00:00:00', 'old', 1.0)")
+    with pytest.raises(ValueError, match="expired bucket"):
+        eng.sql(
+            "INSERT INTO short.t(time, t0, f0) VALUES ('2000-01-01 00:00:00', 'old', 1.0)"
+        )
+    eng.sql(
+        "INSERT INTO short.t(time, t0, f0) VALUES (now() - INTERVAL 30 MINUTES, 'mid', 1.5)"
+    )
     eng.sql("INSERT INTO short.t(time, t0, f0) VALUES (now(), 'new', 2.0)")
+    rows = eng.sql("SELECT t0 FROM short.t ORDER BY t0").collect()
+    assert [r["t0"] for r in rows] == ["mid", "new"]
+    # shrink retention below the 30-min-old row's age: read filter hides it
+    eng.sql("ALTER DATABASE short SET TTL '10m'")
     rows = eng.sql("SELECT t0 FROM short.t").collect()
     assert [r["t0"] for r in rows] == ["new"]
 
