@@ -902,6 +902,100 @@ def series_selector_aggs(spark, sf_dir):
 
 
 @_q(
+    "mode_per_series",
+    """
+    SELECT user_id, event_type AS mode FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def mode_per_series(spark, sf_dir):
+    """mode(x) with deterministic tie-break (SURVEY §2.4; reference
+    aggregate_function/mode.rs)."""
+    e = _t(spark, sf_dir, "events")
+    return mode_df(e, ["user_id"], "event_type")
+
+
+@_q(
+    "increase_counter",
+    """
+    WITH d AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+      FROM events)
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
+                                   WHEN value - pv >= 0 THEN value - pv
+                                   ELSE value END), 0), 4) AS increase
+    FROM d GROUP BY user_id
+    """,
+)
+def increase_counter(spark, sf_dir):
+    """increase(time, value) with counter-reset handling (SURVEY §2.4;
+    reference aggregate_function/increase.rs)."""
+    e = _t(spark, sf_dir, "events")
+    out = increase(e, "ts", "value", ["user_id"])
+    return out.select("user_id", F.round("increase", 4).alias("increase"))
+
+
+@_q(
+    "sample_deterministic",
+    """
+    SELECT event_id, user_id FROM events
+    ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 20
+    """,
+)
+def sample_events(spark, sf_dir):
+    """sample(x, n) as a deterministic uniform hash-sample (SURVEY §2.4;
+    reference sample.rs is a reservoir — divergence documented in
+    functions.timeseries.sample_deterministic)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return sample_deterministic(e, "event_id", 20)
+
+
+@_q(
+    "duration_in_state",
+    """
+    WITH d AS (
+      SELECT user_id, event_type,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              - epoch_us(ts)) / 1e6 AS dur
+      FROM events),
+    per AS (SELECT user_id, round(sum(coalesce(dur, 0)), 3) AS duration_s
+            FROM d WHERE event_type = 'error' GROUP BY user_id)
+    SELECT u.user_id, coalesce(per.duration_s, 0.0) AS duration_s
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN per ON per.user_id = u.user_id
+    """,
+)
+def duration_in_state(spark, sf_dir):
+    """duration_in(state_agg(...), 'error') (reference
+    scalar_function/duration_in.rs)."""
+    e = _t(spark, sf_dir, "events")
+    out = duration_in(e, "ts", "event_type", ["user_id"], "error")
+    return out.select("user_id", F.round("duration_s", 3).alias("duration_s"))
+
+
+@_q(
+    "state_at_timestamp",
+    """
+    SELECT user_id, arg_max(event_type, ts) AS state
+    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def state_at_ts(spark, sf_dir):
+    """state_at(state_agg(...), ts): as-of lookup (reference
+    scalar_function/state_at.rs)."""
+    e = _t(spark, sf_dir, "events")
+    return state_at(e, "ts", "event_type", ["user_id"], "2024-01-15 00:00:00")
+
+
+@_q(
     "topk_bottom_values",
     """
     SELECT 'topk' AS op, event_id, round(value, 6) AS value FROM (
@@ -1702,7 +1796,85 @@ def ts_value_repair(spark, sf_dir):
     )
 
 
-@_q("multimodal_features")
+@_q(
+    "multimodal_features",
+    """
+    -- pinned expected output: synthetic payloads are seeded (seed=42)
+    -- and the stub features are deterministic byte-histogram moments,
+    -- so the exact rows are reproducible run-to-run; the oracle pins
+    -- them as a literal table
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(f_mean AS DOUBLE) AS f_mean,
+           CAST(f_std AS DOUBLE) AS f_std
+    FROM (VALUES
+    (0, 'image', 64, 129.0313, 74.2094),
+    (1, 'audio', 96, 124.3333, 72.026),
+    (2, 'video', 128, 123.9141, 72.3679),
+    (3, 'image', 160, 129.9688, 75.3686),
+    (4, 'audio', 192, 130.4063, 70.7841),
+    (5, 'video', 64, 118.25, 73.1206),
+    (6, 'image', 96, 110.375, 69.6044),
+    (7, 'audio', 128, 124.0156, 73.1498),
+    (8, 'video', 160, 132.75, 72.5501),
+    (9, 'image', 192, 133.901, 73.6874),
+    (10, 'audio', 64, 134.6094, 71.4925),
+    (11, 'video', 96, 126.9688, 74.6756),
+    (12, 'image', 128, 126.1094, 78.2492),
+    (13, 'audio', 160, 122.6938, 77.1405),
+    (14, 'video', 192, 126.5208, 77.0682),
+    (15, 'image', 64, 131.7813, 75.4566),
+    (16, 'audio', 96, 140.4271, 79.7667),
+    (17, 'video', 128, 122.3047, 71.9182),
+    (18, 'image', 160, 120.5563, 75.4889),
+    (19, 'audio', 192, 127.2708, 70.2783),
+    (20, 'video', 64, 144.5, 67.8772),
+    (21, 'image', 96, 139.8333, 75.6801),
+    (22, 'audio', 128, 123.7266, 74.9303),
+    (23, 'video', 160, 132.8438, 70.2129),
+    (24, 'image', 192, 126.7396, 71.6613),
+    (25, 'audio', 64, 115.7813, 77.1631),
+    (26, 'video', 96, 117.2292, 77.1589),
+    (27, 'image', 128, 132.875, 80.5689),
+    (28, 'audio', 160, 116.75, 75.7277),
+    (29, 'video', 192, 122.4271, 74.198),
+    (30, 'image', 64, 121.375, 75.9452),
+    (31, 'audio', 96, 125.75, 67.7426),
+    (32, 'video', 128, 133.0391, 72.3555),
+    (33, 'image', 160, 126.4438, 74.037),
+    (34, 'audio', 192, 124.1094, 70.7262),
+    (35, 'video', 64, 125.0781, 69.6961),
+    (36, 'image', 96, 122.2708, 69.1519),
+    (37, 'audio', 128, 110.3984, 71.8176),
+    (38, 'video', 160, 141.8813, 70.7734),
+    (39, 'image', 192, 128.3802, 78.6416),
+    (40, 'audio', 64, 129.9219, 73.1572),
+    (41, 'video', 96, 137.7292, 70.982),
+    (42, 'image', 128, 125.9844, 71.1814),
+    (43, 'audio', 160, 129.0188, 75.0961),
+    (44, 'video', 192, 133.7604, 73.3911),
+    (45, 'image', 64, 125.8438, 77.3701),
+    (46, 'audio', 96, 124.6771, 73.9353),
+    (47, 'video', 128, 125.0234, 71.1906),
+    (48, 'image', 160, 119.0625, 78.0416),
+    (49, 'audio', 192, 130.9167, 71.1665),
+    (50, 'video', 64, 118.5313, 73.377),
+    (51, 'image', 96, 124.1771, 73.751),
+    (52, 'audio', 128, 127.3906, 71.6824),
+    (53, 'video', 160, 123.725, 78.0401),
+    (54, 'image', 192, 134.7448, 71.479),
+    (55, 'audio', 64, 122.9063, 71.3317),
+    (56, 'video', 96, 125.1875, 73.9551),
+    (57, 'image', 128, 114.0469, 75.524),
+    (58, 'audio', 160, 129.9938, 74.5272),
+    (59, 'video', 192, 124.849, 73.9428),
+    (60, 'image', 64, 113.5625, 69.2525),
+    (61, 'audio', 96, 121.8333, 76.1812),
+    (62, 'video', 128, 136.6953, 77.2098),
+    (63, 'image', 160, 124.7438, 69.9965))
+    AS t(media_id, kind, n_bytes, f_mean, f_std)
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing: mapInPandas feature extraction
     over opaque payloads (decode stubbed — see operators/multimodal.py)."""
