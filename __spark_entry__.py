@@ -1503,6 +1503,23 @@ def _langid_per_doc_sql() -> str:
 
 _LANGID_PER_DOC_SQL = _langid_per_doc_sql()
 
+
+@_q(
+    "lang_id_counts",
+    f"""
+    SELECT lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM ({_LANGID_PER_DOC_SQL}) GROUP BY lang_pred
+    """,
+)
+def lang_id_counts(spark, sf_dir):
+    """Language-ID heuristic (marker-stopword argmax; operators/text.py
+    lang_id) → counts per language. Pure column expressions, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return text.lang_id(d, "text").groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 @_q(
     "text_quality_stats",
     f"""
@@ -2038,6 +2055,83 @@ def streaming_tumbling_agg(spark, sf_dir):
         emitted.select("window", "event_type"), ["window", "event_type"], "left_anti"
     )
     return emitted.unionByName(tail).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@_q(
+    "streaming_interval_update",
+    """
+    SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_interval_update(spark, sf_dir):
+    """Interval-trigger (processingTime) + update-output-mode incremental
+    aggregation (SURVEY §2.9; reference execution/stream/trigger/
+    executor.rs interval loop): the staged table is split into two files,
+    maxFilesPerTrigger=1 forces one micro-batch per file, and each batch
+    emits only the keys it changed via foreachBatch into parquet. The
+    final answer takes the LATEST emission per key — which must equal the
+    batch aggregation, proving exactly-once incremental state. No
+    watermark: update-mode state is complete, so file order can't drop
+    rows (the production path run_incremental_agg adds one)."""
+    import glob
+    import shutil
+    import tempfile
+
+    batch = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="events_interval_")
+    half1, half2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    med = batch.selectExpr("percentile(unix_micros(ts), 0.5) AS m").collect()[0]["m"]
+    batch.filter(F.unix_micros("ts") <= med).coalesce(1).write.mode("overwrite").parquet(half1)
+    batch.filter(F.unix_micros("ts") > med).coalesce(1).write.mode("overwrite").parquet(half2)
+    for i, h in enumerate((half1, half2)):
+        shutil.copy(glob.glob(os.path.join(h, "*.parquet"))[0],
+                    os.path.join(stage, f"part{i}.parquet"))
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = sdf.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="interval_updates_")
+
+    def sink(bdf, batch_id):
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    updates = spark.read.parquet(out_dir)
+    latest = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("window", "event_type").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .filter("rn = 1")
+    )
+    return latest.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "event_type",
         "n",

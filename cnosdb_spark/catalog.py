@@ -374,7 +374,7 @@ class Catalog:
         df = self.read_raw(db, name)
 
         ttl = self.database_options(db).get("ttl")
-        if ttl:
+        if ttl and str(ttl).upper() != "INF":  # 'INF' = no expiry (alter_database.slt)
             df = df.filter(
                 F.col(TIME_COL)
                 >= F.current_timestamp() - F.expr(f"INTERVAL {ttl}")

@@ -84,6 +84,10 @@ class Engine:
         self._catalogs: dict[str, Catalog] = {tenant: Catalog(spark, warehouse, tenant)}
         self.database = database
         self.external: dict[str, tuple[str, str, dict]] = {}  # name -> (fmt, path, opts)
+        # reference parity: RejectCrossJoin optimizer rule errors on any
+        # cross join (extension/logical/optimizer_rule/reject_cross_join.rs)
+        # — opt out per-session to use Spark's native cartesian support
+        self.allow_cross_join = False
         self.streams: dict[str, StreamTable] = {}
         # view-registration cache: (db, table) -> registered view name.
         # DDL/DML mark entries dirty; _register_views only re-reads those.
@@ -415,7 +419,34 @@ class Engine:
         stmt = self._session_fns(stmt)
         if re.search(r"\btime_window_gapfill\s*\(", stmt, re.I):
             return self._gapfill_select(stmt)
-        return self.spark.sql(rewrite_dql(self._qualify(stmt)))
+        df = self.spark.sql(rewrite_dql(self._qualify(stmt)))
+        self._reject_cross_join(df)
+        return df
+
+    def _reject_cross_join(self, df: DataFrame) -> None:
+        """Reference parity: the optimizer rejects any plan containing a
+        cross join (reject_cross_join.rs — DataFusion's CrossJoin node →
+        ``NotImplemented("cross join")``). Checked on Spark's OPTIMIZED
+        logical plan so comma-joins whose WHERE predicate turns them into
+        equi-joins pass, exactly like the reference (the rule runs after
+        predicate pushdown there too)."""
+        if self.allow_cross_join:
+            return
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            return  # analysis errors surface at execution with better text
+        for line in plan.splitlines():
+            node = line.lstrip(" :+-").rstrip()
+            # "Join Cross" = explicit CROSS JOIN; bare "Join Inner" (no
+            # condition after optimization) = comma-join with no usable
+            # equi-predicate — DataFusion models both as CrossJoin
+            if (
+                node.startswith("Join Cross")
+                or node.startswith("CartesianProduct")
+                or node == "Join Inner"
+            ):
+                raise ValueError("This feature is not implemented: cross join")
 
     def _gapfill_select(self, stmt: str) -> DataFrame:
         """``SELECT time_window_gapfill(t, interval 'X') AS w, g...,
@@ -800,9 +831,11 @@ class Engine:
 
     # ---------------------------------------------------------------- DML
     def _insert(self, stmt: str):
-        # reference dialect allows INSERT without INTO (parser.rs)
+        # reference dialect allows INSERT without INTO and an optional
+        # TABLE keyword: `INSERT m2(...)`, `insert into table db.t(...)`
         m = re.match(
-            r"INSERT\s+(?:INTO\s+)?([\w.]+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s+.*)\s*;?\s*$",
+            r"INSERT\s+(?:INTO\s+)?(?:TABLE\s+)?([\w.]+)\s*(?:\(([^)]*)\))?\s*"
+            r"(VALUES\s*.*|SELECT\s+.*)\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
@@ -815,7 +848,11 @@ class Engine:
             if not cols:
                 schema = self.catalog.get_schema(db, name)
                 cols = [TIME_COL, *schema.tags, *schema.field_names]
-            src_df = self.spark.sql(f"SELECT * FROM ({src.rstrip(';')}) AS v")
+            from .sql.rewriter import rewrite_cast_int_timestamp
+
+            src_df = self.spark.sql(
+                f"SELECT * FROM ({rewrite_cast_int_timestamp(src.rstrip(';'))}) AS v"
+            )
             src_df = src_df.toDF(*cols)
         else:
             self._register_views()
@@ -858,11 +895,18 @@ class Engine:
             if n:
                 assigns = []
                 out = df
+                types = {f.name: f.dataType for f in df.schema.fields}
                 for i, assign in enumerate(_split_top_level(sets_str, ",")):
                     col, _, expr = assign.partition("=")
+                    col = col.strip().strip('"')
                     set_col = f"_set_{i}"
-                    out = out.withColumn(set_col, F.expr(expr.strip()))
-                    assigns.append((col.strip().strip('"'), set_col))
+                    rhs = F.expr(expr.strip())
+                    # DataFusion coerces the SET rhs to the column type
+                    # (dml/update_field.slt: f2_boolean = 0 → false)
+                    if col in types:
+                        rhs = rhs.cast(types[col])
+                    out = out.withColumn(set_col, rhs)
+                    assigns.append((col, set_col))
                 for col, set_col in assigns:
                     out = out.withColumn(
                         col, F.when(F.col("_upd"), F.col(set_col)).otherwise(F.col(col))
@@ -1486,6 +1530,19 @@ class Engine:
             open_tsdb_to_tables(self.spark, text, tcp=tcp), db
         )
 
+    def write_prometheus(
+        self, data: bytes, db: str | None = None, compressed: bool = True
+    ) -> dict[str, int]:
+        """Prometheus remote-write ingest (api/v1/prom/write,
+        http_service.rs:1190; remote_server.rs prom_write_request_to_lines):
+        snappy-compressed protobuf WriteRequest → one table per metric
+        (`__name__`), every label a tag, single double field ``value``."""
+        from .sources.prometheus import prom_to_tables
+
+        return self._write_schemaless(
+            prom_to_tables(self.spark, data, compressed=compressed), db
+        )
+
     def write_es_log(
         self, text: str, db: str | None = None, default_table: str = "log",
         tag_keys: set[str] | None = None,
@@ -1655,10 +1712,14 @@ def _parse_external_columns(cols_str: str) -> list[tuple[str, str, str]]:
             raise ValueError(f"cannot parse external column {coldef!r}")
         cname = cm.group(1).strip().strip('"')
         ctype = re.sub(r"\s", "", cm.group(2)).lower()
-        dm = re.match(r"decimal\((\d+),(\d+)\)", ctype)
+        dm = re.match(r"(?:decimal|numeric)\((\d+),(\d+)\)", ctype)
         if dm:
             p, s = dm.groups()
             out.append((cname, f"decimal({p},{s})", f"Decimal128({p}, {s})"))
+            continue
+        if ctype in ("decimal", "numeric"):
+            # DataFusion's bare NUMERIC → Decimal128(38, 10) (tpch.slt:12)
+            out.append((cname, "decimal(38,10)", "Decimal128(38, 10)"))
             continue
         mapping = {
             "double": ("double", "Float64"),

@@ -640,8 +640,39 @@ def rewrite_time_int_comparison(sql: str) -> str:
     )
 
 
+_CAST_INT_TS = re.compile(
+    r"\bCAST\s*\(\s*(-?\d+)\s+AS\s+TIMESTAMP\s*\)", re.I
+)
+
+
+def rewrite_cast_int_timestamp(sql: str) -> str:
+    """``CAST(<int literal> AS TIMESTAMP)`` → nanosecond epoch semantics
+    (DataFusion casts int64 to Timestamp(ns); Spark would read seconds).
+    Truncated to Spark's µs precision — the documented ns→µs divergence
+    (data_type/type_conversion/between.slt:18 expects .263356943, we hold
+    .263356)."""
+    return _CAST_INT_TS.sub(
+        lambda m: f"timestamp_micros({int(m.group(1)) // 1000})", sql
+    )
+
+
+_VALUES_COLN = re.compile(r"\bcolumn(\d+)\b")
+
+
+def rewrite_values_column_names(sql: str) -> str:
+    """DataFusion names VALUES-derived columns ``column1..N``; Spark names
+    them ``col1..N`` (dml/insert/insert_select.slt:32). Only applied when
+    the query actually contains a VALUES clause, so real columns named
+    ``columnN`` in ordinary queries are untouched."""
+    if not re.search(r"\(\s*VALUES\s*\(", sql, re.I):
+        return sql
+    return _VALUES_COLN.sub(lambda m: f"col{m.group(1)}", sql)
+
+
 def rewrite_dql(sql: str) -> str:
     sql = rewrite_time_window(sql)
+    sql = rewrite_cast_int_timestamp(sql)
+    sql = rewrite_values_column_names(sql)
     sql = rewrite_exploded_groupby(sql)
     sql = rewrite_gauge(sql)
     sql = rewrite_state(sql)

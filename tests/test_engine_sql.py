@@ -514,3 +514,26 @@ def test_sql_state_agg_family(eng):
     assert at("2020-01-01 10:30:00") == "running"
     assert at("2020-01-03 16:00:00") == "error"
     assert at("2020-01-05 12:00:00") is None
+
+
+def test_cross_join_rejected(eng):
+    """reject_cross_join.rs parity: explicit CROSS JOIN and comma-joins
+    with no usable equi-predicate error; comma-joins whose WHERE clause
+    makes them equi-joins pass (the rule runs post-optimization)."""
+    eng.sql("CREATE TABLE cj1(f0 DOUBLE, TAGS(t0))")
+    eng.sql("CREATE TABLE cj2(f0 DOUBLE, TAGS(t0))")
+    eng.sql("INSERT INTO cj1(time, t0, f0) VALUES ('2024-01-01 00:00:01', 'a', 1.0)")
+    eng.sql("INSERT INTO cj2(time, t0, f0) VALUES ('2024-01-01 00:00:01', 'a', 2.0)")
+    with pytest.raises(ValueError, match="cross join"):
+        eng.sql("SELECT cj1.f0 FROM cj1 CROSS JOIN cj2").collect()
+    with pytest.raises(ValueError, match="cross join"):
+        eng.sql("SELECT cj1.f0 FROM cj1, cj2").collect()
+    # equi-predicate in WHERE → inner join after optimization → allowed
+    rows = eng.sql(
+        "SELECT cj1.f0, cj2.f0 AS g0 FROM cj1, cj2 WHERE cj1.t0 = cj2.t0"
+    ).collect()
+    assert [(r["f0"], r["g0"]) for r in rows] == [(1.0, 2.0)]
+    # session opt-out restores Spark-native cartesian products
+    eng.allow_cross_join = True
+    assert eng.sql("SELECT cj1.f0 FROM cj1 CROSS JOIN cj2").count() == 1
+    eng.allow_cross_join = False

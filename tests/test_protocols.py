@@ -118,3 +118,96 @@ def test_json_write_path(eng):
     )
     assert n2 == {"ndj": 1}
     assert eng.sql("SELECT v FROM ndj").collect()[0]["v"] == 1.5
+
+
+def test_prometheus_wire_codecs():
+    """Pure codec round-trips: snappy literals+copies, protobuf varint/
+    fixed64/length-delimited (prometheus.rs message layout)."""
+    from cnosdb_spark.sources.prometheus import (
+        decode_write_request,
+        encode_write_request,
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    # snappy: our literal-only compressor round-trips
+    for payload in [b"", b"x", b"hello world" * 100, bytes(range(256)) * 300]:
+        assert snappy_decompress(snappy_compress(payload)) == payload
+    # snappy: hand-built stream WITH copy elements (offset=5, len=10,
+    # 1-byte-offset form): "abcde" then copy → self-overlapping run
+    stream = bytes([15]) + bytes([4 << 2]) + b"abcde" + bytes([((10 - 4) << 2) | 1, 5])
+    assert snappy_decompress(stream) == b"abcdeabcdeabcde"
+
+    series = [
+        {
+            "labels": {"__name__": "up", "job": "api", "instance": "i-1"},
+            "samples": [(1.0, 1700000000000), (0.0, 1700000060000)],
+        },
+        {
+            "labels": {"__name__": "http_requests_total", "code": "200"},
+            "samples": [(42.5, -1)],  # negative ms must survive (int64)
+        },
+    ]
+    assert decode_write_request(encode_write_request(series)) == series
+
+
+def test_prometheus_write_request_to_lines():
+    """remote_server.rs:79-115 semantics: __name__ selects the table AND
+    stays a tag; default table when absent; ms→µs timestamps."""
+    from cnosdb_spark.sources.prometheus import (
+        DEFAULT_PROM_TABLE_NAME,
+        encode_write_request,
+        parse_remote_write,
+        snappy_compress,
+    )
+
+    payload = snappy_compress(
+        encode_write_request(
+            [
+                {
+                    "labels": {"__name__": "up", "job": "api"},
+                    "samples": [(1.0, 1700000000000)],
+                },
+                {"labels": {"job": "noname"}, "samples": [(7.0, 1000)]},
+            ]
+        )
+    )
+    tables = parse_remote_write(payload)
+    assert set(tables) == {"up", DEFAULT_PROM_TABLE_NAME}
+    rows, tagkeys = tables["up"]
+    assert tagkeys == {"__name__", "job"}
+    assert rows[0]["__name__"] == "up" and rows[0]["job"] == "api"
+    assert rows[0]["value"] == 1.0
+    assert rows[0]["time"].isoformat() == "2023-11-14T22:13:20"
+    rows2, _ = tables[DEFAULT_PROM_TABLE_NAME]
+    assert rows2[0]["time"].isoformat() == "1970-01-01T00:00:01"
+
+
+def test_prometheus_engine_round_trip(eng):
+    from cnosdb_spark.sources.prometheus import encode_write_request, snappy_compress
+
+    payload = snappy_compress(
+        encode_write_request(
+            [
+                {
+                    "labels": {"__name__": "node_cpu", "host": "h1"},
+                    "samples": [(0.5, 1700000000000), (0.7, 1700000060000)],
+                },
+                {
+                    "labels": {"__name__": "node_cpu", "host": "h2"},
+                    "samples": [(0.9, 1700000000000)],
+                },
+            ]
+        )
+    )
+    n = eng.write_prometheus(payload)
+    assert n == {"node_cpu": 3}
+    rows = eng.sql(
+        "SELECT host, value FROM node_cpu ORDER BY host, time"
+    ).collect()
+    assert [(r["host"], r["value"]) for r in rows] == [
+        ("h1", 0.5), ("h1", 0.7), ("h2", 0.9)
+    ]
+    desc = {r["column_name"]: r["column_type"]
+            for r in eng.sql("DESC TABLE node_cpu").collect()}
+    assert desc["host"] == "TAG" and desc["value"] == "FIELD"

@@ -137,6 +137,30 @@ CURATED = [
     ("function/string_func/btrim.slt", 0.72),
     ("function/string_func/octet_length.slt", 0.74),
     ("function/string_func/length_char_length_character_length.slt", 0.70),
+    # dml/*: INSERT (optional INTO/TABLE keywords), VALUES column naming,
+    # UPDATE SET type coercion, INF TTL, ns-literal CAST — round-3 widening.
+    # Residual gaps are the documented ns→µs precision divergence (rows at
+    # ns-distinct timestamps merge at µs) and DataFusion-specific expected
+    # errors Spark accepts (e.g. duplicate SELECT columns)
+    ("dml/setup.slt", 1.0),
+    ("dml/insert/insert_values.slt", 0.80),
+    ("dml/insert/insert_select.slt", 0.75),
+    ("dml/insert/line_protocol_write.slt", 1.0),
+    ("dml/update_field.slt", 0.95),
+    ("dml/update_tag.slt", 0.70),
+    ("dml/delete.slt", 0.60),
+    ("dml/copy_into/copy_into_table.slt", 0.70),
+    ("dml/copy_into/copy_into_location__UNIX.slt", 0.90),
+    ("dml/copy_into/copy_into_wide_table.slt", 0.75),
+    ("dml/explain/explain_select.slt", 1.0),
+    ("dml/explain/explain_stream_query.slt", 0.50),
+    # data_type/type_conversion/*: int-literal→TIMESTAMP follows the
+    # reference's ns cast semantics (rewrite_cast_int_timestamp);
+    # EXPLAIN records are classification-level (plan text is engine-shaped)
+    ("data_type/type_conversion/between.slt", 0.35),
+    ("data_type/type_conversion/boolean.slt", 1.0),
+    ("data_type/type_conversion/double.slt", 0.80),
+    ("data_type/type_conversion/timestamp.slt", 0.70),
 ]
 
 pytestmark = pytest.mark.skipif(

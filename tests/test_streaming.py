@@ -114,3 +114,79 @@ def test_offset_tracking_incremental(spark, source, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(sink).count()
     assert n1 == n2  # no new input → no new rows (offsets committed)
+
+
+def test_interval_trigger_update_mode_incremental(spark, tmp_path):
+    """Interval (processingTime) trigger + update output mode over a
+    growing directory: ≥2 micro-batches, each emitting only changed keys,
+    final per-key state equal to the batch aggregation (reference
+    execution/stream/trigger/executor.rs interval loop;
+    cases/stream/basic.slt)."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "grow")
+    os.makedirs(src)
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + timedelta(minutes=m), f"t{m % 2}", float(m)) for m in range(20)],
+        ["time", "name", "v"],
+    )
+    df.filter(F.col("v") < 10).coalesce(1).write.parquet(str(tmp_path / "p1"))
+    df.filter(F.col("v") >= 10).coalesce(1).write.parquet(str(tmp_path / "p2"))
+    shutil.copy(glob.glob(str(tmp_path / "p1" / "*.parquet"))[0], src)
+    shutil.copy(glob.glob(str(tmp_path / "p2" / "*.parquet"))[0], src)
+
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)  # force one batch per file
+        .parquet(src)
+    )
+    agg = sdf.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+
+    out = str(tmp_path / "updates")
+    os.makedirs(out)
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    updates = spark.read.parquet(out)
+    n_batches = updates.select("batch_id").distinct().count()
+    assert n_batches >= 2, "interval trigger must process the files incrementally"
+    # update mode: latest emission per key == full batch aggregation
+    from pyspark.sql import Window
+
+    latest = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("name").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("name", "n", "sv")
+    )
+    got = {(r["name"], r["n"], r["sv"]) for r in latest.collect()}
+    expect = {
+        (r["name"], r["n"], r["sv"])
+        for r in df.groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got == expect
