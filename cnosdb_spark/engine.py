@@ -1543,6 +1543,75 @@ class Engine:
             prom_to_tables(self.spark, data, compressed=compressed), db
         )
 
+    def read_prometheus(
+        self, data: bytes, db: str | None = None, compressed: bool = True
+    ) -> bytes:
+        """Prometheus remote-read (api/v1/prom/read, http_service.rs:806;
+        remote_server.rs:44-71 remote_read → process_read_requests):
+        snappy-compressed protobuf ReadRequest → per matched table one
+        ``SELECT * WHERE <matchers> AND <time range> ORDER BY time``
+        (remote_server.rs:268-364 build_sql_with_table), result rows
+        regrouped into TimeSeries keyed by tag set (transform_time_series),
+        returned as snappy-compressed protobuf ReadResponse. The per-table
+        SQL runs distributed through the normal query path; only the
+        client-bound response rows are collected."""
+        from .sources import prometheus as prom
+
+        if compressed:
+            data = prom.snappy_decompress(data)
+        results = [
+            self._prom_read_query(q, db or self.database)
+            for q in prom.decode_read_request(data)
+        ]
+        return prom.snappy_compress(prom.encode_read_response(results))
+
+    def _prom_read_query(self, q: dict, db: str) -> list[dict]:
+        from .sources import prometheus as prom
+
+        tables: list[str] = []
+        for mtype, name, value in q["matchers"]:
+            if name != prom.METRIC_NAME_LABEL:
+                continue
+            if mtype == prom.MATCHER_EQ:
+                # remote_server.rs:285-296: an EQ name matcher must resolve
+                if value not in self.catalog.list_tables(db):
+                    raise ValueError(f"table not found: {value}")
+                tables = [value]
+            elif mtype == prom.MATCHER_RE:
+                # remote_server.rs:298-316: regex-filter the table list
+                pat = re.compile(value)
+                tables = [
+                    t for t in self.catalog.list_tables(db) if pat.search(t)
+                ]
+            else:
+                raise ValueError(
+                    "non-equal or regex-non-equal matchers are not "
+                    "supported on the metric name yet"
+                )  # remote_server.rs:318
+        filters = prom.matcher_filters(q["matchers"])
+        from datetime import datetime, timedelta
+
+        epoch = datetime(1970, 1, 1)
+        start = epoch + timedelta(milliseconds=q["start_ms"])
+        end = epoch + timedelta(milliseconds=q["end_ms"])
+        filters.append(f"time >= TIMESTAMP '{start.isoformat(sep=' ')}'")
+        filters.append(f"time <= TIMESTAMP '{end.isoformat(sep=' ')}'")
+        out: list[dict] = []
+        prev_db = self.database
+        self.database = db
+        try:
+            for t in tables:
+                sql = (
+                    f"SELECT * FROM `{t}` WHERE {' AND '.join(filters)} "
+                    "ORDER BY time"
+                )
+                rows = self.sql(sql).collect()
+                tag_cols = list(self.catalog.get_schema(db, t).tags)
+                out.extend(prom.df_to_timeseries(rows, tag_cols))
+        finally:
+            self.database = prev_db
+        return out
+
     def write_es_log(
         self, text: str, db: str | None = None, default_table: str = "log",
         tag_keys: set[str] | None = None,

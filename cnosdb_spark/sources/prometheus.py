@@ -202,6 +202,171 @@ def encode_write_request(series: list[dict]) -> bytes:
     return bytes(out)
 
 
+# ------------------------------------------------------------- remote read
+# prompb message layout (common/protos/src/prompb/prometheus.rs):
+#   ReadRequest.queries = 1 (repeated Query)
+#   Query.start_timestamp_ms = 1, end_timestamp_ms = 2,
+#         matchers = 3 (repeated LabelMatcher), hints = 4 (ignored, like
+#         remote_server.rs:271 `hints: _`)
+#   LabelMatcher.type = 1 (0=EQ 1=NEQ 2=RE 3=NRE), name = 2, value = 3
+#   ReadResponse.results = 1 (repeated QueryResult)
+#   QueryResult.timeseries = 1 (repeated TimeSeries)
+MATCHER_EQ, MATCHER_NEQ, MATCHER_RE, MATCHER_NRE = 0, 1, 2, 3
+
+
+def decode_read_request(data: bytes) -> list[dict]:
+    """prompb.ReadRequest → [{start_ms, end_ms, matchers: [(type, name,
+    value)]}] (accepted_response_types ignored — we always answer with
+    sampled TimeSeries, the reference's only mode)."""
+    queries = []
+    for field, _wire, val in _iter_fields(data):
+        if field != 1:  # ReadRequest.queries = 1
+            continue
+        q = {"start_ms": 0, "end_ms": 0, "matchers": []}
+        for f2, _w2, v2 in _iter_fields(val):
+            if f2 == 1:
+                q["start_ms"] = _zigzag_free_int64(v2)
+            elif f2 == 2:
+                q["end_ms"] = _zigzag_free_int64(v2)
+            elif f2 == 3:
+                mtype, name, value = MATCHER_EQ, "", ""
+                for f3, _w3, v3 in _iter_fields(v2):
+                    if f3 == 1:
+                        mtype = v3
+                    elif f3 == 2:
+                        name = v3.decode("utf-8")
+                    elif f3 == 3:
+                        value = v3.decode("utf-8")
+                q["matchers"].append((mtype, name, value))
+        queries.append(q)
+    return queries
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _write_uvarint((field << 3) | 2) + _write_uvarint(len(payload)) + payload
+
+
+def encode_read_request(queries: list[dict]) -> bytes:
+    """Inverse of decode_read_request — reference client encoder + tests."""
+    out = bytearray()
+    for q in queries:
+        body = bytearray()
+        body += _write_uvarint((1 << 3) | 0) + _write_uvarint(q["start_ms"] & ((1 << 64) - 1))
+        body += _write_uvarint((2 << 3) | 0) + _write_uvarint(q["end_ms"] & ((1 << 64) - 1))
+        for mtype, name, value in q["matchers"]:
+            m = bytearray()
+            if mtype:
+                m += _write_uvarint((1 << 3) | 0) + _write_uvarint(mtype)
+            m += _ld(2, name.encode()) + _ld(3, value.encode())
+            body += _ld(3, bytes(m))
+        out += _ld(1, bytes(body))
+    return bytes(out)
+
+
+def _encode_timeseries(ts: dict) -> bytes:
+    import struct
+
+    body = bytearray()
+    for name, value in ts["labels"]:
+        body += _ld(1, _ld(1, name.encode()) + _ld(2, value.encode()))
+    for sval, sts_ms in ts["samples"]:
+        samp = (
+            _write_uvarint((1 << 3) | 1)
+            + struct.pack("<d", sval)
+            + _write_uvarint((2 << 3) | 0)
+            + _write_uvarint(sts_ms & ((1 << 64) - 1))
+        )
+        body += _ld(2, samp)
+    return bytes(body)
+
+
+def encode_read_response(results: list[list[dict]]) -> bytes:
+    """[[{labels: [(name, value)], samples: [(value, ts_ms)]}]] →
+    prompb.ReadResponse bytes (one inner list per request query)."""
+    out = bytearray()
+    for timeseries in results:
+        qr = bytearray()
+        for ts in timeseries:
+            qr += _ld(1, _encode_timeseries(ts))
+        out += _ld(1, bytes(qr))
+    return bytes(out)
+
+
+def decode_read_response(data: bytes) -> list[list[dict]]:
+    """Inverse of encode_read_response — tests and reference clients."""
+    import struct
+
+    results = []
+    for field, _w, val in _iter_fields(data):
+        if field != 1:
+            continue
+        timeseries = []
+        for f2, _w2, v2 in _iter_fields(val):
+            if f2 != 1:
+                continue
+            labels, samples = [], []
+            for f3, w3, v3 in _iter_fields(v2):
+                if f3 == 1:
+                    name = value = ""
+                    for f4, _w4, v4 in _iter_fields(v3):
+                        if f4 == 1:
+                            name = v4.decode("utf-8")
+                        elif f4 == 2:
+                            value = v4.decode("utf-8")
+                    labels.append((name, value))
+                elif f3 == 2:
+                    sval, sts = 0.0, 0
+                    for f4, w4, v4 in _iter_fields(v3):
+                        if f4 == 1 and w4 == 1:
+                            sval = struct.unpack("<d", v4)[0]
+                        elif f4 == 2:
+                            sts = _zigzag_free_int64(v4)
+                    samples.append((sval, sts))
+            timeseries.append({"labels": labels, "samples": samples})
+        results.append(timeseries)
+    return results
+
+
+def matcher_filters(matchers: list[tuple[int, str, str]]) -> list[str]:
+    """Non-__name__ matchers → SQL predicates (remote_server.rs:333-347;
+    the reference's ``~``/``!~`` become Spark's RLIKE)."""
+    filters = []
+    for mtype, name, value in matchers:
+        if name == METRIC_NAME_LABEL:
+            continue
+        esc = value.replace("'", "''")
+        if mtype == MATCHER_EQ:
+            filters.append(f"`{name}` = '{esc}'")
+        elif mtype == MATCHER_NEQ:
+            filters.append(f"`{name}` != '{esc}'")
+        elif mtype == MATCHER_RE:
+            filters.append(f"`{name}` RLIKE '{esc}'")
+        elif mtype == MATCHER_NRE:
+            filters.append(f"`{name}` NOT RLIKE '{esc}'")
+        else:
+            raise ValueError(f"prometheus: unknown matcher type {mtype}")
+    return filters
+
+
+def df_to_timeseries(rows, tag_cols: list[str]) -> list[dict]:
+    """Query result rows → TimeSeries list, grouping samples by their tag
+    set (remote_server.rs transform_time_series + time_series/writer.rs).
+    NULL tags are skipped from the label set, mirroring the writer's
+    ``append_option`` behavior. Sample timestamps are emitted in ms."""
+    series: dict[tuple, dict] = {}
+    for row in rows:
+        key = tuple((c, row[c]) for c in tag_cols if row[c] is not None)
+        entry = series.setdefault(
+            key, {"labels": list(key), "samples": []}
+        )
+        t = row["time"]
+        ts_ms = int(
+            (t - datetime(1970, 1, 1)).total_seconds() * 1000
+        ) if isinstance(t, datetime) else int(t) // 1000
+        entry["samples"].append((float(row[METRIC_SAMPLE_COLUMN_NAME]), ts_ms))
+    return list(series.values())
+
+
 # ------------------------------------------------------------------ ingest
 def parse_remote_write(
     data: bytes, compressed: bool = True

@@ -211,3 +211,139 @@ def test_prometheus_engine_round_trip(eng):
     desc = {r["column_name"]: r["column_type"]
             for r in eng.sql("DESC TABLE node_cpu").collect()}
     assert desc["host"] == "TAG" and desc["value"] == "FIELD"
+
+
+def test_prometheus_read_request_codec():
+    """ReadRequest/ReadResponse protobuf round-trips (prometheus.rs
+    ReadRequest.queries=1; Query start=1/end=2/matchers=3;
+    LabelMatcher type=1/name=2/value=3)."""
+    from cnosdb_spark.sources.prometheus import (
+        MATCHER_EQ,
+        MATCHER_NRE,
+        MATCHER_RE,
+        decode_read_request,
+        decode_read_response,
+        encode_read_request,
+        encode_read_response,
+    )
+
+    queries = [
+        {
+            "start_ms": 1700000000000,
+            "end_ms": 1700003600000,
+            "matchers": [
+                (MATCHER_EQ, "__name__", "node_cpu"),
+                (MATCHER_RE, "host", "h[0-9]+"),
+                (MATCHER_NRE, "dc", "eu-.*"),
+            ],
+        },
+        {"start_ms": 0, "end_ms": 1, "matchers": [(MATCHER_EQ, "job", "api")]},
+    ]
+    assert decode_read_request(encode_read_request(queries)) == queries
+
+    results = [
+        [
+            {
+                "labels": [("__name__", "node_cpu"), ("host", "h1")],
+                "samples": [(0.5, 1700000000000), (0.7, 1700000060000)],
+            },
+            {"labels": [("host", "h2")], "samples": [(0.9, -5)]},
+        ],
+        [],
+    ]
+    assert decode_read_response(encode_read_response(results)) == results
+
+
+def test_prometheus_remote_read(eng):
+    """End-to-end remote read (remote_server.rs:44-71): remote-write two
+    metrics, then read back with EQ-name + tag matchers and a RE-name
+    matcher; verify table selection, tag filtering, time-range bounds,
+    and TimeSeries grouping."""
+    from cnosdb_spark.sources.prometheus import (
+        MATCHER_EQ,
+        MATCHER_NEQ,
+        MATCHER_RE,
+        decode_read_response,
+        encode_read_request,
+        encode_write_request,
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    eng.write_prometheus(
+        snappy_compress(
+            encode_write_request(
+                [
+                    {
+                        "labels": {"__name__": "node_cpu", "host": "h1"},
+                        "samples": [(0.5, 1_000_000), (0.7, 2_000_000),
+                                    (0.9, 99_000_000)],
+                    },
+                    {
+                        "labels": {"__name__": "node_cpu", "host": "h2"},
+                        "samples": [(0.3, 1_500_000)],
+                    },
+                    {
+                        "labels": {"__name__": "node_mem", "host": "h1"},
+                        "samples": [(123.0, 1_000_000)],
+                    },
+                ]
+            )
+        )
+    )
+
+    # EQ name matcher + RE tag matcher + bounded time range: only node_cpu
+    # rows in [0, 3e6) ms for hosts matching h[12]
+    req = snappy_compress(
+        encode_read_request(
+            [
+                {
+                    "start_ms": 0,
+                    "end_ms": 3_000_000,
+                    "matchers": [
+                        (MATCHER_EQ, "__name__", "node_cpu"),
+                        (MATCHER_RE, "host", "h[12]"),
+                    ],
+                }
+            ]
+        )
+    )
+    results = decode_read_response(snappy_decompress(eng.read_prometheus(req)))
+    assert len(results) == 1
+    series = {dict(ts["labels"])["host"]: ts["samples"] for ts in results[0]}
+    assert series["h1"] == [(0.5, 1_000_000), (0.7, 2_000_000)]  # 99e6 cut
+    assert series["h2"] == [(0.3, 1_500_000)]
+    # every label (incl. __name__) comes back, mirroring labels-as-tags
+    assert all(dict(ts["labels"])["__name__"] == "node_cpu"
+               for ts in results[0])
+
+    # RE name matcher fans out over both tables; NEQ tag matcher filters
+    req2 = snappy_compress(
+        encode_read_request(
+            [
+                {
+                    "start_ms": 0,
+                    "end_ms": 100_000_000,
+                    "matchers": [
+                        (MATCHER_RE, "__name__", "node_.*"),
+                        (MATCHER_NEQ, "host", "h2"),
+                    ],
+                }
+            ]
+        )
+    )
+    res2 = decode_read_response(snappy_decompress(eng.read_prometheus(req2)))
+    names = sorted(dict(ts["labels"])["__name__"] for ts in res2[0])
+    assert names == ["node_cpu", "node_mem"]
+
+    # EQ name matcher on a missing table errors (remote_server.rs:288-293)
+    import pytest as _pytest
+
+    bad = snappy_compress(
+        encode_read_request(
+            [{"start_ms": 0, "end_ms": 1,
+              "matchers": [(MATCHER_EQ, "__name__", "nope")]}]
+        )
+    )
+    with _pytest.raises(ValueError, match="table not found"):
+        eng.read_prometheus(bad)
