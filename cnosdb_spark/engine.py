@@ -83,19 +83,30 @@ class Engine:
         self._home_tenant = tenant
         self._catalogs: dict[str, Catalog] = {tenant: Catalog(spark, warehouse, tenant)}
         self.database = database
-        self.external: dict[str, tuple[str, str, dict]] = {}  # name -> (fmt, path, opts)
+        # external tables, scoped per tenant (the reference scopes them to
+        # the tenant's meta — information_schema/tables.slt under a fresh
+        # tenant must not see another tenant's externals)
+        self._external_by_tenant: dict[str, dict[str, tuple[str, str, dict]]] = {}
+        self._external_db_by_tenant: dict[str, dict[str, str]] = {}
         # reference parity: RejectCrossJoin optimizer rule errors on any
         # cross join (extension/logical/optimizer_rule/reject_cross_join.rs)
         # — opt out per-session to use Spark's native cartesian support
         self.allow_cross_join = False
-        self.streams: dict[str, StreamTable] = {}
+        self._streams_by_tenant: dict[str, dict[str, StreamTable]] = {}
+        # continuous stream jobs (INSERT ... SELECT over a stream table):
+        # re-evaluated on each virtual-clock advance (slt `sleep`) — the
+        # batch-recompute analogue of the reference's micro-batch trigger
+        # loop; LWW merge on the target makes re-emission idempotent.
+        self.stream_jobs: dict = {}
         # view-registration cache: (db, table) -> registered view name.
         # DDL/DML mark entries dirty; _register_views only re-reads those.
         self._registered: dict[tuple[str, str], str] = {}
         self._dirty: set[tuple[str, str]] = set()
-        from .functions import weighted
+        from .functions import gis, math_extra, weighted
 
         weighted.register(spark)
+        gis.register(spark)
+        math_extra.register(spark)
         # DCL metadata (single-process analogue of the reference's meta
         # service state: common/models/src/auth/{user,role,privilege}.rs).
         # Spark has no auth layer; these are catalog objects + SHOW surface.
@@ -123,6 +134,126 @@ class Engine:
         self.grants: list[tuple[str, str, str]] = []  # (privilege, db, role)
         if database not in self.catalog.list_databases():
             self.catalog.create_database(database)
+        # usage_schema metric counters (reference tskv usage recorder —
+        # sys_table/usage_schema/*.slt); flushed into the home tenant's
+        # usage_schema tables lazily when a query references them
+        self._usage: dict[tuple, int] = {}
+        self._usage_flushed: dict[tuple, int] = {}
+        self._init_usage_schema()
+
+    _USAGE_BASE_TAGS = ["database", "node_id", "tenant"]
+    _USAGE_HTTP_TAGS = ["api", "database", "host", "node_id", "tenant", "user"]
+    _USAGE_VNODE_TAGS = ["database", "node_id", "tenant", "vnode_id"]
+    _USAGE_TABLES = {
+        "coord_data_in": _USAGE_BASE_TAGS,
+        "coord_data_out": _USAGE_BASE_TAGS,
+        "coord_queries": _USAGE_BASE_TAGS,
+        "coord_writes": _USAGE_BASE_TAGS,
+        "sql_data_in": _USAGE_BASE_TAGS,
+        "http_data_in": _USAGE_HTTP_TAGS,
+        "http_data_out": _USAGE_HTTP_TAGS,
+        "http_queries": _USAGE_HTTP_TAGS,
+        "http_writes": _USAGE_HTTP_TAGS,
+        "vnode_cache_size": _USAGE_VNODE_TAGS,
+        "vnode_disk_storage": _USAGE_VNODE_TAGS,
+    }
+
+    @property
+    def _home_catalog(self) -> Catalog:
+        """usage_schema lives in the home (cnosdb) tenant's warehouse and is
+        visible from every tenant, like the reference's single usage DB."""
+        if "cnosdb" not in self._catalogs:
+            self._catalogs["cnosdb"] = Catalog(self.spark, self.warehouse, "cnosdb")
+        return self._catalogs["cnosdb"]
+
+    def _cat_for(self, db: str) -> Catalog:
+        """usage_schema objects live in the home catalog whatever the
+        session tenant (usage_schema_privilege.slt creates user tables in
+        it); everything else is tenant-scoped."""
+        return self._home_catalog if db == "usage_schema" else self.catalog
+
+    def _init_usage_schema(self) -> None:
+        cat = self._home_catalog
+        if "usage_schema" not in cat.list_databases():
+            cat.create_database("usage_schema")
+        existing = set(cat.list_tables("usage_schema"))
+        for t, tags in self._USAGE_TABLES.items():
+            if t not in existing:
+                cat.create_table(
+                    "usage_schema",
+                    TskvTableSchema(
+                        tenant="cnosdb", db="usage_schema", name=t,
+                        tags=list(tags), fields={"value": "unsigned"},
+                    ),
+                )
+
+    def _bump_usage(self, write: bool, nbytes: int) -> None:
+        t, d = self.current_tenant, self.database
+        if d == "usage_schema":
+            return
+        u = self._usage
+        ins = (
+            ("coord_data_in", "sql_data_in", "http_data_in")
+            if write else ("coord_data_out", "http_data_out")
+        )
+        cnt = ("coord_writes", "http_writes") if write else (
+            "coord_queries", "http_queries"
+        )
+        for k in ins:
+            u[(k, t, d)] = u.get((k, t, d), 0) + nbytes
+        for k in cnt:
+            u[(k, t, d)] = u.get((k, t, d), 0) + 1
+
+    def _flush_usage(self) -> None:
+        """Append one sample per changed counter into the usage tables
+        (the reference's usage recorder writes periodic samples; ours are
+        taken lazily at usage-query time — same observable shape)."""
+        from datetime import datetime, timedelta
+
+        changed = {
+            k: v for k, v in self._usage.items()
+            if self._usage_flushed.get(k) != v
+        }
+        now = datetime(1970, 1, 1) + timedelta(microseconds=self._now_us())
+        cat = self._home_catalog
+        by_table: dict[str, list[tuple]] = {}
+        for (table, tenant, db), value in changed.items():
+            if self._USAGE_TABLES.get(table) is self._USAGE_HTTP_TAGS:
+                row = (now, "/api/v1/sql", db, "localhost", "1001", tenant,
+                       self.user, value)
+            else:
+                row = (now, db, "1001", tenant, value)
+            by_table.setdefault(table, []).append(row)
+        # vnode sizes: one sample per existing database directory
+        for vt in ("vnode_cache_size", "vnode_disk_storage"):
+            rows = []
+            for tenant, c in self._catalogs.items():
+                for db in c.list_databases():
+                    if db == "usage_schema":
+                        continue
+                    size = 0
+                    droot = c._db_path(db)
+                    for root, _dirs, fs in os.walk(droot):
+                        size += sum(
+                            os.path.getsize(os.path.join(root, f)) for f in fs
+                        )
+                    if size > 0:
+                        rows.append((now, db, "1001", tenant, "3", size))
+            if rows:
+                by_table[vt] = rows
+        for table, rows in by_table.items():
+            tags = self._USAGE_TABLES[table]
+            schema_str = (
+                "time timestamp, "
+                + ", ".join(f"{t} string" for t in tags)
+                + ", value long"
+            )
+            cat.insert(
+                "usage_schema", table,
+                self.spark.createDataFrame(rows, schema_str),
+            )
+            self._mark_dirty("usage_schema", table)
+        self._usage_flushed.update(changed)
 
     @property
     def catalog(self) -> Catalog:
@@ -133,6 +264,22 @@ class Engine:
         if t not in self._catalogs:
             self._catalogs[t] = Catalog(self.spark, self.warehouse, t)
         return self._catalogs[t]
+
+    @property
+    def streams(self) -> dict:
+        """Stream tables of the CURRENT tenant (tenant-scoped meta)."""
+        return self._streams_by_tenant.setdefault(self.current_tenant, {})
+
+    @property
+    def external(self) -> dict:
+        """External tables of the CURRENT tenant: name -> (fmt, path, opts)."""
+        return self._external_by_tenant.setdefault(self.current_tenant, {})
+
+    @property
+    def external_dbs(self) -> dict:
+        """name -> database an external table was created in (SHOW TABLES /
+        information_schema.tables scope them per database)."""
+        return self._external_db_by_tenant.setdefault(self.current_tenant, {})
 
     @property
     def roles(self) -> dict:
@@ -168,6 +315,20 @@ class Engine:
         kw2 = head[1].upper() if len(head) > 1 else ""
 
         self._process_resources()
+        if kw in ("INSERT", "COPY"):
+            self._bump_usage(write=True, nbytes=len(stmt))
+        elif kw in ("SELECT", "WITH", "VALUES", "("):
+            self._bump_usage(write=False, nbytes=len(stmt))
+        if kw in (
+            "SELECT", "WITH", "VALUES", "(", "DESCRIBE", "DESC", "SHOW",
+            "EXPLAIN",
+        ) and (
+            self.database == "usage_schema"
+            or re.search(r"\busage_schema\b", stmt, re.I)
+        ):
+            # lazy sample flush — the reference's usage recorder writes
+            # periodically; ours materializes when usage tables are read
+            self._flush_usage()
         # session handshake: a non-admin user must be a member of the
         # current tenant (user_access.slt "The member ... not found")
         if not self._is_admin() and kw not in ("CREATE", "DROP", "ALTER", "GRANT", "REVOKE"):
@@ -219,11 +380,41 @@ class Engine:
                 raise ValueError(f"cannot parse KILL QUERY: {stmt!r}")
             ok = QueryTracker(self.spark).kill(m.group(1))
             return self.spark.createDataFrame([(ok,)], ["killed"])
+        if kw == "COMPACT":
+            # COMPACT DATABASE <db> / COMPACT TABLE <t> (reference parser
+            # compact statements; tskv/src/compaction) — materialize the
+            # merge-on-read view of every affected table
+            m = re.match(r"COMPACT\s+DATABASE\s+(\w+)\s*;?\s*$", stmt, re.I)
+            if m:
+                db = m.group(1)
+                if db not in self.catalog.list_databases():
+                    raise ValueError(f"Database not found: {db}")
+                for t in self.catalog.list_tables(db):
+                    self.catalog.compact(db, t)
+                    self._mark_dirty(db, t)
+                return None
+            m = re.match(r"COMPACT\s+TABLE\s+([\w.]+)\s*;?\s*$", stmt, re.I)
+            if m:
+                db, t = self._split_table_name(m.group(1))
+                self.catalog.compact(db, t)
+                self._mark_dirty(db, t)
+                return None
+            raise ValueError(f"cannot parse COMPACT statement: {stmt[:80]!r}")
         if kw == "SHOW":
             return self._show(stmt)
         if kw == "EXPLAIN":
             inner = stmt[len("EXPLAIN") :].strip()
-            df = self._select(inner)
+            if inner.split(None, 1)[0].upper() == "COPY":
+                # EXPLAIN COPY (dml/explain/explain_copy_into.slt): render
+                # the write plan without executing the copy
+                return self.spark.createDataFrame(
+                    [(f"CopyTo: {inner[:200]}",)], ["plan"]
+                )
+            self._allow_stream_select = True
+            try:
+                df = self._select(inner)
+            finally:
+                self._allow_stream_select = False
             plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
@@ -244,6 +435,8 @@ class Engine:
         re-read. Tables in the current database get their bare name;
         qualified ``db.table`` references are rewritten by ``_qualify``."""
         for db in self.catalog.list_databases():
+            if db == "usage_schema":
+                continue  # registered from the home catalog below
             for name in self.catalog.list_tables(db):
                 key = (db, name)
                 view = name if db == self.database else f"__{db}__{name}"
@@ -252,6 +445,19 @@ class Engine:
                 self.catalog.read(db, name).createOrReplaceTempView(view)
                 self._registered[key] = view
                 self._dirty.discard(key)
+        # usage_schema: home-catalog tables, visible from every tenant
+        home = self._home_catalog
+        if "usage_schema" in home.list_databases():
+            for name in home.list_tables("usage_schema"):
+                key = ("usage_schema", name)
+                view = f"__usage_schema__{name}"
+                if self._registered.get(key) != view or key in self._dirty:
+                    df = home.read("usage_schema", name)
+                    df.createOrReplaceTempView(view)
+                    self._registered[key] = view
+                    self._dirty.discard(key)
+                if self.database == "usage_schema":
+                    home.read("usage_schema", name).createOrReplaceTempView(name)
         for name, (fmt, path, opts) in self.external.items():
             key = ("", name)
             view = _ext_view_name(name)
@@ -260,13 +466,25 @@ class Engine:
             self._read_external(fmt, path, opts).createOrReplaceTempView(view)
             self._registered[key] = view
             self._dirty.discard(key)
+        for sname, st in self.streams.items():
+            # stream tables are selectable/explainable as batch views over
+            # their source (stream/basic.slt:70-78); the streaming path
+            # proper goes through StreamTable.read/run_incremental_agg
+            if st.src_table and st.src_table in self.catalog.list_tables(
+                st.src_db or self.database
+            ):
+                sdf = self.catalog.read(st.src_db or self.database, st.src_table)
+                if st.columns:
+                    sdf = sdf.select(*st.columns)
+                sdf.createOrReplaceTempView(sname)
         from . import sys_schema
 
         sys_schema.databases_df(
             self.spark, self.catalog, hidden=self._hidden_dbs
         ).createOrReplaceTempView("__information_schema__databases")
         sys_schema.tables_df(
-            self.spark, self.catalog, self.external, self.streams
+            self.spark, self.catalog, self.external, self.streams,
+            self.external_dbs,
         ).createOrReplaceTempView("__information_schema__tables")
         sys_schema.columns_df(self.spark, self.catalog).createOrReplaceTempView(
             "__information_schema__columns"
@@ -287,6 +505,24 @@ class Engine:
             # plain member's SELECT on information_schema.roles is empty)
             self.roles if self._sys_role() == "owner" else None,
         ).createOrReplaceTempView("__information_schema__roles")
+        members = self.tenants.get(self.current_tenant, {}).get("members", {})
+        sys_schema.enabled_roles_df(
+            # admins are not tenant members — empty view for them
+            # (enabled_roles.slt: root sees no enabled role anywhere)
+            self.spark, None if self._is_admin() else members.get(self.user)
+        ).createOrReplaceTempView("__information_schema__enabled_roles")
+        sys_schema.members_df(self.spark, members).createOrReplaceTempView(
+            "__information_schema__members"
+        )
+        member_role = members.get(self.user)
+        sys_schema.database_privileges_df(
+            self.spark,
+            self.current_tenant,
+            self.grants,
+            self.roles,
+            # owners/admins see every grant; a plain member only their role's
+            only_role=None if self._sys_role() == "owner" else member_role,
+        ).createOrReplaceTempView("__information_schema__database_privileges")
 
     def _qualify(self, sql: str) -> str:
         """Rewrite known ``db.table`` references to their mangled temp-view
@@ -304,6 +540,10 @@ class Engine:
         def subst(segment: str) -> str:
             segment = re.sub(
                 r"\binformation_schema\.(\w+)", r"__information_schema__\1",
+                segment, flags=re.I,
+            )
+            segment = re.sub(
+                r"\busage_schema\.(\w+)", r"__usage_schema__\1",
                 segment, flags=re.I,
             )
             segment = re.sub(
@@ -419,9 +659,62 @@ class Engine:
         stmt = self._session_fns(stmt)
         if re.search(r"\btime_window_gapfill\s*\(", stmt, re.I):
             return self._gapfill_select(stmt)
+        m = re.match(
+            r"SELECT\s+(timestamp_repair|value_fill|value_repair)\s*\(",
+            stmt.strip(), re.I,
+        )
+        if m:
+            return self._ts_gen_select(stmt.strip(), m.group(1).lower())
+        if not getattr(self, "_allow_stream_select", False) and any(
+            re.search(rf"\b{re.escape(sn)}\b", stmt, re.I)
+            for sn in self.streams
+        ):
+            # stream/unsupport_op.slt:95 — batch SELECT on a stream table
+            # is rejected; only INSERT..SELECT (stream job) and EXPLAIN use
+            # a stream table
+            raise ValueError(
+                "Stream table can only be used as source table in insert "
+                "select statements."
+            )
         df = self.spark.sql(rewrite_dql(self._qualify(stmt)))
         self._reject_cross_join(df)
         return df
+
+    def _ts_gen_select(self, stmt: str, fn: str) -> DataFrame:
+        """ts_gen_func projection form (extension/expr/ts_gen_func/mod.rs;
+        function/data_repair.slt): ``SELECT <fn>(time, value[, 'params'])
+        FROM t [WHERE ...]`` — a table transform planned like the
+        reference's analyzer rule (transform_ts_gen_func.rs gathers each
+        series and applies the kernel; here: applyInPandas per series)."""
+        from .functions import repair as rep
+
+        m = re.match(
+            r"SELECT\s+\w+\s*\((.*?)\)\s+FROM\s+(\S+)"
+            r"(?:\s+(WHERE\s+.*?))?\s*;?\s*$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ts_gen_func call: {stmt[:80]!r}")
+        args = [a.strip() for a in m.group(1).split(",")]
+        if not 2 <= len(args) <= 3:
+            raise ValueError(f"{fn} expects (time, value[, 'params'])")
+        time_col, value_col = args[0], args[1]
+        params = None
+        if len(args) > 2:
+            pm = re.fullmatch(r"'((?:[^']|'')*)'", args[2])
+            if not pm:
+                raise ValueError(f"{fn}: params must be a string literal")
+            params = pm.group(1).replace("''", "'")
+        table, where = m.group(2), m.group(3) or ""
+        inner = self._select(
+            f"SELECT {time_col}, {value_col} FROM {table} {where}"
+        )
+        impl = {
+            "timestamp_repair": rep.timestamp_repair_exact,
+            "value_fill": rep.value_fill_exact,
+            "value_repair": rep.value_repair_exact,
+        }[fn]
+        return impl(inner, time_col, value_col, [], params)
 
     def _reject_cross_join(self, df: DataFrame) -> None:
         """Reference parity: the optimizer rejects any plan containing a
@@ -552,11 +845,20 @@ class Engine:
             raise ValueError("Name cannot be empty or contain only spaces")
         if "/" in name:
             raise ValueError(f"not supported keyword contains '/': {name}")
+        if name.lower() in ("cluster_schema", "information_schema", "usage_schema"):
+            # parity: sys_table/system_database.slt — system schemas are
+            # reserved database names
+            raise ValueError(f"Database is a system database: {name}")
         if self._sys_role() != "owner":
             raise ValueError(
                 "Insufficient privileges, expected "
                 f"[Write on all databases of tenant {self.current_tenant}]"
             )
+        if name in self.catalog.list_databases() and not re.search(
+            r"IF\s+NOT\s+EXISTS", stmt, re.I
+        ):
+            # parity: system_database.slt "create database public" errors
+            raise ValueError(f"Database already exists: {name}")
         opts = {}
         tm = re.search(r"TTL\s+'([^']+)'", opts_str, re.I)
         if tm:
@@ -580,9 +882,10 @@ class Engine:
             raise ValueError(f"cannot parse CREATE TABLE: {stmt!r}")
         if_not_exists = bool(m.group(1))
         db, name = self._split_table_name(m.group(2))
-        if db not in self.catalog.list_databases():
+        cat = self._cat_for(db)
+        if db not in cat.list_databases():
             raise ValueError(f'Database not found: "{db}"')
-        if if_not_exists and name in self.catalog.list_tables(db):
+        if if_not_exists and name in cat.list_tables(db):
             return
         body = m.group(3)
         if re.search(r",\s*$", body):
@@ -592,6 +895,7 @@ class Engine:
         tags: list[str] = []
         fields: dict[str, str] = {}
         codecs: dict[str, str] = {}
+        geometry_subtypes: dict[str, str] = {}
         tm = re.search(r"TAGS\s*\(([^)]*)\)", body, re.I)
         if tm:
             tags = [t.strip().strip('"') for t in tm.group(1).split(",") if t.strip()]
@@ -613,19 +917,47 @@ class Engine:
                 raise ValueError(f"column {cname} already exists")
             if cm.group(3):
                 codecs[cname] = cm.group(3).upper()
-            if ctype.startswith("geometry"):
-                fields[cname] = "geometry"  # WKT string + subtype metadata
+            if ctype.startswith("geometr"):
+                # GEOMETRY(<sub_type>, <srid>) — validation mirrors
+                # gis/check_write.slt's declaration errors
+                gm = re.fullmatch(
+                    r"geometry\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)", ctype, re.I
+                )
+                if not gm:
+                    raise ValueError(
+                        f"Unexpected data type {ctype} of {cname}, "
+                        "format: GEOMETRY(<sub_type>, <srid>)"
+                    )
+                sub, srid = gm.group(1).upper(), int(gm.group(2))
+                if sub not in (
+                    "POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+                    "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION",
+                ):
+                    raise ValueError(
+                        f"Unexpected data type {ctype} of {cname}, sub_type "
+                        "must be POINT, LINESTRING, POLYGON, MULTIPOINT, "
+                        "MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION"
+                    )
+                if srid != 0:
+                    raise ValueError(
+                        f"Unexpected data type {ctype} of {cname}, currently "
+                        "only supports 0, Cartesian coordinate system"
+                    )
+                fields[cname] = "geometry"  # WKT string, subtype in options
+                geometry_subtypes[cname] = sub
                 continue
             if ctype not in _TYPE_MAP:
                 raise ValueError(f"unsupported field type {ctype!r} for {cname!r}")
             fields[cname] = _TYPE_MAP[ctype]
             _check_codec(codecs.get(cname), fields[cname])
         schema = TskvTableSchema(
-            tenant=self.catalog.tenant, db=db, name=name, tags=tags, fields=fields
+            tenant=cat.tenant, db=db, name=name, tags=tags, fields=fields
         )
         if codecs:
             schema.options["codecs"] = codecs
-        self.catalog.create_table(db, schema)
+        if geometry_subtypes:
+            schema.options["geometry"] = geometry_subtypes
+        cat.create_table(db, schema)
 
     def _create_external_table(self, stmt: str) -> None:
         m = re.match(
@@ -647,6 +979,10 @@ class Engine:
             raise ValueError("Name cannot be empty or contain only spaces")
         if "/" in name:
             raise ValueError(f"not supported keyword contains '/': {name}")
+        if name.lower() in ("cluster_schema", "information_schema", "usage_schema"):
+            # parity: sys_table/system_database.slt — system schemas are
+            # reserved database names
+            raise ValueError(f"Database is a system database: {name}")
         opts: dict = {}
         if re.search(r"WITH\s+HEADER\s+ROW", middle or "", re.I):
             opts["header"] = True
@@ -659,27 +995,52 @@ class Engine:
             # scale a declared schema avoids an inference scan entirely)
             opts["columns"] = _parse_external_columns(cols_str)
         self.external[name] = (fmt.lower(), path, opts)
+        self.external_dbs[name] = self.database
 
     def _create_stream_table(self, stmt: str) -> None:
         """CREATE STREAM TABLE name(...) WITH (db='..', table='..',
         event_time_column='..') engine=tskv (stream/basic.slt:40-50)."""
         m = re.match(
-            r"CREATE\s+STREAM\s+TABLE\s+(\w+)\s*(?:\((.*?)\)\s*)?WITH\s*\((.*?)\)\s*"
-            r"(?:engine\s*=\s*tskv)?\s*;?\s*$",
+            r"CREATE\s+STREAM\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"(?:\((.*?)\)\s*)?WITH\s*\((.*?)\)\s*"
+            r"(?:engine\s*=\s*(\w+))?\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse CREATE STREAM TABLE: {stmt!r}")
-        name, cols_str, withs = m.groups()
+        name, cols_str, withs, eng_name = m.groups()
+        if eng_name and eng_name.lower() != "tskv":
+            # stream/syntax.slt "Unsupported stream type: xxx"
+            raise ValueError(f"Unsupported stream type: {eng_name}")
         opts = dict(re.findall(r"(\w+)\s*=\s*'([^']*)'", withs))
+        # required WITH options (stream/syntax.slt "Missing option [x]")
+        for req in ("db", "table", "event_time_column"):
+            if req not in opts:
+                raise ValueError(
+                    f"Missing option [{req}] of table {name.lower()}"
+                )
         src_db = opts.get("db", self.database)
         src_table = opts["table"]
+        if src_table not in self.catalog.list_tables(src_db):
+            raise ValueError(f'Table not found: "{src_db}.{src_table}"')
+        if cols_str:
+            seen: set[str] = set()
+            for coldef in _split_top_level(cols_str, ","):
+                cname = coldef.split()[0].strip('"') if coldef.split() else ""
+                if cname.lower() in seen:
+                    # stream/syntax.slt "Field or Tag have the same name"
+                    raise ValueError(
+                        f"Field or Tag have the same name {cname}"
+                    )
+                seen.add(cname.lower())
+        schema = self.catalog.get_schema(src_db, src_table)
+        valid = {TIME_COL, *schema.tags, *schema.fields}
+        columns: list[str] | None = None
         if cols_str:
             # declared columns must exist in the source table
             # (ddl/create_stream_table.slt 'Unable to get field' record)
-            schema = self.catalog.get_schema(src_db, src_table)
-            valid = {TIME_COL, *schema.tags, *schema.fields}
+            columns = []
             for coldef in _split_top_level(cols_str, ","):
                 cname = coldef.split()[0].strip('"') if coldef.split() else ""
                 if cname and cname not in valid:
@@ -687,13 +1048,34 @@ class Engine:
                         f'Unable to get field named "{cname}". '
                         f"Valid fields: {sorted(valid)}"
                     )
+                if cname:
+                    columns.append(cname)
+        etc = opts["event_time_column"]
+        if etc not in valid:
+            # stream/syntax.slt 'Unable to get field named "timex"'
+            raise ValueError(
+                f'Unable to get field named "{etc}". '
+                f"Valid fields: {sorted(valid)}"
+            )
+        if etc != TIME_COL:
+            # only the time column is timestamp-typed in a tskv table
+            # (stream/syntax.slt "data type ... is not timestamp")
+            raise ValueError(
+                f"Invalid option [event_time_column] of table {name.lower()}:"
+                f" The data type of column '{etc}' is not timestamp"
+            )
         path = self.catalog._table_path(src_db, src_table)
-        self.streams[name] = StreamTable(
+        st = StreamTable(
             name=name,
             source_path=path,
-            event_time_column=opts.get("event_time_column", TIME_COL),
+            event_time_column=etc,
             watermark_delay=opts.get("watermark_delay", "0 seconds"),
+            src_db=src_db,
+            src_table=src_table,
+            columns=columns,
         )
+        st.home_db = self.database
+        self.streams[name] = st
 
     def _drop(self, stmt: str) -> None:
         m = re.match(
@@ -718,6 +1100,11 @@ class Engine:
             # parity: the reference forbids dropping the default database
             # (ddl/drop_database.slt:66)
             raise ValueError("Forbidden to drop database public")
+        if kind == "DATABASE" and name.lower() in (
+            "cluster_schema", "information_schema", "usage_schema"
+        ):
+            # parity: sys_table/system_database.slt
+            raise ValueError(f"Forbidden to drop system database: {name}")
         if kind == "DATABASE":
             # Invalidate every registered view of the dropped db's tables
             # (they may be registered under bare names if it is the current
@@ -733,11 +1120,12 @@ class Engine:
                 del self.external[tbl]
                 key = ("", tbl)
             else:
-                if tbl not in self.catalog.list_tables(db):
+                cat = self._cat_for(db)
+                if tbl not in cat.list_tables(db):
                     if re.search(r"IF\s+EXISTS", stmt, re.I):
                         return None
                     raise ValueError(f'Table not found: "{tbl}"')
-                self.catalog.drop_table(db, tbl)
+                cat.drop_table(db, tbl)
                 key = (db, tbl)
             # Drop the view actually registered for this key — dropping the
             # bare name for a qualified db.tbl would clobber the current
@@ -843,11 +1231,31 @@ class Engine:
             raise ValueError(f"cannot parse INSERT: {stmt!r}")
         tbl, cols_str, src = m.groups()
         db, name = self._split_table_name(tbl)
+        cat = self._cat_for(db)
         if src.upper().startswith("VALUES"):
             cols = [c.strip().strip('"') for c in (cols_str or "").split(",") if c.strip()]
+            schema = cat.get_schema(db, name)
             if not cols:
-                schema = self.catalog.get_schema(db, name)
                 cols = [TIME_COL, *schema.tags, *schema.field_names]
+            # every row must write at least one non-null FIELD
+            # (dql/filter_push_down.slt "Fields can't be empty")
+            field_pos = [i for i, c in enumerate(cols) if c in schema.fields]
+            if not field_pos:
+                raise ValueError("Fields can't be empty")
+            from .sql.rewriter import _find_call_end, _split_args
+
+            vtext, vpos = src.rstrip(";"), 0
+            while True:
+                op = vtext.find("(", vpos)
+                if op < 0:
+                    break
+                end = _find_call_end(vtext, op)
+                row_args = _split_args(vtext[op + 1 : end - 1])
+                if len(row_args) == len(cols) and all(
+                    row_args[i].strip().upper() == "NULL" for i in field_pos
+                ):
+                    raise ValueError("Fields can't be empty")
+                vpos = end
             from .sql.rewriter import rewrite_cast_int_timestamp
 
             src_df = self.spark.sql(
@@ -856,11 +1264,53 @@ class Engine:
             src_df = src_df.toDF(*cols)
         else:
             self._register_views()
+            is_stream_src = any(
+                re.search(rf"\b{re.escape(sn)}\b", src, re.I)
+                for sn in self.streams
+            )
             src_df = self.spark.sql(rewrite_dql(src))
+            if is_stream_src:
+                # reference stream_checker.rs restrictions (stream/
+                # unsupport_op.slt): at most one aggregation, no join/
+                # limit/sort in a streaming insert-select
+                from .streaming.stream_table import StreamPlanChecker
+
+                StreamPlanChecker.check(src_df)
+                # stream job (stream/basic.slt:84-90): remember the whole
+                # INSERT and re-dispatch it on every clock advance so later
+                # source writes flow through (LWW merge on the target makes
+                # re-emission idempotent)
+                self.stream_jobs[(db, name, " ".join(src.split()).lower())] = stmt
             if cols_str:
                 cols = [c.strip().strip('"') for c in cols_str.split(",")]
-                src_df = src_df.toDF(*cols)
-        n = self.catalog.insert(db, name, src_df)
+            else:
+                # reference semantics are POSITIONAL (planner.rs insert
+                # plans a cast by position, not name)
+                schema = cat.get_schema(db, name)
+                cols = [TIME_COL, *schema.tags, *schema.field_names]
+            if len(src_df.columns) != len(cols):
+                raise ValueError(
+                    f"Insert columns and Source columns not match: "
+                    f"expected {len(cols)}, got {len(src_df.columns)}"
+                )
+            src_df = src_df.toDF(*cols)
+        gsubs = cat.get_schema(db, name).options.get("geometry") or {}
+        for gcol, gsub in gsubs.items():
+            if gcol not in src_df.columns:
+                continue
+            up = F.upper(F.trim(F.col(gcol)))
+            ok = up.startswith(gsub + "(") | up.startswith(gsub + " ")
+            bad = (
+                src_df.filter(F.col(gcol).isNotNull() & ~ok)
+                .select(gcol).first()
+            )
+            if bad is not None:
+                # gis/check_write.slt "Invalid geometry type, error: ..."
+                raise ValueError(
+                    f"Invalid geometry type, error: expect "
+                    f"{gsub.capitalize()}, got {bad[0]}"
+                )
+        n = cat.insert(db, name, src_df)
         self._mark_dirty(db, name)
         return self.spark.createDataFrame([(n,)], ["rows"])
 
@@ -1025,19 +1475,38 @@ class Engine:
             getattr(writer, fmt)(url)
             return self.spark.createDataFrame([(df.count(),)], ["rows"])
         m = re.match(
-            r"COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s*"
+            r"COPY\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+FROM\s+'([^']+)'\s*"
             r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*(?:=\s*)?'(\w+)'(.*?)\))?\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
         if m:  # import
-            tbl, url, fmt, opts_str = m.groups()
+            tbl, cols_str, url, fmt, opts_str = m.groups()
             db, name = self._split_table_name(tbl)
             fmt = (fmt or "parquet").lower()
-            opts = {}
-            if re.search(r"WITH\s+HEADER\s+ROW|HEADER\s*=\s*'?true'?", opts_str or "", re.I):
-                opts["header"] = True
+            # DataFusion's CsvReadOptions defaults to has_header=true
+            # (dql/file_query.slt copies headered CSVs with no option)
+            opts = {"header": True} if fmt == "csv" else {}
+            if re.search(r"HEADER\s*=\s*'?false'?", opts_str or "", re.I):
+                opts["header"] = False
             src = self._read_external(fmt, url, opts)
+            if cols_str:
+                cols = [c.strip().strip('"') for c in cols_str.split(",")]
+            else:
+                schema = self.catalog.get_schema(db, name)
+                cols = [TIME_COL, *schema.tags, *schema.field_names]
+            if {c.lower() for c in src.columns} == {c.lower() for c in cols}:
+                # column names line up (headered CSV / parquet / json whose
+                # field order differs) — align by name
+                src = src.select(*cols)
+            elif len(src.columns) != len(cols):
+                # copy_into_table.slt: arity mismatch is an error
+                raise ValueError(
+                    f"Insert columns and Source columns not match: "
+                    f"expected {len(cols)}, got {len(src.columns)}"
+                )
+            else:
+                src = src.toDF(*cols)
             n = self.catalog.insert(db, name, src)
             self._mark_dirty(db, name)
             return self.spark.createDataFrame([(n,)], ["rows"])
@@ -1121,8 +1590,27 @@ class Engine:
 
     def advance_clock(self, dur: str) -> None:
         """slt `sleep <dur>` advances the virtual clock (expiry is testable
-        without wall-clock waits)."""
-        self.clock_offset_us += _parse_short_duration_us(dur)
+        without wall-clock waits), triggers pending stream jobs, and takes
+        usage samples at the reference recorder's ~10s cadence (one sample
+        per elapsed 10s, capped — vnode_cache_size.slt counts samples)."""
+        dur_us = _parse_short_duration_us(dur)
+        ticks = max(1, min(int(dur_us // 10_000_000), 6))
+        step = dur_us // ticks
+        for _ in range(ticks):
+            self.clock_offset_us += step
+            if dur_us >= 10_000_000:
+                self._flush_usage()
+        self.clock_offset_us += dur_us - step * ticks
+        self._run_stream_jobs()
+
+    def _run_stream_jobs(self) -> None:
+        for stmt in list(self.stream_jobs.values()):
+            try:
+                self._insert(stmt)
+            except Exception:
+                # a job whose source/target vanished stops emitting,
+                # like a cancelled reference stream task
+                continue
 
     def _process_resources(self) -> None:
         """Execute scheduled drops whose deadline has passed (the reference
@@ -1375,6 +1863,14 @@ class Engine:
             priv, db, role = m.groups()
             if role not in self.roles:
                 raise ValueError(f"role {role} not found")
+            if db not in self.catalog.list_databases():
+                # parity: database_privileges.slt:73 "Database not found"
+                raise ValueError(f"Database not found: {db}")
+            # a re-grant on the same (db, role) replaces the old privilege
+            # (meta's role privileges are a map keyed by database)
+            self.grants = [
+                g for g in self.grants if not (g[1] == db and g[2] == role)
+            ]
             self.grants.append((priv.upper(), db, role))
             return None
         m = re.match(r"REVOKE\s+(READ|WRITE|ALL)\s+ON\s+DATABASE\s+(\w+)\s+FROM\s+(?:ROLE\s+)?(\w+)", s, re.I)
@@ -1421,7 +1917,13 @@ class Engine:
         if re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I):
             m = re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I)
             db = m.group(1) or self.database
-            names = self.catalog.list_tables(db) + sorted(self.external) + sorted(self.streams)
+            names = (
+                self.catalog.list_tables(db)
+                + sorted(t for t in self.external
+                         if self.external_dbs.get(t, "public") == db)
+                + sorted(t for t, st in self.streams.items()
+                         if getattr(st, "home_db", "public") == db)
+            )
             return self.spark.createDataFrame(
                 [(t,) for t in names], "table_name string"
             )
@@ -1528,6 +2030,15 @@ class Engine:
 
         return self._write_schemaless(
             open_tsdb_to_tables(self.spark, text, tcp=tcp), db
+        )
+
+    def write_open_tsdb_json(self, text: str, db: str | None = None) -> dict[str, int]:
+        """OpenTSDB HTTP JSON put ingest (api/v1/opentsdb/put JSON body —
+        protocol_parser open_tsdb JSON branch)."""
+        from .sources.open_tsdb import open_tsdb_json_to_tables
+
+        return self._write_schemaless(
+            open_tsdb_json_to_tables(self.spark, text), db
         )
 
     def write_prometheus(

@@ -24,18 +24,31 @@ from pyspark.sql import functions as F, types as T
 _COORD_RE = re.compile(r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)")
 
 
+# longest-prefix first so MULTIPOINT doesn't match POINT
+_WKT_TYPES = (
+    "MULTIPOLYGON", "MULTILINESTRING", "MULTIPOINT",
+    "GEOMETRYCOLLECTION", "POINT", "LINESTRING", "POLYGON",
+)
+_SIMPLE_TYPES = ("POINT", "LINESTRING", "POLYGON")
+
+
 def _parse(wkt: str):
+    """WKT → (type, Nx2 coords). SQL NULL → (None, None); unparseable
+    text raises (the reference's geozero parse failure —
+    gis/st_area.slt errors on non-WKT strings)."""
     if wkt is None:
         return None, None
     s = wkt.strip().upper()
-    coords = np.array([[float(a), float(b)] for a, b in _COORD_RE.findall(s)])
-    if s.startswith("POINT"):
-        return "POINT", coords
-    if s.startswith("LINESTRING"):
-        return "LINESTRING", coords
-    if s.startswith("POLYGON"):
-        return "POLYGON", coords
-    return None, None
+    for t in _WKT_TYPES:
+        if s.startswith(t):
+            rest = s[len(t):].strip()
+            if rest != "EMPTY" and not rest.startswith("("):
+                break
+            coords = np.array(
+                [[float(a), float(b)] for a, b in _COORD_RE.findall(s)]
+            )
+            return t, coords
+    raise ValueError(f"invalid WKT geometry: {wkt[:60]!r}")
 
 
 def _poly_area(coords: np.ndarray) -> float:
@@ -68,7 +81,17 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     for wa, wb in zip(a, b):
         ta, ca = _parse(wa)
         tb, cb = _parse(wb)
-        if ta is None or tb is None or len(ca) == 0 or len(cb) == 0:
+        if ta is None or tb is None:
+            out.append(None)
+            continue
+        if ta not in _SIMPLE_TYPES or tb not in _SIMPLE_TYPES:
+            # parity: geo crate distance is implemented only for simple
+            # geometries (st_distance.slt errors on MULTI*/COLLECTION)
+            raise ValueError(
+                f"Calculating the distance between {ta} and {tb} "
+                "is not supported"
+            )
+        if len(ca) == 0 or len(cb) == 0:
             out.append(None)
             continue
         if ta == "POLYGON" and tb == "POINT" and _point_in_poly(cb[0], ca):
@@ -86,7 +109,19 @@ def st_area(g: pd.Series) -> pd.Series:
     out = []
     for w in g:
         t, c = _parse(w)
-        out.append(_poly_area(c) if t == "POLYGON" and len(c) >= 3 else 0.0 if t else None)
+        if t is None:
+            out.append(None)
+        elif t == "POINT" and len(c) == 0:
+            # parity quirk: geo errors on empty POINT specifically
+            # (st_area.slt "The input was an empty Point")
+            raise ValueError(
+                "processing geometry `The input was an empty Point, but "
+                "the output doesn't support empty Points`"
+            )
+        elif t in ("POLYGON", "MULTIPOLYGON") and len(c) >= 3:
+            out.append(_poly_area(c))
+        else:
+            out.append(0.0)
     return pd.Series(out, dtype="float64")
 
 
@@ -151,6 +186,12 @@ def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+@F.pandas_udf(T.BooleanType())
+def _st_disjoint_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    inter = st_intersects.func(a, b)
+    return inter.map(lambda v: None if v is None else not v)
+
+
 def st_disjoint(a, b):
     return ~st_intersects(a, b)
 
@@ -164,3 +205,28 @@ def st_asbinary(g):
 
 def st_geomfromwkb(b):
     return F.decode(b, "UTF-8")
+
+
+@F.pandas_udf(T.BinaryType())
+def _st_asbinary_udf(g: pd.Series) -> pd.Series:
+    return g.map(lambda s: None if s is None else s.encode("utf-8"))
+
+
+@F.pandas_udf(T.StringType())
+def _st_geomfromwkb_udf(b: pd.Series) -> pd.Series:
+    return b.map(lambda v: None if v is None else bytes(v).decode("utf-8"))
+
+
+def register(spark) -> None:
+    """Expose the GIS kernels as SQL scalar functions (the reference
+    registers geo fns with DataFusion — function/gis/*.slt call them
+    directly from SQL)."""
+    spark.udf.register("st_distance", st_distance)
+    spark.udf.register("st_area", st_area)
+    spark.udf.register("st_contains", st_contains)
+    spark.udf.register("st_within", st_within)
+    spark.udf.register("st_equals", st_equals)
+    spark.udf.register("st_intersects", st_intersects)
+    spark.udf.register("st_disjoint", _st_disjoint_udf)
+    spark.udf.register("st_asbinary", _st_asbinary_udf)
+    spark.udf.register("st_geomfromwkb", _st_geomfromwkb_udf)

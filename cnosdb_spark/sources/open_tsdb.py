@@ -116,3 +116,48 @@ def open_tsdb_to_tables(
         data = [tuple(r.get(k) for k in keys) for r in rows]
         out[name] = (spark.createDataFrame(data, T.StructType(fields)), tagkeys)
     return out
+
+
+def parse_open_tsdb_json(
+    text: str,
+) -> dict[str, tuple[list[dict], set[str]]]:
+    """OpenTSDB HTTP JSON put format (api/v1/opentsdb/put; reference
+    common/protocol_parser/src/open_tsdb/parser.rs JSON branch): a single
+    point object or a list of {metric, timestamp, value, tags{}}.
+    Timestamps go through the same magnitude heuristic as the text
+    protocol."""
+    import json
+    from datetime import datetime, timedelta
+
+    data = json.loads(text)
+    if isinstance(data, dict):
+        data = [data]
+    out: dict[str, tuple[list[dict], set[str]]] = {}
+    for i, pt in enumerate(data):
+        if not isinstance(pt, dict) or "metric" not in pt or "value" not in pt:
+            raise ValueError(f"opentsdb json: bad point #{i}: {pt!r}")
+        metric = pt["metric"]
+        rows, tagkeys = out.setdefault(metric, ([], set()))
+        tags = pt.get("tags") or {}
+        tagkeys.update(tags)
+        row = {k: str(v) for k, v in tags.items()}
+        row[OPEN_TSDB_DEFAULT_FIELD] = float(pt["value"])
+        ts_us = _ts_to_micros(int(pt["timestamp"]))
+        row["time"] = datetime(1970, 1, 1) + timedelta(microseconds=ts_us)
+        rows.append(row)
+    return out
+
+
+def open_tsdb_json_to_tables(
+    spark: SparkSession, text: str
+) -> dict[str, tuple[DataFrame, set[str]]]:
+    parsed = parse_open_tsdb_json(text)
+    out = {}
+    for name, (rows, tagkeys) in parsed.items():
+        keys = ["time", OPEN_TSDB_DEFAULT_FIELD, *sorted(tagkeys)]
+        fields = [T.StructField("time", T.TimestampType(), False),
+                  T.StructField(OPEN_TSDB_DEFAULT_FIELD, T.DoubleType(), True)]
+        fields += [T.StructField(k, T.StringType(), True) for k in sorted(tagkeys)]
+        data = [tuple(r.get(k) for k in keys) for r in rows]
+        out[name] = (spark.createDataFrame(data, T.StructType(fields)), tagkeys)
+    return out

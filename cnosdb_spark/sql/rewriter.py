@@ -103,8 +103,14 @@ def rewrite_time_window(sql: str) -> str:
     arithmetic (make_window_expr, transform_time_window.rs:251-296)."""
     from ..functions.timeseries import _parse_duration
 
-    if len(_TW_RE.findall(sql)) > 1:
-        # the reference plans exactly one window per query
+    calls = set()
+    for m in _TW_RE.finditer(sql):
+        open_p = sql.index("(", m.start())
+        end = _find_call_end(sql, open_p)
+        calls.add(" ".join(sql[open_p:end].split()).lower())
+    if len(calls) > 1:
+        # the reference plans exactly one window per query — the SAME call
+        # repeated (SELECT + GROUP BY) is one window
         # (transform_time_window.rs rejects a second TimeWindow expr)
         raise ValueError("only one time_window per query is supported")
     while True:
@@ -669,7 +675,131 @@ def rewrite_values_column_names(sql: str) -> str:
     return _VALUES_COLN.sub(lambda m: f"col{m.group(1)}", sql)
 
 
+# System variables (@@name): the reference registers four read-only vars
+# with DataFusion's VarProvider (extension/variable/{cluster_name,
+# server_version,deployment_mode,node_id}.rs); any other @@-token is a
+# planning error ("variable [..] has no type information").
+SYSTEM_VARIABLES = {
+    "cluster_name": "'cluster_xxx'",
+    "server_version": "'2.4.0'",
+    "deployment_mode": "'query_tskv'",
+    "node_id": "CAST(1001 AS BIGINT)",  # reference: ScalarValue::UInt64
+}
+
+_SYSVAR_RE = re.compile(r"@+\w*")
+
+
+def rewrite_system_variables(sql: str) -> str:
+    """Replace ``@@var`` with its literal value outside string literals;
+    raise on unknown/malformed variables like the reference planner."""
+    if "@" not in sql:
+        return sql
+    # split out single-quoted literals so @ inside strings is untouched
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(parts), 2):
+        def _sub(m: re.Match) -> str:
+            tok = m.group(0)
+            name = tok.lstrip("@")
+            if tok.startswith("@@") and name.lower() in SYSTEM_VARIABLES:
+                return SYSTEM_VARIABLES[name.lower()]
+            raise ValueError(
+                f'variable ["{tok}"] has no type information'
+            )
+        parts[i] = _SYSVAR_RE.sub(_sub, parts[i])
+    return "".join(parts)
+
+
+_ARRAY_AGG_RE = re.compile(r"\barray_agg\s*\(", re.I)
+_APPROX_MEDIAN_RE = re.compile(r"\bapprox_median\s*\(", re.I)
+_TO_TS_UNIT_RE = re.compile(
+    r"\bto_timestamp_(seconds|millis|micros)\s*\(", re.I
+)
+
+
+def rewrite_fn_aliases(sql: str) -> str:
+    """DataFusion fn names → Spark equivalents (same semantics):
+    starts_with → startswith (string_func/starts_with.slt),
+    covar → covar_samp, var → var_samp (statistical_agg/*.slt)."""
+    sql = re.sub(r"\bstarts_with\s*\(", "startswith(", sql, flags=re.I)
+    sql = re.sub(r"\bcovar\s*\(", "covar_samp(", sql, flags=re.I)
+    sql = re.sub(r"\bvar\s*\(", "var_samp(", sql, flags=re.I)
+    return sql
+
+
+def rewrite_approx_median(sql: str) -> str:
+    """approx_median(x) → approx_percentile(x, 0.5)
+    (approx_agg/approx_median.slt; both are t-digest-family sketches)."""
+    while True:
+        m = _APPROX_MEDIAN_RE.search(sql)
+        if not m:
+            return sql
+        end = _find_call_end(sql, m.end() - 1)
+        inner = sql[m.end() : end - 1]
+        sql = (
+            sql[: m.start()]
+            + f"approx_percentile({inner}, 0.5)"
+            + sql[end:]
+        )
+
+
+def rewrite_to_timestamp_unit(sql: str) -> str:
+    """to_timestamp_{seconds,millis,micros}(x) (time_functions/*.slt):
+    strings parse as timestamps, integers count epoch units; the result
+    truncates to the unit — all expressible with Spark's timestamp_<unit>
+    + unix_<unit> builtins (stays in whole-stage codegen)."""
+    while True:
+        m = _TO_TS_UNIT_RE.search(sql)
+        if not m:
+            return sql
+        unit = m.group(1).lower()
+        end = _find_call_end(sql, m.end() - 1)
+        x = sql[m.end() : end - 1]
+        parsed = (
+            f"coalesce(try_to_timestamp(cast(({x}) as string)), "
+            f"timestamp_{unit}(try_cast(({x}) as bigint)))"
+        )
+        if unit == "micros":
+            repl = parsed  # TimestampType is already µs-precision
+        else:
+            repl = f"timestamp_{unit}(unix_{unit}({parsed}))"
+        sql = sql[: m.start()] + repl + sql[end:]
+
+
+def rewrite_array_agg_order(sql: str) -> str:
+    """array_agg(expr ORDER BY key [ASC|DESC]) — Spark's array_agg takes no
+    ORDER BY; rewrite to the struct-sort idiom (sort by key, project the
+    value), which keeps the aggregation map-side combinable."""
+    pos = 0
+    while True:
+        m = _ARRAY_AGG_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _find_call_end(sql, m.end() - 1)
+        inner = sql[m.end() : end - 1]
+        om = re.match(
+            r"(.+?)\s+ORDER\s+BY\s+(.+?)\s*(ASC|DESC)?\s*$",
+            inner, re.I | re.S,
+        )
+        if not om:
+            pos = m.end()
+            continue
+        expr, key, direction = om.group(1), om.group(2), (om.group(3) or "ASC")
+        agg = f"array_sort(array_agg(struct({key} AS _k, {expr} AS _v)))"
+        if direction.upper() == "DESC":
+            agg = f"reverse({agg})"
+        sql = (
+            sql[: m.start()]
+            + f"transform({agg}, s -> s._v)"
+            + sql[end:]
+        )
+
+
 def rewrite_dql(sql: str) -> str:
+    sql = rewrite_system_variables(sql)
+    sql = rewrite_fn_aliases(sql)
+    sql = rewrite_approx_median(sql)
+    sql = rewrite_to_timestamp_unit(sql)
+    sql = rewrite_array_agg_order(sql)
     sql = rewrite_time_window(sql)
     sql = rewrite_cast_int_timestamp(sql)
     sql = rewrite_values_column_names(sql)

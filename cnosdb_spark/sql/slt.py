@@ -121,18 +121,18 @@ def _handle_pragma(engine, sql: str) -> bool:
     ``--#LP_END`` wrap a line-protocol write (the runner posts it to
     api/v1/write). Returns True when the record was a pragma."""
     s = sql.strip()
-    m = re.match(r"--#DATABASE\s*=\s*(\w+)\s*$", s)
+    m = re.match(r"--#DATABASE\s*=\s*(\w+)\s*;?\s*$", s)
     if m:
         db = m.group(1)
         if db not in engine.catalog.list_databases():
             engine.catalog.create_database(db)
         engine.database = db
         return True
-    m = re.match(r"--#TENANT\s*=\s*(\w+)\s*$", s)
+    m = re.match(r"--#TENANT\s*=\s*(\w+)\s*;?\s*$", s)
     if m:
         engine.set_tenant(m.group(1))
         return True
-    m = re.match(r"--#USER_NAME\s*=\s*(\w+)\s*$", s)
+    m = re.match(r"--#USER_NAME\s*=\s*(\w+)\s*;?\s*$", s)
     if m:
         engine.user = m.group(1)
         return True
@@ -142,25 +142,46 @@ def _handle_pragma(engine, sql: str) -> bool:
         # multi-pragma record (--#TENANT=... \n --#USER_NAME=...)
         for ln in s.splitlines():
             ln = ln.strip()
-            m = re.match(r"--#DATABASE\s*=\s*(\w+)\s*$", ln)
+            m = re.match(r"--#DATABASE\s*=\s*(\w+)\s*;?\s*$", ln)
             if m:
                 if m.group(1) not in engine.catalog.list_databases():
                     engine.catalog.create_database(m.group(1))
                 engine.database = m.group(1)
-            m = re.match(r"--#TENANT\s*=\s*(\w+)\s*$", ln)
+            m = re.match(r"--#TENANT\s*=\s*(\w+)\s*;?\s*$", ln)
             if m:
                 engine.set_tenant(m.group(1))
-            m = re.match(r"--#USER_NAME\s*=\s*(\w+)\s*$", ln)
+            m = re.match(r"--#USER_NAME\s*=\s*(\w+)\s*;?\s*$", ln)
             if m:
                 engine.user = m.group(1)
+            m = re.match(r"--#precision\s*=\s*(\w+)\s*;?\s*$", ln, re.I)
+            if m:
+                engine._slt_precision = m.group(1).lower()
         return True
-    if s.startswith("--#LP_BEGIN"):
+    m = re.match(r"--#precision\s*=\s*(\w+)\s*;?\s*$", s, re.I)
+    if m:
+        # client write precision for subsequent LP/OpenTSDB blocks
+        # (write/cli_precision.slt)
+        engine._slt_precision = m.group(1).lower()
+        return True
+
+    def _block(tag: str) -> str:
         body = []
         for line in s.splitlines()[1:]:
-            if line.strip().startswith("--#LP_END"):
+            if line.strip().startswith(f"--#{tag}_END"):
                 break
             body.append(line)
-        engine.write_lines("\n".join(body))
+        return "\n".join(body)
+
+    if s.startswith("--#LP_BEGIN"):
+        engine.write_lines(
+            _block("LP"), precision=getattr(engine, "_slt_precision", "ns")
+        )
+        return True
+    if s.startswith("--#OPENTSDB_JSON_BEGIN"):
+        engine.write_open_tsdb_json(_block("OPENTSDB_JSON"))
+        return True
+    if s.startswith("--#OPENTSDB_BEGIN"):
+        engine.write_open_tsdb(_block("OPENTSDB"))
         return True
     if s.startswith("--#"):
         return True  # other runner pragmas (SLEEP, SORT) are no-ops here
@@ -174,6 +195,9 @@ def run_slt(
     # each slt file runs in a fresh session in the reference runner — the
     # --#DATABASE pragma must not leak into the next file
     engine.database = "public"
+    engine._slt_precision = "ns"
+    if hasattr(engine, "stream_jobs"):
+        engine.stream_jobs.clear()
     try:
         # nor may a previous file's `alter database public set ttl '3650d'`
         # (e.g. function/sample.slt) leak: the corpus assumes public's
@@ -197,8 +221,12 @@ def run_slt(
             # (dcl_role.slt "--#USER_NAME = root\ncreate user u_admin;");
             # LP_BEGIN blocks are handled whole by _handle_pragma
             sql = rec.sql
-            while sql.lstrip().startswith("--#") and not sql.lstrip().startswith(
-                "--#LP_BEGIN"
+            if sql.lstrip().startswith("--#HTTP") and rec.expected_rows:
+                # --#HTTP mode: the runner compares raw CSV output, whose
+                # first line is the column header — not a data row
+                rec.expected_rows -= 1
+            while sql.lstrip().startswith("--#") and not re.match(
+                r"--#(LP|OPENTSDB|OPENTSDB_JSON)_BEGIN", sql.lstrip()
             ):
                 first, _, rest = sql.lstrip().partition("\n")
                 _handle_pragma(engine, first)

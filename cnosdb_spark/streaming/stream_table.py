@@ -31,6 +31,11 @@ class StreamTable:
     event_time_column: str
     watermark_delay: str = "0 seconds"
     schema = None
+    # source identity + declared projection for batch-view registration
+    # (stream/basic.slt selects and explains the stream table directly)
+    src_db: str = ""
+    src_table: str = ""
+    columns: list | None = None
 
     def read(self, spark: SparkSession, schema=None) -> DataFrame:
         reader = spark.readStream

@@ -77,6 +77,48 @@ def roles_df(spark: SparkSession, roles: dict | None) -> DataFrame:
     )
 
 
+def enabled_roles_df(spark: SparkSession, role: str | None) -> DataFrame:
+    """information_schema.enabled_roles: the CURRENT user's member role in
+    the current tenant (builder/enabled_roles.rs — single role_name
+    column; an admin who is not a member sees an empty view)."""
+    return spark.createDataFrame(
+        [(role,)] if role else [], "role_name string"
+    )
+
+
+def members_df(spark: SparkSession, members: dict) -> DataFrame:
+    """information_schema.members: all (user_name, role_name) members of
+    the current tenant (builder/members.rs)."""
+    return spark.createDataFrame(
+        sorted(members.items()), "user_name string, role_name string"
+    )
+
+
+def database_privileges_df(
+    spark: SparkSession,
+    tenant: str,
+    grants: list,
+    roles: dict,
+    only_role: str | None = None,
+) -> DataFrame:
+    """information_schema.database_privileges (factory/
+    database_privileges.rs): all grants on this tenant's custom roles for
+    owners/admins; ``only_role`` restricts a plain member to their own
+    role's rows. Privileges render title-case (Read/Write/All)."""
+    rows = []
+    for priv, db, role in grants:
+        if role not in roles:
+            continue
+        if only_role is not None and role != only_role:
+            continue
+        rows.append((tenant, db, priv.capitalize(), role))
+    return spark.createDataFrame(
+        sorted(rows),
+        "tenant_name string, database_name string, privilege_type string, "
+        "role_name string",
+    )
+
+
 def databases_df(spark: SparkSession, catalog, hidden: set | None = None) -> DataFrame:
     rows = []
     for db in catalog.list_databases():
@@ -98,15 +140,26 @@ def databases_df(spark: SparkSession, catalog, hidden: set | None = None) -> Dat
     )
 
 
-def tables_df(spark: SparkSession, catalog, external: dict, streams: dict) -> DataFrame:
+def tables_df(
+    spark: SparkSession, catalog, external: dict, streams: dict,
+    external_dbs: dict | None = None,
+) -> DataFrame:
     rows = []
     for db in catalog.list_databases():
+        if db == "usage_schema":
+            continue  # reference lists usage tables via columns, not here
         for t in catalog.list_tables(db):
             rows.append((catalog.tenant, db, t, "BASE TABLE", "TSKV"))
     for t in external:
-        rows.append((catalog.tenant, "public", t, "EXTERNAL", external[t][0].upper()))
-    for t in streams:
-        rows.append((catalog.tenant, "public", t, "STREAM", "TSKV"))
+        rows.append((
+            catalog.tenant, (external_dbs or {}).get(t, "public"), t,
+            "EXTERNAL", external[t][0].upper(),
+        ))
+    for t, st in streams.items():
+        rows.append((
+            catalog.tenant, getattr(st, "home_db", "public"), t,
+            "STREAM", "TSKV",
+        ))
     return spark.createDataFrame(
         rows,
         "table_tenant string, table_database string, table_name string, "

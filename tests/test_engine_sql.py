@@ -537,3 +537,17 @@ def test_cross_join_rejected(eng):
     eng.allow_cross_join = True
     assert eng.sql("SELECT cj1.f0 FROM cj1 CROSS JOIN cj2").count() == 1
     eng.allow_cross_join = False
+
+
+def test_system_variables(eng):
+    """@@ system variables (extension/variable/*.rs; variable/system.slt):
+    four registered read-only vars; unknown/malformed @-tokens are
+    planning errors."""
+    row = eng.sql(
+        "select @@cluster_name c, @@server_version v, @@deployment_mode m, "
+        "@@node_id n"
+    ).collect()[0]
+    assert row["c"] and row["v"] and row["m"] and row["n"] == 1001
+    for bad in ["select @@server_versi", "select @@", "select @x"]:
+        with pytest.raises(ValueError, match="no type information"):
+            eng.sql(bad)

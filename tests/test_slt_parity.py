@@ -161,6 +161,120 @@ CURATED = [
     ("data_type/type_conversion/boolean.slt", 1.0),
     ("data_type/type_conversion/double.slt", 0.80),
     ("data_type/type_conversion/timestamp.slt", 0.70),
+    # ---- round 3 widening: ddl/dcl/data_tests/gis/window/stream/sys ----
+    ("ddl/alter_codec.slt", 1.0),
+    ("ddl/alter_database.slt", 1.0),
+    ("ddl/alter_drop_after.slt", 1.0),
+    ("ddl/alter_table.slt", 1.0),
+    ("ddl/create_database.slt", 1.0),
+    ("ddl/create_external_table.slt", 1.0),
+    ("ddl/create_stream_table.slt", 1.0),
+    ("ddl/create_table.slt", 1.0),
+    ("ddl/db_precision.slt", 0.85),
+    ("ddl/delete_table.slt", 1.0),
+    ("ddl/delete_table_with_precision.slt", 1.0),
+    ("ddl/describe_database.slt", 1.0),
+    ("ddl/describe_table.slt", 1.0),
+    ("ddl/drop_and_recover_database.slt", 1.0),
+    ("ddl/drop_and_recover_tenant.slt", 1.0),
+    ("ddl/drop_database.slt", 1.0),
+    ("ddl/drop_field.slt", 1.0),
+    ("ddl/drop_role.slt", 1.0),
+    ("ddl/drop_tenant.slt", 1.0),
+    ("ddl/rename_field.slt", 1.0),
+    ("ddl/rename_tag.slt", 1.0),
+    ("ddl/setup.slt", 1.0),
+    ("ddl/user.slt", 1.0),
+    ("dcl/alter_user.slt", 1.0),
+    ("dcl/assignment.slt", 1.0),
+    ("dcl/dcl_user.slt", 1.0),
+    ("dcl/dcl_tenant.slt", 0.90),
+    ("dcl/dcl_role.slt", 0.90),
+    ("dcl/grant_admin.slt", 1.0),
+    ("dcl/user_access.slt", 1.0),
+    ("data_tests/data_ttl.slt", 1.0),
+    ("data_tests/get_last_data.slt", 1.0),
+    ("dql/file_query.slt", 1.0),
+    ("dql/feature_message.slt", 0.70),
+    ("dql/filter_push_down.slt", 1.0),
+    ("example/hello.slt", 0.85),
+    ("example/world.slt", 0.80),
+    ("function/setup.slt", 1.0),
+    ("function/common/array_agg.slt", 1.0),
+    ("function/common/approx_agg/approx_median.slt", 1.0),
+    ("function/common/approx_agg/approx_percentile_cont_with_weight.slt", 0.80),
+    ("function/common/math_function/lcm.slt", 0.85),
+    ("function/common/math_function/setup.slt", 1.0),
+    ("function/common/unorderdata_func.slt", 1.0),
+    ("function/common/statistical_agg/covar.slt", 1.0),
+    ("function/common/statistical_agg/covar_pop.slt", 1.0),
+    ("function/common/statistical_agg/covar_samp.slt", 1.0),
+    ("function/common/statistical_agg/stddev_pop.slt", 1.0),
+    ("function/common/statistical_agg/stddev_samp.slt", 1.0),
+    ("function/common/statistical_agg/var.slt", 1.0),
+    ("function/common/statistical_agg/var_pop.slt", 1.0),
+    ("function/common/statistical_agg/var_samp.slt", 1.0),
+    ("function/common/time_functions/now.slt", 1.0),
+    ("function/common/time_functions/current_time.slt", 0.65),
+    ("function/common/time_functions/to_timestamp.slt", 0.80),
+    ("function/common/time_functions/to_timestamp_micros.slt", 0.70),
+    ("function/common/time_functions/to_timestamp_millis.slt", 0.70),
+    ("function/common/time_functions/to_timestamp_seconds.slt", 0.70),
+    ("function/data_quality.slt", 0.70),
+    ("function/data_repair.slt", 1.0),
+    ("function/gis/setup.slt", 1.0),
+    ("function/gis/check_write.slt", 1.0),
+    ("function/gis/st_area.slt", 1.0),
+    ("function/gis/st_asbinary.slt", 1.0),
+    ("function/gis/st_contains.slt", 1.0),
+    ("function/gis/st_disjoint.slt", 1.0),
+    ("function/gis/st_distance.slt", 1.0),
+    ("function/gis/st_equals.slt", 1.0),
+    ("function/gis/st_geomfromwkb.slt", 0.90),
+    ("function/gis/st_intersects.slt", 1.0),
+    ("function/gis/st_within.slt", 1.0),
+    ("function/session.slt", 0.90),
+    ("function/string_func/starts_with.slt", 1.0),
+    ("function/string_func/temp.slt", 1.0),
+    ("function/window_func/cume_dist.slt", 0.90),
+    ("function/window_func/dense_rank.slt", 0.90),
+    ("function/window_func/first_value.slt", 0.90),
+    ("function/window_func/lag.slt", 0.65),
+    ("function/window_func/last_value.slt", 0.90),
+    ("function/window_func/lead.slt", 0.75),
+    ("function/window_func/nth_value.slt", 0.80),
+    ("function/window_func/perfect_rank.slt", 0.90),
+    ("function/window_func/rank.slt", 0.90),
+    ("function/window_func/row_number.slt", 0.90),
+    ("stream/basic.slt", 1.0),
+    ("stream/stream_table_create.slt", 1.0),
+    ("stream/syntax.slt", 1.0),
+    ("stream/unsupport_op.slt", 1.0),
+    ("http_stream/http_stream_select.slt", 1.0),
+    ("sys_table/system_database.slt", 1.0),
+    ("sys_table/cluster_schema/tenants.slt", 0.80),
+    ("sys_table/cluster_schema/users.slt", 0.75),
+    ("sys_table/information_schema/columns.slt", 1.0),
+    ("sys_table/information_schema/databases.slt", 1.0),
+    ("sys_table/information_schema/database_privileges.slt", 1.0),
+    ("sys_table/information_schema/enabled_roles.slt", 1.0),
+    ("sys_table/information_schema/members.slt", 1.0),
+    ("sys_table/information_schema/queries.slt", 0.50),
+    ("sys_table/information_schema/resource_status.slt", 0.75),
+    ("sys_table/information_schema/roles_1.slt", 1.0),
+    ("sys_table/information_schema/tables.slt", 1.0),
+    ("sys_table/usage_schema/setup.slt", 1.0),
+    ("sys_table/usage_schema/coord_data_in.slt", 1.0),
+    ("sys_table/usage_schema/coord_metrics.slt", 1.0),
+    ("sys_table/usage_schema/http_metrics.slt", 1.0),
+    ("sys_table/usage_schema/usage_schema_privilege.slt", 1.0),
+    ("sys_table/usage_schema/vnode_cache_size.slt", 1.0),
+    ("sys_table/usage_schema/vnode_disk_storage.slt", 1.0),
+    ("tsbench/avg_daily_driving_duration.slt", 0.65),
+    ("variable/system.slt", 1.0),
+    ("write/cli_precision.slt", 1.0),
+    ("dml/explain/explain_copy_into.slt", 1.0),
+    ("dml/copy_into/copy_into_location__WINDOWS.slt", 0.40),
 ]
 
 pytestmark = pytest.mark.skipif(
