@@ -310,6 +310,7 @@ class Engine:
             # parity: dispatcher/manager.rs:131-137 (exactly one statement)
             raise ValueError(f"expected exactly one statement, got {len(stmts)}")
         stmt = stmts[0]
+        self._current_stmt = stmt
         head = stmt.split(None, 2)
         kw = head[0].upper() if head else ""
         kw2 = head[1].upper() if len(head) > 1 else ""
@@ -514,6 +515,23 @@ class Engine:
         sys_schema.members_df(self.spark, members).createOrReplaceTempView(
             "__information_schema__members"
         )
+        # information_schema.queries lists in-flight queries — always
+        # including the SELECT being executed, self-referentially
+        # (sys_table/information_schema/queries.slt sees its own text;
+        # reference dispatcher/query_tracker.rs registers before planning)
+        cur = getattr(self, "_current_stmt", None)
+        qrows = [
+            (
+                "1", "batch", cur, self.user, self.current_tenant,
+                self.database, "OPTIMIZING", 0.0,
+            )
+        ] if cur else []
+        self.spark.createDataFrame(
+            qrows,
+            "query_id string, query_type string, query_text string, "
+            "user_name string, tenant_name string, database_name string, "
+            "state string, duration double",
+        ).createOrReplaceTempView("__information_schema__queries")
         member_role = members.get(self.user)
         sys_schema.database_privileges_df(
             self.spark,
@@ -580,6 +598,7 @@ class Engine:
         return "".join(out)
 
     def _read_external(self, fmt: str, path: str, opts: dict) -> DataFrame:
+        path = self._winpath(path)
         # the reference's slt corpus uses LOCATIONs relative to its repo
         # root (cases/tpch.slt: 'query_server/sqllogicaltests/resource/...')
         if not os.path.isabs(path) and not os.path.exists(path):
@@ -1245,6 +1264,7 @@ class Engine:
             from .sql.rewriter import _find_call_end, _split_args
 
             vtext, vpos = src.rstrip(";"), 0
+            rows_args: list[list[str]] = []
             while True:
                 op = vtext.find("(", vpos)
                 if op < 0:
@@ -1255,12 +1275,49 @@ class Engine:
                     row_args[i].strip().upper() == "NULL" for i in field_pos
                 ):
                     raise ValueError("Fields can't be empty")
+                rows_args.append(row_args)
                 vpos = end
-            from .sql.rewriter import rewrite_cast_int_timestamp
+            # parity: DataFusion's VALUES planner refuses int vs float
+            # literals in one column (sqlancer/function.slt:36-49
+            # "Inconsistent data type across values list at row R column C";
+            # row/column are 0-based, R = first conflicting row)
+            def _lit_kind(a: str) -> str | None:
+                a = a.strip()
+                if re.fullmatch(r"-?\d+", a):
+                    return "int"
+                if re.fullmatch(
+                    r"-?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", a
+                ):
+                    return "float"
+                return None
 
-            src_df = self.spark.sql(
-                f"SELECT * FROM ({rewrite_cast_int_timestamp(src.rstrip(';'))}) AS v"
+            if len(rows_args) > 1:
+                ncols = max(len(r) for r in rows_args)
+                for c in range(ncols):
+                    first_kind: str | None = None
+                    for r, row in enumerate(rows_args):
+                        if c >= len(row):
+                            continue
+                        k = _lit_kind(row[c])
+                        if k is None:
+                            continue
+                        if first_kind is None:
+                            first_kind = k
+                        elif k != first_kind:
+                            raise ValueError(
+                                "Error during planning: Inconsistent data "
+                                f"type across values list at row {r} column {c}"
+                            )
+            from .sql.rewriter import (
+                escape_literal_backslashes,
+                rewrite_cast_int_timestamp,
+                rewrite_overflow_decimal_literals,
             )
+
+            vsql = rewrite_cast_int_timestamp(src.rstrip(";"))
+            vsql = rewrite_overflow_decimal_literals(vsql)
+            vsql = escape_literal_backslashes(vsql)
+            src_df = self.spark.sql(f"SELECT * FROM ({vsql}) AS v")
             src_df = src_df.toDF(*cols)
         else:
             self._register_views()
@@ -1440,6 +1497,21 @@ class Engine:
                 "overwrite"
             ).parquet(sp)
 
+    def _winpath(self, url: str) -> str:
+        """Map Windows-style URLs (``file://C:\\tmp\\data\\out\\`` —
+        dml/copy_into/copy_into_location__WINDOWS.slt) onto a sandbox dir
+        under the engine root so the corpus' Windows variant replays on any
+        OS. Non-Windows URLs pass through untouched."""
+        m = re.match(r"^(?:file://)?([A-Za-z]):[\\/](.*)$", url)
+        if not m:
+            # relative Windows path ('.\query_server\...\part-0.parquet')
+            return url.replace("\\", "/") if "\\" in url else url
+        drive, rest = m.groups()
+        return os.path.join(
+            self.warehouse, "winfs", drive.upper(),
+            rest.replace("\\", "/").strip("/"),
+        )
+
     def _copy(self, stmt: str):
         """COPY INTO <table> FROM '<url>'  |  COPY INTO '<url>' FROM (query)
         (sql/planner.rs:2346-2477)."""
@@ -1449,7 +1521,7 @@ class Engine:
 
             open_p = stmt.index("(", m.end() - 1)
             end = _find_call_end(stmt, open_p)
-            url = m.group(1)
+            url = self._winpath(m.group(1))
             query = stmt[open_p + 1 : end - 1]
             fm = re.search(
                 r"FILE_FORMAT\s*=\s*\(\s*TYPE\s*=\s*'(\w+)'\s*\)", stmt[end:], re.I
@@ -1457,7 +1529,12 @@ class Engine:
             fmt = fm.group(1) if fm else None
             df = self._select(query)
             fmt = (fmt or "parquet").lower()
-            getattr(df.write.mode("overwrite"), fmt)(url)
+            writer = df.write.mode("overwrite")
+            if fmt == "csv":
+                # a headered export round-trips through CREATE EXTERNAL
+                # TABLE ... WITH HEADER ROW (copy_into_location__WINDOWS.slt)
+                writer = writer.option("header", "true")
+            getattr(writer, fmt)(url)
             return self.spark.createDataFrame([(df.count(),)], ["rows"])
         m = re.match(
             r"COPY\s+INTO\s+'([^']+)'\s+FROM\s+([\w.]+)\s*"
@@ -1467,6 +1544,7 @@ class Engine:
         )
         if m:  # export of a whole table (dcl/assignment.slt space-form TYPE)
             url, tbl, fmt = m.groups()
+            url = self._winpath(url)
             df = self._select(f"SELECT * FROM {tbl}")
             fmt = (fmt or "parquet").lower()
             writer = df.write.mode("overwrite")
@@ -1484,6 +1562,18 @@ class Engine:
             tbl, cols_str, url, fmt, opts_str = m.groups()
             db, name = self._split_table_name(tbl)
             fmt = (fmt or "parquet").lower()
+            if name in self.external:
+                # COPY INTO an external table appends files at its LOCATION
+                # (DataFusion ListingTable insert;
+                # copy_into_location__WINDOWS.slt:181 8192 → 8202 rows)
+                efmt, epath, eopts = self.external[name]
+                src = self._read_external(fmt, url, {"header": True} if fmt == "csv" else {})
+                writer = src.write.mode("append")
+                if efmt == "csv":
+                    writer = writer.option("header", str(eopts.get("header", False)).lower())
+                getattr(writer, efmt)(self._winpath(epath))
+                self._dirty.add(("", name))
+                return self.spark.createDataFrame([(src.count(),)], ["rows"])
             # DataFusion's CsvReadOptions defaults to has_header=true
             # (dql/file_query.slt copies headered CSVs with no option)
             opts = {"header": True} if fmt == "csv" else {}
@@ -1935,12 +2025,22 @@ class Engine:
         )
         if m:
             db, tbl, where, order, limit, offset = m.groups()
-            on_db = db or self.database
-            db, tbl = (
-                self._split_table_name(tbl) if "." in tbl else (on_db, tbl)
-            )
+            if "." in tbl:
+                # the reference grammar takes a bare identifier after FROM
+                # (show_series.slt:32 "Expected end of statement, found: .")
+                raise ValueError("sql parser error: Expected end of statement, found: .")
+            db, tbl = (db or self.database), tbl
             if where:
                 schema = self.catalog.get_schema(db, tbl)
+                fields_in_where = [
+                    f for f in schema.fields if re.search(rf"\b{re.escape(f)}\b", where)
+                ]
+                if fields_in_where:
+                    # show_series.slt:107 — WHERE may touch tags/time only
+                    raise ValueError(
+                        "Semantic error: SHOW SERIES does not support where "
+                        f"clause contains field {fields_in_where[0]}"
+                    )
                 keys = (
                     self.catalog.read(db, tbl)
                     .filter(F.expr(where))
@@ -1985,6 +2085,15 @@ class Engine:
                 [t for t in schema.tags if t not in listed] if negate else listed
             )
             if where:
+                fields_in_where = [
+                    f for f in schema.fields if re.search(rf"\b{re.escape(f)}\b", where)
+                ]
+                if fields_in_where:
+                    # show_tag_values.slt:131 (same checker as SHOW SERIES)
+                    raise ValueError(
+                        "Semantic error: SHOW SERIES does not support where "
+                        f"clause contains field {fields_in_where[0]}"
+                    )
                 base = self.catalog.read(db, tbl).filter(F.expr(where))
                 parts = []
                 for k in keys:

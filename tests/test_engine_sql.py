@@ -253,9 +253,12 @@ def test_rewriter_units():
         == "SELECT min_by(f0, time), max_by(f1, time) FROM t"
     )
     assert rewrite_dql("SELECT exact_count(f0) FROM t") == "SELECT count(f0) FROM t"
-    # Spark's own first_value/one-arg first() untouched
+    # Spark's first_value window fn untouched
     assert rewrite_dql("SELECT first_value(x) OVER (ORDER BY t) FROM t").count("first_value") == 1
-    assert rewrite_dql("SELECT first(x) FROM t") == "SELECT first(x) FROM t"
+    # reference signature is strictly (time, value): one-arg first() is a
+    # planning error (function/common/first.slt:11)
+    with pytest.raises(ValueError, match="No function matches"):
+        rewrite_dql("SELECT first(x) FROM t")
 
 
 def test_write_lines_schemaless(eng):

@@ -282,7 +282,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
+# function-scoped: each slt file runs against a FRESH engine (files are
+# self-sufficient via `include ./setup.slt`), mirroring how the reference
+# test harness isolates cases. A shared engine accumulates databases/
+# tenants/usage counters across 240+ files and poisons later ones.
+@pytest.fixture()
 def eng(spark, tmp_path_factory):
     return Engine(spark, str(tmp_path_factory.mktemp("slt_wh")))
 
@@ -330,7 +334,7 @@ VALUE_CHECKED = [
 ]
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def veng(spark, tmp_path_factory):
     return Engine(spark, str(tmp_path_factory.mktemp("slt_values_wh")))
 
