@@ -417,15 +417,24 @@ class Engine:
                     [(f"CopyTo: {inner[:200]}",)], ["plan"]
                 )
             self._allow_stream_select = True
+            # plan under non-ANSI coercion: DataFusion PLANS comparisons
+            # like `double_col >= 'xxx'` (runtime cast), Spark's ANSI
+            # analyzer constant-folds them into errors — for EXPLAIN the
+            # reference shows a plan, so match that
+            # (data_type/type_conversion/double.slt:171-269)
+            prev_ansi = self.spark.conf.get("spark.sql.ansi.enabled")
             try:
+                self.spark.conf.set("spark.sql.ansi.enabled", "false")
                 df = self._select(inner)
-            finally:
-                self._allow_stream_select = False
-            plan = df._jdf.queryExecution().explainString(
-                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
+                # optimization (constant folding) also runs non-ANSI here
+                plan = df._jdf.queryExecution().explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
                 )
-            )
+            finally:
+                self.spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+                self._allow_stream_select = False
             return self.spark.createDataFrame([(plan,)], ["plan"])
         if kw in ("SELECT", "WITH", "VALUES", "("):
             return self._select(stmt)
@@ -689,6 +698,14 @@ class Engine:
         )
         if m:
             return self._ts_gen_select(stmt.strip(), m.group(1).lower())
+        m = re.match(
+            r"SELECT\s+(completeness|consistency|timeliness|validity)\s*\(\s*"
+            r"(\w+)\s*,\s*(\w+)\s*\)\s+FROM\s+([\w.]+)"
+            r"(\s+WHERE\s+.*?)?\s*;?\s*$",
+            stmt.strip(), re.I | re.S,
+        )
+        if m:
+            return self._quality_select(*m.groups())
         if not getattr(self, "_allow_stream_select", False) and any(
             re.search(rf"\b{re.escape(sn)}\b", stmt, re.I)
             for sn in self.streams
@@ -712,7 +729,7 @@ class Engine:
         "trim", "ltrim", "rtrim", "btrim", "lower", "upper", "initcap",
         "reverse", "bit_length", "octet_length", "length", "char_length",
         "character_length", "substr", "left", "right", "split_part",
-        "repeat", "strpos",
+        "repeat", "strpos", "st_geomfromwkb",
     )
     # these take an Int64 count/needle as 2nd arg: unsigned/double columns
     # are signature errors (right.slt:72-100, string_repeat.slt:69)
@@ -740,13 +757,71 @@ class Engine:
                 return "time"
             return sch.fields.get(col)
 
+        # a wildcard next to explicit table columns duplicates names —
+        # DataFusion rejects the projection (insert_values.slt:134;
+        # `time_window(...), *` stays fine, the window isn't a column)
+        sm = re.match(r"\s*SELECT\s+(.*?)\s+FROM\b", stmt, re.I | re.S)
+        if sm:
+            from .sql.rewriter import _split_args
+
+            items = [i.strip() for i in _split_args(sm.group(1))]
+            if "*" in items:
+                sch = self._cat_for(db).get_schema(db, name)
+                cols = {TIME_COL, *sch.tags, *sch.fields}
+                if any(i.strip('"') in cols for i in items if i != "*"):
+                    raise ValueError(
+                        "Error during planning: Projections require unique "
+                        "expression names"
+                    )
+        # numeric-only aggregates reject the timestamp column
+        # (avg.slt:14, sum.slt:14 expect planning errors for agg(time))
+        for m in re.finditer(
+            r"\b(avg|sum|stddev|variance|var_samp|covar_samp|corr)\s*\(\s*time\s*[,)]",
+            stmt, re.I,
+        ):
+            raise ValueError(
+                "Error during planning: No function matches the given name "
+                f"and argument types '{m.group(1)}(Timestamp)'"
+            )
+        # approx_distinct accepts string/int columns only
+        # (approx_distinct.slt:48-59: Timestamp/Float64/Boolean error)
+        for m in re.finditer(
+            r"\bapprox_distinct\s*\(\s*(?:(\w+)\.)?(\w+)\s*\)", stmt, re.I
+        ):
+            t = field_type(m.group(1), m.group(2))
+            if t == "time" or (
+                t is not None
+                and any(k in str(t).lower() for k in ("double", "float", "boolean"))
+            ):
+                raise ValueError(
+                    "Error during planning: approx_distinct does not accept "
+                    f"{m.group(2)}'s type"
+                )
+        # the to_timestamp family rejects Float64 columns
+        # (to_timestamp_seconds.slt:36 and siblings)
+        for m in re.finditer(
+            r"\bto_timestamp(?:_seconds|_millis|_micros)?\s*\(\s*(?:(\w+)\.)?(\w+)\s*\)",
+            stmt, re.I,
+        ):
+            t = field_type(m.group(1), m.group(2))
+            if t is not None and any(
+                k in str(t).lower() for k in ("double", "float")
+            ):
+                raise ValueError(
+                    "Error during planning: to_timestamp does not accept "
+                    f"Float64 ({m.group(2)})"
+                )
         for fn in self._STR_ONLY_FNS:
             for m in re.finditer(
                 rf"\b{fn}\s*\(\s*(?:(\w+)\.)?(\w+)\s*([,)])", stmt, re.I
             ):
                 qual, col, delim = m.groups()
                 t = field_type(qual, col)
-                if t == "time" or (t is not None and "string" not in str(t).lower()):
+                if t == "time" or (
+                    t is not None
+                    and "string" not in str(t).lower()
+                    and "geometry" not in str(t).lower()  # GEOMETRY is WKT text
+                ):
                     raise ValueError(
                         "Error during planning: No function matches the "
                         f"given name and argument types '{fn}({col})'"
@@ -766,6 +841,30 @@ class Engine:
                                 f"the given name and argument types "
                                 f"'{fn}(…, {am.group(2)})'"
                             )
+
+    def _quality_select(
+        self, metric: str, time_col: str, value_col: str, table: str,
+        where: str | None,
+    ) -> DataFrame:
+        """Data-quality aggregates as SQL (aggregate_function/data_quality/
+        {mod,accumulator,common}.rs; function/data_quality.slt): whole-table
+        IoTDB-style quality score. The reference's accumulator needs at
+        least two non-NaN points (data_quality.slt:40 expects an error on a
+        single-row series)."""
+        from .functions.quality import data_quality
+
+        inner = self._select(
+            f"SELECT {time_col}, {value_col} FROM {table} {where or ''}"
+        )
+        n_valid = inner.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+        ).count()
+        if n_valid < 2:
+            raise ValueError(
+                "Execution error: At least two non-NaN values are needed"
+            )
+        out = data_quality(inner, time_col, value_col, [])
+        return out.select(F.col(metric.lower()).alias(metric.lower()))
 
     def _ts_gen_select(self, stmt: str, fn: str) -> DataFrame:
         """ts_gen_func projection form (extension/expr/ts_gen_func/mod.rs;
@@ -1385,8 +1484,29 @@ class Engine:
             vsql = rewrite_cast_int_timestamp(src.rstrip(";"))
             vsql = rewrite_overflow_decimal_literals(vsql)
             vsql = escape_literal_backslashes(vsql)
-            src_df = self.spark.sql(f"SELECT * FROM ({vsql}) AS v")
+            try:
+                src_df = self.spark.sql(f"SELECT * FROM ({vsql}) AS v")
+            except Exception as e:
+                if "INVALID_INLINE_TABLE" not in str(e):
+                    raise
+                # non-foldable expressions (VALUES (random()) —
+                # math_function/random.slt:9) aren't allowed in Spark's
+                # inline tables; emit a UNION ALL of SELECTs instead
+                selects = [
+                    "SELECT " + ", ".join(
+                        f"{rewrite_overflow_decimal_literals(rewrite_cast_int_timestamp(v))} AS c{i}"
+                        for i, v in enumerate(row)
+                    )
+                    for row in rows_args
+                ]
+                src_df = self.spark.sql(
+                    escape_literal_backslashes(" UNION ALL ".join(selects))
+                )
             src_df = src_df.toDF(*cols)
+            if TIME_COL not in [c.lower() for c in cols]:
+                # INSERT without the time column defaults it to now()
+                # (math_function/random.slt:9 inserts VALUES (random()))
+                src_df = src_df.withColumn(TIME_COL, F.current_timestamp())
         else:
             self._register_views()
             is_stream_src = any(
@@ -1451,6 +1571,68 @@ class Engine:
             raise ValueError(f"cannot parse UPDATE: {stmt!r}")
         tbl, sets_str, where = m.groups()
         db, name = self._split_table_name(tbl)
+        tschema = self.catalog.get_schema(db, name)
+        set_pairs = [
+            tuple(p.strip() for p in a.partition("=")[::2])
+            for a in _split_top_level(sets_str, ",")
+        ]
+        set_names = [c.strip('"') for c, _ in set_pairs]
+        if TIME_COL in [c.lower() for c in set_names]:
+            # the time column is immutable (update_field.slt:820,
+            # update_tag.slt:360)
+            raise ValueError(
+                "Failed to do analyze. err: time column can not be updated"
+            )
+        if any(c in tschema.tags for c in set_names):
+            # tag-update restrictions (transform_update analyze step;
+            # dml/update_tag.slt:17,89-97,127,144,343): WHERE may touch
+            # tags only, SET may not mix in fields, values are constants,
+            # and the assignments may not ALL be NULL (an empty series key)
+            if any(c in tschema.fields for c in set_names):
+                raise ValueError(
+                    "Failed to do analyze. err: tag and field columns "
+                    "cannot be updated together"
+                )
+            for other in [TIME_COL, *tschema.fields]:
+                if where and re.search(rf"\b{re.escape(other)}\b", where, re.I):
+                    raise ValueError(
+                        "Failed to do analyze. err: Where clause cannot "
+                        f"contain field/time column, but found: {other}"
+                    )
+            tag_rhs = [
+                rhs for c, rhs in set_pairs if c.strip('"') in tschema.tags
+            ]
+            if tag_rhs and all(r.strip().upper() == "NULL" for r in tag_rhs):
+                raise ValueError(
+                    "Failed to do analyze. err: tag values cannot all be null"
+                )
+            for rhs in tag_rhs:
+                cols_in_rhs = [
+                    t for t in re.findall(r"[A-Za-z_]\w*", rhs)
+                    if t in tschema.tags or t in tschema.fields
+                    or t.lower() == TIME_COL
+                ]
+                if cols_in_rhs:
+                    raise ValueError(
+                        f"Schema error: No field named {cols_in_rhs[0]}."
+                    )
+        else:
+            # field-update checks: a WHERE clause is mandatory
+            # (update_field.slt:707 "Disable updating of the entire table")
+            # and negative literals cannot land in UNSIGNED columns
+            # (update_field.slt:214)
+            if not where:
+                raise ValueError(
+                    "Error during planning: Disable updating of the entire "
+                    "table, if you want to continue, please add `where true`"
+                )
+            for c, rhs in set_pairs:
+                t = str(tschema.fields.get(c.strip('"'), "")).lower()
+                if "unsigned" in t and re.fullmatch(r"-\d+(\.\d+)?", rhs.strip()):
+                    raise ValueError(
+                        "Failed to do analyze. err: negative value for "
+                        f"unsigned column {c}"
+                    )
         df = self.catalog.read(db, name)
         # Materialize the condition (and every SET rhs) against the ORIGINAL
         # row before any assignment mutates columns: `SET f0=0 WHERE f0>5`
@@ -1636,7 +1818,7 @@ class Engine:
             getattr(writer, fmt)(url)
             return self.spark.createDataFrame([(df.count(),)], ["rows"])
         m = re.match(
-            r"COPY\s+INTO\s+'([^']+)'\s+FROM\s+([\w.]+)\s*"
+            r"COPY\s+INTO\s+'([^']+)'\s+FROM\s+\"?([\w.]+)\"?\s*"
             r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*(?:=\s*)?'(\w+)'\s*\))?\s*;?\s*$",
             stmt,
             re.I | re.S,
@@ -1652,7 +1834,7 @@ class Engine:
             getattr(writer, fmt)(url)
             return self.spark.createDataFrame([(df.count(),)], ["rows"])
         m = re.match(
-            r"COPY\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+FROM\s+'([^']+)'\s*"
+            r"COPY\s+INTO\s+\"?([\w.]+)\"?\s*(?:\(([^)]*)\))?\s+FROM\s+'([^']+)'\s*"
             r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*(?:=\s*)?'(\w+)'(.*?)\))?\s*;?\s*$",
             stmt,
             re.I | re.S,
@@ -2534,6 +2716,10 @@ def _parse_external_columns(cols_str: str) -> list[tuple[str, str, str]]:
 
 def _normalize_ttl(ttl: str) -> str:
     """'7d'/'100000d'/'1h' → Spark interval string."""
+    if re.fullmatch(r"\d+", ttl.strip()):
+        # bare number defaults to days (database_schema.rs DatabaseOptions;
+        # dql/time_datatype.slt creates WITH TTL '1000000')
+        return f"{ttl.strip()} DAY"
     m = re.fullmatch(r"(\d+)\s*([a-z]+)", ttl.strip(), re.I)
     if not m:
         return ttl

