@@ -335,8 +335,17 @@ class Engine:
             # lazy sample flush — the reference's usage recorder writes
             # periodically; ours materializes when usage tables are read
             self._flush_usage()
-        # session handshake: a non-admin user must be a member of the
-        # current tenant (user_access.slt "The member ... not found")
+        # session handshake: the session tenant must exist (tenants.slt:213
+        # "The tenant tenant_not_exists not found" — even for root) …
+        if (
+            self.current_tenant not in self.tenants
+            or self.current_tenant in self._hidden_tenants
+        ) and kw not in ("CREATE", "DROP", "ALTER", "GRANT", "REVOKE", "RECOVER"):
+            raise ValueError(
+                f"Auth error: The tenant {self.current_tenant} not found"
+            )
+        # … and a non-admin user must be a member of the current tenant
+        # (user_access.slt "The member ... not found")
         if not self._is_admin() and kw not in ("CREATE", "DROP", "ALTER", "GRANT", "REVOKE"):
             members = self.tenants.get(self.current_tenant, {}).get("members", {})
             if self.user not in members:
@@ -504,16 +513,41 @@ class Engine:
         sys_schema.columns_df(self.spark, self.catalog).createOrReplaceTempView(
             "__information_schema__columns"
         )
+        res_rows = self.resource_status_rows() or []
+        if not self._is_admin():
+            # non-admins see only the current tenant's resources
+            # (resource_status.slt:59-68: u001 under cnosdb sees neither
+            # 't001' nor 't001-db001', but saw them under tenant t001)
+            res_rows = [
+                r for r in res_rows
+                if r[0] == self.current_tenant
+                or r[0].startswith(f"{self.current_tenant}-")
+            ]
         self.spark.createDataFrame(
-            self.resource_status_rows() or [],
+            res_rows,
             "name string, action string, try_count string, status string",
         ).createOrReplaceTempView("__information_schema__resource_status")
-        sys_schema.tenants_df(self.spark, self.tenants).createOrReplaceTempView(
-            "__cluster_schema__tenants"
-        )
-        sys_schema.users_df(self.spark, self.users).createOrReplaceTempView(
-            "__cluster_schema__users"
-        )
+        # cluster_schema exists only under the system default tenant
+        # (users.slt:80-96 / tenants.slt:188-196 expect "Table not found"
+        # under other tenants), and its contents are admin-only
+        # (users.slt:57-70: a plain member sees no rows)
+        if self.current_tenant == self._home_tenant:
+            visible_tenants = {
+                k: v for k, v in self.tenants.items()
+                if k not in self._hidden_tenants  # scheduled drops hide
+            }  # (dcl_tenant.slt:337 after `drop tenant … after '1m'`)
+            sys_schema.tenants_df(
+                self.spark, visible_tenants if self._is_admin() else {}
+            ).createOrReplaceTempView("__cluster_schema__tenants")
+            sys_schema.users_df(
+                self.spark, self.users if self._is_admin() else {}
+            ).createOrReplaceTempView("__cluster_schema__users")
+        else:
+            for v in ("__cluster_schema__tenants", "__cluster_schema__users"):
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
         sys_schema.roles_df(
             self.spark,
             # roles are visible only to tenant owners (dcl_role.slt: a
@@ -729,11 +763,11 @@ class Engine:
         "trim", "ltrim", "rtrim", "btrim", "lower", "upper", "initcap",
         "reverse", "bit_length", "octet_length", "length", "char_length",
         "character_length", "substr", "left", "right", "split_part",
-        "repeat", "strpos", "st_geomfromwkb",
+        "repeat", "strpos", "st_geomfromwkb", "lpad", "rpad", "replace",
     )
     # these take an Int64 count/needle as 2nd arg: unsigned/double columns
     # are signature errors (right.slt:72-100, string_repeat.slt:69)
-    _INT_ARG2_FNS = ("left", "right", "repeat", "strpos")
+    _INT_ARG2_FNS = ("left", "right", "repeat", "strpos", "lpad", "rpad")
 
     def _check_string_fn_args(self, stmt: str) -> None:
         fm = re.search(r"\bFROM\s+([\w.]+)", stmt, re.I)
@@ -783,6 +817,24 @@ class Engine:
                 "Error during planning: No function matches the given name "
                 f"and argument types '{m.group(1)}(Timestamp)'"
             )
+        # chr/to_hex take a signed Int64 only (chr.slt:31,39;
+        # to_hex.slt:100-112: unsigned/double/boolean/string/time error)
+        for m in re.finditer(
+            r"\b(chr|to_hex)\s*\(\s*(?:(\w+)\.)?(\w+)\s*\)", stmt, re.I
+        ):
+            fn2, qual2, col2 = m.groups()
+            t = field_type(qual2, col2)
+            bad_kinds = ("double", "unsigned", "float") if fn2.lower() == "chr" else (
+                "double", "unsigned", "float", "boolean", "string",
+            )
+            if (t == "time" and fn2.lower() == "to_hex") or (
+                t is not None and t != "time"
+                and any(k in str(t).lower() for k in bad_kinds)
+            ):
+                raise ValueError(
+                    "Error during planning: No function matches the given "
+                    f"name and argument types '{fn2}({col2})'"
+                )
         # approx_distinct accepts string/int columns only
         # (approx_distinct.slt:48-59: Timestamp/Float64/Boolean error)
         for m in re.finditer(
@@ -1031,9 +1083,12 @@ class Engine:
             raise ValueError("Name cannot be empty or contain only spaces")
         if "/" in name:
             raise ValueError(f"not supported keyword contains '/': {name}")
-        if name.lower() in ("cluster_schema", "information_schema", "usage_schema"):
-            # parity: sys_table/system_database.slt — system schemas are
-            # reserved database names
+        if name.lower() in (
+            "cluster_schema", "information_schema", "usage_schema"
+        ) and self.current_tenant == self._home_tenant:
+            # parity: sys_table/system_database.slt — reserved under the
+            # system tenant; other tenants may shadow the names
+            # (dcl_tenant.slt:356 creates cluster_schema under tenant001)
             raise ValueError(f"Database is a system database: {name}")
         if self._sys_role() != "owner":
             raise ValueError(
@@ -1068,6 +1123,7 @@ class Engine:
             raise ValueError(f"cannot parse CREATE TABLE: {stmt!r}")
         if_not_exists = bool(m.group(1))
         db, name = self._split_table_name(m.group(2))
+        self._require_db_full(db)
         cat = self._cat_for(db)
         if db not in cat.list_databases():
             raise ValueError(f'Database not found: "{db}"')
@@ -1300,8 +1356,19 @@ class Engine:
                 self.spark.catalog.dropTempView(view)
                 self._dirty.discard(key)
             shutil.rmtree(self.catalog._db_path(name), ignore_errors=True)
+            # immediate drops also land in information_schema.resource_status
+            # (resource manager records every DropDatabase —
+            # resource_status.slt:26 expects a row without AFTER)
+            self._resources[f"{self.catalog.tenant}-{name}"] = {
+                "action": "DropDatabase",
+                "target": name,
+                "try_count": 0,
+                "status": "Successed",
+                "deadline_us": 0,
+            }
         elif kind == "TABLE":
             db, tbl = self._split_table_name(name)
+            self._require_db_full(db)
             if tbl in self.external:
                 del self.external[tbl]
                 key = ("", tbl)
@@ -1903,6 +1970,7 @@ class Engine:
         else:
             kind, target = m.group(1).upper(), m.group(2)
         if kind == "DATABASE":
+            self._require_db_read(target)
             if target not in self.catalog.list_databases():
                 raise ValueError(f"Database not found: {target!r}")
             opts = self.catalog.database_options(target)
@@ -2047,6 +2115,44 @@ class Engine:
             for name, r in sorted(self._resources.items())
         ]
 
+    def _require_db_full(self, db: str) -> None:
+        """Member-role DDL needs a Full (ALL) grant on the database
+        (dcl_tenant.slt:598-640: a plain member's CREATE/DROP TABLE errors,
+        the tenant owner's succeeds)."""
+        if self._is_admin() or self._sys_role() in ("", "owner"):
+            return
+        role = (
+            self.tenants.get(self.current_tenant, {})
+            .get("members", {})
+            .get(self.user)
+        )
+        privs = {p for p, d, r in self.grants if d == db and r == role}
+        if "ALL" not in privs:
+            raise ValueError(
+                f"Insufficient privileges, expected [Full on database {db} "
+                f"of tenant {self.current_tenant}]"
+            )
+
+    def _require_db_read(self, db: str) -> None:
+        """Member-role reads need any grant on the database
+        (dcl_role.slt:230-249: show tables / describe database error
+        without a Read grant)."""
+        if self._is_admin() or self._sys_role() in ("", "owner"):
+            return
+        role = (
+            self.tenants.get(self.current_tenant, {})
+            .get("members", {})
+            .get(self.user)
+        )
+        if role is None or role.lower() in ("owner", "member"):
+            return  # builtin roles read everywhere (dcl_tenant.slt:658)
+        privs = {p for p, d, r in self.grants if d == db and r == role}
+        if not privs:
+            raise ValueError(
+                f"Insufficient privileges, expected [Read on database {db} "
+                f"of tenant {self.current_tenant}]"
+            )
+
     def _is_admin(self) -> bool:
         u = self.users.get(self.user) or {}
         return bool(
@@ -2088,6 +2194,9 @@ class Engine:
             name, withs = m.group(1).strip("'\""), m.group(2) or ""
             if not name.strip():
                 raise ValueError("Name cannot be empty or contain only spaces")
+            if "/" in name:
+                # dcl_tenant.slt:374 CREATE TENANT "t/1"
+                raise ValueError(f"not supported keyword contains '/': {name}")
             if name in self.tenants and "IF NOT EXISTS" not in s.upper():
                 raise ValueError(f"tenant {name} already exists")
             opts = _parse_with_options(withs)
@@ -2116,6 +2225,15 @@ class Engine:
                 self._schedule_drop("DropTenant", name, after)
             else:
                 self.tenants.pop(name, None)
+                # immediate DropTenant also recorded
+                # (resource_status.slt:46 't001' 'DropTenant')
+                self._resources[name] = {
+                    "action": "DropTenant",
+                    "target": name,
+                    "try_count": 0,
+                    "status": "Successed",
+                    "deadline_us": 0,
+                }
             return None
         m = re.match(
             r"CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+|'[^']*'|\"[^\"]*\")(.*)$",
@@ -2159,6 +2277,34 @@ class Engine:
             self.users[name]["options"][key] = val
             return None
         m = re.match(
+            r"ALTER\s+TENANT\s+(\w+)\s+SET\s+(?:object_config|request_config)\b(.*)$",
+            s, re.I | re.S,
+        )
+        if m:
+            # limiter grammar (tenants.slt:96-120): multi-clause
+            # object_config/request_config assignment; the system tenant
+            # cannot be restricted (tenants.slt:124)
+            tenant = m.group(1)
+            if tenant == self._home_tenant:
+                raise ValueError(f"Tenant {tenant} cannot be restricted")
+            if tenant not in self.tenants or tenant in self._hidden_tenants:
+                raise ValueError(f"The tenant {tenant} not found")
+            cfg = " ".join(m.group(2).split()).rstrip(";")
+            for bm in re.finditer(
+                r"((?:coord|http)_\w+)((?:\s+(?:remote|local)_\w+\s*=\s*\d+,?)*)",
+                cfg,
+            ):
+                if "remote_max" in bm.group(2) and "remote_refill" not in bm.group(2):
+                    # a bucket missing remote_refill is a parse error
+                    # (dcl_tenant.slt:508's blank line)
+                    raise ValueError(
+                        "sql parser error: incomplete request_config bucket "
+                        f"for {bm.group(1)}"
+                    )
+            opts = self.tenants[tenant].setdefault("options", {})
+            opts["limiter_config"] = cfg
+            return None
+        m = re.match(
             r"ALTER\s+TENANT\s+(\w+)\s+(SET|UNSET)\s+(\w+)(?:(?:\s*=\s*|\s+)'([^']*)')?\s*$",
             s, re.I,
         )
@@ -2167,6 +2313,10 @@ class Engine:
             key = key.lower()
             if tenant not in self.tenants or tenant in self._hidden_tenants:
                 raise ValueError(f"The tenant {tenant} not found")
+            if key == "_limiter" and action.upper() == "UNSET":
+                # UNSET _limiter clears the limiter (tenants.slt:157)
+                self.tenants[tenant].setdefault("options", {})["limiter_config"] = None
+                return None
             if key not in ("drop_after", "comment", "limiter_config"):
                 # internal options are unmodifiable (dcl_tenant.slt
                 # tenant_is_hidden record)
@@ -2174,10 +2324,29 @@ class Engine:
             opts = self.tenants[tenant].setdefault("options", {})
             if action.upper() == "SET":
                 if key == "drop_after" and val is not None:
+                    nm = re.match(r"(-?\d+)", str(val))
+                    if nm and int(nm.group(1)) * 86_400_000_000_000 > 2**64 - 1:
+                        # u64-ns overflow (dcl_tenant.slt:293-301)
+                        raise ValueError(
+                            f"sql parser error: {val} is not a valid "
+                            "duration or duration overflow"
+                        )
                     _parse_short_duration_us(val)  # validate now
                 opts[key] = val
             else:
                 opts[key] = None
+            return None
+        m = re.match(
+            r"ALTER\s+TENANT\s+(\w+)\s+SET\s+USER\s+(\w+)\s+AS\s+(\w+)", s, re.I
+        )
+        if m:
+            # SET USER <u> AS <role> — role reassignment (dcl_tenant.slt:628)
+            tenant, user, role = m.groups()
+            if tenant not in self.tenants:
+                raise ValueError(f"The tenant {tenant} not found")
+            if user not in self.users:
+                raise ValueError(f"The user {user} not found")
+            self.tenants[tenant].setdefault("members", {})[user] = role.lower()
             return None
         m = re.match(
             r"ALTER\s+TENANT\s+(\w+)\s+(ADD|REMOVE)\s+USER\s+(\w+)(?:\s+AS\s+(\w+))?",
@@ -2247,6 +2416,12 @@ class Engine:
         m = re.match(r"REVOKE\s+(READ|WRITE|ALL)\s+ON\s+DATABASE\s+(\w+)\s+FROM\s+(?:ROLE\s+)?(\w+)", s, re.I)
         if m:
             priv, db, role = m.groups()
+            if (priv.upper(), db, role) not in self.grants:
+                # dcl_role.slt:214 — revoking an absent grant errors
+                raise ValueError(
+                    f"Meta: cannot revoke the privilege {priv.capitalize()} "
+                    f"on database {db} of role"
+                )
             self.grants = [g for g in self.grants if g != (priv.upper(), db, role)]
             return None
         raise ValueError(f"cannot parse DCL statement: {stmt[:80]!r}")
@@ -2260,6 +2435,23 @@ class Engine:
                 or self.current_tenant not in self.tenants
             ):
                 raise ValueError("Auth error: The tenant not found")
+            if not self._is_admin():
+                role = (
+                    self.tenants.get(self.current_tenant, {})
+                    .get("members", {}).get(self.user)
+                )
+                if (
+                    role is not None
+                    and role.lower() not in ("owner", "member")
+                    and role not in self.roles
+                ):
+                    # dcl_role.slt:150 — a member whose CUSTOM role was
+                    # dropped loses visibility; builtin member is fine
+                    # (dcl_tenant.slt:658 u_b sees db_a)
+                    raise ValueError(
+                        "Insufficient privileges, expected [Read on all "
+                        f"databases of tenant {self.current_tenant}]"
+                    )
             dbs = (
                 [
                     d
@@ -2288,6 +2480,7 @@ class Engine:
         if re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I):
             m = re.fullmatch(r"SHOW\s+TABLES(?:\s+ON\s+(\w+))?", s, re.I)
             db = m.group(1) or self.database
+            self._require_db_read(db)
             names = (
                 self.catalog.list_tables(db)
                 + sorted(t for t in self.external

@@ -1039,7 +1039,8 @@ def rewrite_fn_aliases(sql: str) -> str:
         ("substr", 2, False), ("substring", 2, False), ("left", 1, True),
         ("right", 1, True), ("split_part", 2, False), ("length", None, True),
         ("char_length", None, True), ("character_length", None, True),
-        ("translate", None, True),
+        ("translate", None, True), ("lpad", 1, True), ("rpad", 1, True),
+        ("replace", None, True),
     ):
         fmm = re.search(rf"\b{fn}\s*\(", sql, flags=re.I)
         if not fmm:
@@ -1062,6 +1063,19 @@ def rewrite_fn_aliases(sql: str) -> str:
     # concat_ws a separator plus ≥1 value (concat.slt:4, concat_ws.slt:51)
     if re.search(r"\blen\s*\(", sql, re.I):
         raise ValueError("Error during planning: no function named len")
+    # replace is strictly ternary (replace.slt:192) and chr rejects the
+    # NUL code point (chr.slt:14); to_hex is Spark's hex
+    repm = re.search(r"\breplace\s*\(", sql, re.I)
+    if repm:
+        end = _find_call_end(sql, repm.end() - 1)
+        if len(_split_args(sql[repm.end() : end - 1])) != 3:
+            raise ValueError("Error during planning: replace expects 3 arguments")
+    if re.search(r"\bchr\s*\(\s*0\s*\)", sql, re.I):
+        raise ValueError("Execution error: requires an ASCII code > 0")
+    if re.search(r"\bto_hex\s*\(\s*NULL\s*\)", sql, re.I):
+        # to_hex is Int64-only in DataFusion (to_hex.slt:54)
+        raise ValueError("Error during planning: to_hex expects an integer")
+    sql = re.sub(r"\bto_hex\s*\(", "hex(", sql, flags=re.I)
     cm = re.search(r"\bconcat(_ws)?\s*\(", sql, flags=re.I)
     if cm:
         end = _find_call_end(sql, cm.end() - 1)

@@ -42,7 +42,7 @@ CURATED = [
     ("function/string_func/upper.slt", 1.0),
     ("function/string_func/ltrim.slt", 1.0),
     ("function/string_func/reverse.slt", 1.0),
-    ("function/string_func/replace.slt", 0.85),
+    ("function/string_func/replace.slt", 1.0),
     ("function/string_func/concat.slt", 1.0),
     ("function/common/conditional_function/coalesce.slt", 1.0),
     ("function/common/count.slt", 1.0),
@@ -117,20 +117,20 @@ CURATED = [
     ("function/common/math_function/tan.slt", 0.95),
     ("function/common/math_function/tanh.slt", 0.95),
     ("function/common/math_function/trunc.slt", 1.0),
-    ("function/string_func/chr.slt", 0.85),
+    ("function/string_func/chr.slt", 1.0),
     ("function/string_func/concat_ws.slt", 1.0),
-    ("function/string_func/initcap.slt", 0.85),
+    ("function/string_func/initcap.slt", 1.0),
     ("function/string_func/left.slt", 1.0),
-    ("function/string_func/lpad.slt", 0.80),
-    ("function/string_func/md5.slt", 0.95),
+    ("function/string_func/lpad.slt", 1.0),
+    ("function/string_func/md5.slt", 1.0),
     ("function/string_func/right.slt", 1.0),
-    ("function/string_func/rpad.slt", 0.80),
+    ("function/string_func/rpad.slt", 1.0),
     ("function/string_func/rtrim.slt", 1.0),
     ("function/string_func/split_part.slt", 1.0),
     ("function/string_func/string_repeat.slt", 1.0),
     ("function/string_func/strpos.slt", 1.0),
     ("function/string_func/substr.slt", 1.0),
-    ("function/string_func/to_hex.slt", 0.90),
+    ("function/string_func/to_hex.slt", 1.0),
     ("function/string_func/translate.slt", 1.0),
     ("function/string_func/trim.slt", 1.0),
     ("function/string_func/bit_length.slt", 1.0),
@@ -188,8 +188,8 @@ CURATED = [
     ("dcl/alter_user.slt", 1.0),
     ("dcl/assignment.slt", 1.0),
     ("dcl/dcl_user.slt", 1.0),
-    ("dcl/dcl_tenant.slt", 0.90),
-    ("dcl/dcl_role.slt", 0.90),
+    ("dcl/dcl_tenant.slt", 1.0),
+    ("dcl/dcl_role.slt", 1.0),
     ("dcl/grant_admin.slt", 1.0),
     ("dcl/user_access.slt", 1.0),
     ("data_tests/data_ttl.slt", 1.0),
@@ -252,15 +252,15 @@ CURATED = [
     ("stream/unsupport_op.slt", 1.0),
     ("http_stream/http_stream_select.slt", 1.0),
     ("sys_table/system_database.slt", 1.0),
-    ("sys_table/cluster_schema/tenants.slt", 0.80),
-    ("sys_table/cluster_schema/users.slt", 0.75),
+    ("sys_table/cluster_schema/tenants.slt", 1.0),
+    ("sys_table/cluster_schema/users.slt", 1.0),
     ("sys_table/information_schema/columns.slt", 1.0),
     ("sys_table/information_schema/databases.slt", 1.0),
     ("sys_table/information_schema/database_privileges.slt", 1.0),
     ("sys_table/information_schema/enabled_roles.slt", 1.0),
     ("sys_table/information_schema/members.slt", 1.0),
     ("sys_table/information_schema/queries.slt", 1.0),
-    ("sys_table/information_schema/resource_status.slt", 0.75),
+    ("sys_table/information_schema/resource_status.slt", 1.0),
     ("sys_table/information_schema/roles_1.slt", 1.0),
     ("sys_table/information_schema/tables.slt", 1.0),
     ("sys_table/usage_schema/setup.slt", 1.0),
