@@ -767,7 +767,7 @@ class Engine:
     )
     # these take an Int64 count/needle as 2nd arg: unsigned/double columns
     # are signature errors (right.slt:72-100, string_repeat.slt:69)
-    _INT_ARG2_FNS = ("left", "right", "repeat", "strpos", "lpad", "rpad")
+    _INT_ARG2_FNS = ("left", "right", "repeat", "lpad", "rpad")
 
     def _check_string_fn_args(self, stmt: str) -> None:
         fm = re.search(r"\bFROM\s+([\w.]+)", stmt, re.I)
@@ -1933,10 +1933,30 @@ class Engine:
             else:
                 schema = self.catalog.get_schema(db, name)
                 cols = [TIME_COL, *schema.tags, *schema.field_names]
-            if {c.lower() for c in src.columns} == {c.lower() for c in cols}:
-                # column names line up (headered CSV / parquet / json whose
-                # field order differs) — align by name
-                src = src.select(*cols)
+            src_by_lower = {c.lower(): c for c in src.columns}
+            auto_infer = bool(
+                re.search(r"auto_infer_schema\s*=\s*true", stmt, re.I)
+            )
+            if auto_infer and len(src.columns) != len(cols):
+                # with auto_infer_schema the INFERRED schema must line up
+                # positionally (copy_into_table.slt:129 errors on the same
+                # JSON that by-name NULL-filling accepts at :115)
+                raise ValueError(
+                    "Semantic error: Insert columns and Source columns not match"
+                )
+            if set(src_by_lower) <= {c.lower() for c in cols}:
+                # source names are a subset of the table's (headered CSV /
+                # parquet / json whose field order differs; a JSON file may
+                # carry only some columns — copy_into_table.slt:115 fills
+                # the rest with NULL, like the reference's by-name insert)
+                src = src.select(
+                    *[
+                        F.col(src_by_lower[c.lower()]).alias(c)
+                        if c.lower() in src_by_lower
+                        else F.lit(None).alias(c)
+                        for c in cols
+                    ]
+                )
             elif len(src.columns) != len(cols):
                 # copy_into_table.slt: arity mismatch is an error
                 raise ValueError(

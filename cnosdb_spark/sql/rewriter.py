@@ -472,6 +472,13 @@ def _gauge_inner(arg: str) -> tuple[str, str] | None:
     args = _split_args(arg[arg.index("(", m.start()) + 1 : end - 1])
     if len(args) != 2:
         return None
+    if not re.search(r"\btime\b", args[0], re.I):
+        # first argument must be the timestamp column
+        # (gauge_agg.slt:58 gauge_agg(f0, f0) is a signature error)
+        raise ValueError(
+            "Error during planning: No function matches the given name and "
+            "argument types for gauge_agg — expected (time, value)"
+        )
     return args[0], _ORDER_BY_TAIL.sub("", args[1]).strip()
 
 

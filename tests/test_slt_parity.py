@@ -26,7 +26,7 @@ CURATED = [
     ("dql/limit.slt", 1.0),
     ("dql/order_by.slt", 1.0),
     ("dql/only_tag_col.slt", 1.0),
-    ("dql/empty_table.slt", 0.80),
+    ("dql/empty_table.slt", 1.0),
     ("dql/show_series.slt", 1.0),
     ("dql/show_tag_values.slt", 1.0),
     ("function/common/math_function/abs.slt", 1.0),
@@ -76,7 +76,7 @@ CURATED = [
     ("function/gauge/first_val.slt", 1.0),
     ("function/gauge/last_time.slt", 1.0),
     ("function/gauge/last_val.slt", 1.0),
-    ("function/gauge/gauge_agg.slt", 0.95),
+    ("function/gauge/gauge_agg.slt", 1.0),
     ("function/gauge/idelta_left.slt", 1.0),
     ("function/gauge/idelta_right.slt", 1.0),
     ("function/state_agg/state_agg.slt", 1.0),
@@ -95,27 +95,27 @@ CURATED = [
     ("sqlancer/select.slt", 0.95),
     ("sqlancer/repeat_write.slt", 0.80),
     ("sqlancer/function.slt", 0.90),
-    ("function/common/math_function/acos.slt", 0.95),
-    ("function/common/math_function/acosh.slt", 0.95),
-    ("function/common/math_function/asin.slt", 0.95),
-    ("function/common/math_function/asinh.slt", 0.95),
-    ("function/common/math_function/atan.slt", 0.95),
-    ("function/common/math_function/atan2.slt", 0.95),
-    ("function/common/math_function/atanh.slt", 0.95),
-    ("function/common/math_function/cbrt.slt", 0.95),
-    ("function/common/math_function/cosh.slt", 0.95),
-    ("function/common/math_function/exp.slt", 0.95),
+    ("function/common/math_function/acos.slt", 1.0),
+    ("function/common/math_function/acosh.slt", 1.0),
+    ("function/common/math_function/asin.slt", 1.0),
+    ("function/common/math_function/asinh.slt", 1.0),
+    ("function/common/math_function/atan.slt", 1.0),
+    ("function/common/math_function/atan2.slt", 1.0),
+    ("function/common/math_function/atanh.slt", 1.0),
+    ("function/common/math_function/cbrt.slt", 1.0),
+    ("function/common/math_function/cosh.slt", 1.0),
+    ("function/common/math_function/exp.slt", 1.0),
     ("function/common/math_function/gcd.slt", 1.0),
-    ("function/common/math_function/log.slt", 0.95),
-    ("function/common/math_function/log10.slt", 0.95),
-    ("function/common/math_function/log2.slt", 0.95),
-    ("function/common/math_function/pi.slt", 0.95),
-    ("function/common/math_function/radians.slt", 0.95),
+    ("function/common/math_function/log.slt", 1.0),
+    ("function/common/math_function/log10.slt", 1.0),
+    ("function/common/math_function/log2.slt", 1.0),
+    ("function/common/math_function/pi.slt", 1.0),
+    ("function/common/math_function/radians.slt", 1.0),
     ("function/common/math_function/random.slt", 1.0),
-    ("function/common/math_function/signum.slt", 0.95),
-    ("function/common/math_function/sinh.slt", 0.95),
-    ("function/common/math_function/tan.slt", 0.95),
-    ("function/common/math_function/tanh.slt", 0.95),
+    ("function/common/math_function/signum.slt", 1.0),
+    ("function/common/math_function/sinh.slt", 1.0),
+    ("function/common/math_function/tan.slt", 1.0),
+    ("function/common/math_function/tanh.slt", 1.0),
     ("function/common/math_function/trunc.slt", 1.0),
     ("function/string_func/chr.slt", 1.0),
     ("function/string_func/concat_ws.slt", 1.0),
