@@ -247,13 +247,17 @@ def join_outer(spark, sf_dir):
            round(corr(l_quantity, l_extendedprice), 6)   AS corr_qty_price,
            round(covar_pop(l_quantity, l_discount), 6)   AS covar_qty_disc,
            round(avg(l_tax), 6)                          AS avg_tax,
-           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)     AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)     AS n_supps,
+           CAST(count(*) AS BIGINT)                      AS n_rows
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_statistical(spark, sf_dir):
     """Statistical aggregate family (SURVEY §2.4 statistical_agg slt) +
-    array_agg emitted as a sorted joined string (order-insensitive)."""
+    array_agg emitted as a sorted joined string (order-insensitive) +
+    multi-column count(DISTINCT) (distinct.slt) in the same grouped agg."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
@@ -262,22 +266,6 @@ def agg_statistical(spark, sf_dir):
         F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         F.round(F.avg("l_tax"), 6).alias("avg_tax"),
         F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
-    )
-
-
-@_q(
-    "agg_distinct_counts",
-    """
-    SELECT l_returnflag,
-           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
-           CAST(count(*) AS BIGINT)                  AS n_rows
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_distinct(spark, sf_dir):
-    l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -408,24 +396,39 @@ def window_running(spark, sf_dir):
     UNION ALL
     SELECT 'cross', r_regionkey * 100 + n_nationkey
     FROM region CROSS JOIN nation
+    UNION ALL
+    SELECT 'limit', o_orderkey FROM (
+      SELECT o_orderkey FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 50 OFFSET 10)
     """,
 )
 def set_ops(spark, sf_dir):
     """UNION / INTERSECT / EXCEPT (SURVEY §2.7) + an explicit CROSS JOIN arm
     (the reference *rejects* accidental cross joins — reject_cross_join.rs —
-    but supports explicit ones)."""
+    but supports explicit ones) + a sort/LIMIT/OFFSET arm (dql/limit.slt;
+    TakeOrderedAndProject — no global sort)."""
     cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
     cross = r.crossJoin(n).select(
         (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("nk")
+    )
+    lim = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(50)
+        .select(F.col("o_orderkey").alias("nk"))
     )
     return (
         cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
         .unionAll(cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk"))
         .unionAll(cn.subtract(sn).select(F.lit("except").alias("op"), "nk"))
         .unionAll(cross.select(F.lit("cross").alias("op"), "nk"))
+        .unionAll(lim.select(F.lit("limit").alias("op"), "nk"))
     )
 
 
@@ -684,25 +687,6 @@ def subquery_decorrelation(spark, sf_dir):
     )
 
 
-@_q(
-    "limit_offset",
-    """
-    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 50 OFFSET 10
-    """,
-)
-def limit_offset(spark, sf_dir):
-    """Sort + limit/offset (SURVEY §2.7; dql/limit.slt)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
-        .orderBy(F.col("totalprice").desc(), "o_orderkey")
-        .offset(10)
-        .limit(50)
-    )
-
-
 # =====================================================================
 # Time-series operators (SURVEY §2.6, §2.4 cnosdb-specific)
 # =====================================================================
@@ -902,97 +886,40 @@ def series_selector_aggs(spark, sf_dir):
 
 
 @_q(
-    "mode_per_series",
+    "mode_increase_per_series",
     """
-    SELECT user_id, event_type AS mode FROM (
-      SELECT user_id, event_type,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY count(*) DESC, event_type) AS rn
-      FROM events WHERE event_type IS NOT NULL
-      GROUP BY user_id, event_type)
-    WHERE rn = 1
-    """,
-)
-def mode_per_series(spark, sf_dir):
-    """mode(x) with deterministic tie-break (SURVEY §2.4; reference
-    aggregate_function/mode.rs)."""
-    e = _t(spark, sf_dir, "events")
-    return mode_df(e, ["user_id"], "event_type")
-
-
-@_q(
-    "increase_counter",
-    """
-    WITH d AS (
+    WITH m AS (
+      SELECT user_id, event_type AS mode FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type)
+      WHERE rn = 1),
+    d AS (
       SELECT user_id, value,
              lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS pv
-      FROM events)
-    SELECT user_id,
-           round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
-                                   WHEN value - pv >= 0 THEN value - pv
-                                   ELSE value END), 0), 4) AS increase
-    FROM d GROUP BY user_id
-    """,
-)
-def increase_counter(spark, sf_dir):
-    """increase(time, value) with counter-reset handling (SURVEY §2.4;
-    reference aggregate_function/increase.rs)."""
-    e = _t(spark, sf_dir, "events")
-    out = increase(e, "ts", "value", ["user_id"])
-    return out.select("user_id", F.round("increase", 4).alias("increase"))
-
-
-@_q(
-    "sample_deterministic",
-    """
-    SELECT event_id, user_id FROM events
-    ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 20
-    """,
-)
-def sample_events(spark, sf_dir):
-    """sample(x, n) as a deterministic uniform hash-sample (SURVEY §2.4;
-    reference sample.rs is a reservoir — divergence documented in
-    functions.timeseries.sample_deterministic)."""
-    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
-    return sample_deterministic(e, "event_id", 20)
-
-
-@_q(
-    "duration_in_state",
-    """
-    WITH d AS (
-      SELECT user_id, event_type,
-             (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
-              - epoch_us(ts)) / 1e6 AS dur
       FROM events),
-    per AS (SELECT user_id, round(sum(coalesce(dur, 0)), 3) AS duration_s
-            FROM d WHERE event_type = 'error' GROUP BY user_id)
-    SELECT u.user_id, coalesce(per.duration_s, 0.0) AS duration_s
-    FROM (SELECT DISTINCT user_id FROM events) u
-    LEFT JOIN per ON per.user_id = u.user_id
+    inc AS (
+      SELECT user_id,
+             round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
+                                     WHEN value - pv >= 0 THEN value - pv
+                                     ELSE value END), 0), 4) AS increase
+      FROM d GROUP BY user_id)
+    SELECT m.user_id, m.mode, inc.increase
+    FROM m JOIN inc ON inc.user_id = m.user_id
     """,
 )
-def duration_in_state(spark, sf_dir):
-    """duration_in(state_agg(...), 'error') (reference
-    scalar_function/duration_in.rs)."""
+def mode_increase_per_series(spark, sf_dir):
+    """mode(x) with deterministic tie-break (SURVEY §2.4; reference
+    aggregate_function/mode.rs) + increase(time, value) with counter-reset
+    handling (aggregate_function/increase.rs), joined per series."""
     e = _t(spark, sf_dir, "events")
-    out = duration_in(e, "ts", "event_type", ["user_id"], "error")
-    return out.select("user_id", F.round("duration_s", 3).alias("duration_s"))
-
-
-@_q(
-    "state_at_timestamp",
-    """
-    SELECT user_id, arg_max(event_type, ts) AS state
-    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
-    GROUP BY user_id
-    """,
-)
-def state_at_ts(spark, sf_dir):
-    """state_at(state_agg(...), ts): as-of lookup (reference
-    scalar_function/state_at.rs)."""
-    e = _t(spark, sf_dir, "events")
-    return state_at(e, "ts", "event_type", ["user_id"], "2024-01-15 00:00:00")
+    m = mode_df(e, ["user_id"], "event_type")
+    inc = increase(e, "ts", "value", ["user_id"]).select(
+        "user_id", F.round("increase", 4).alias("increase")
+    )
+    return m.join(inc, "user_id")
 
 
 @_q(
@@ -1297,9 +1224,20 @@ def ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Carries the identical universal-hash arithmetic as
+    operators.dedup.minhash_signatures: h = int(substr(md5(shingle),1,10), 16)
+    (hex parsed with an explicit base-16 polynomial — DuckDB has no conv()),
+    then mh_i = min((A[i]*h + B[i]) % (2^61-1))."""
+    from cnosdb_spark.operators.dedup import MINHASH_P, _minhash_coeffs
+
     rows = num_hashes // bands
+    hex_poly = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(s), {j}, 1)) - 1) * {16 ** (10 - j)}"
+        for j in range(1, 11)
+    )
     mh = ", ".join(
-        f"min(md5('{i}|' || s)) AS mh_{i}" for i in range(num_hashes)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     )
     band_exprs = []
     for b in range(bands):
@@ -1309,7 +1247,8 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     return (
         _SHINGLE_CTE
         + f"""
-    , sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+    , hashed AS (SELECT doc_id, CAST({hex_poly} AS BIGINT) AS h FROM sh),
+    sig AS (SELECT doc_id, {mh} FROM hashed GROUP BY doc_id),
     buckets AS (SELECT doc_id, unnest([{bands_arr}]) AS bucket FROM sig)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1997,11 +1936,13 @@ def gis_point_distance(spark, sf_dir):
 @_q(
     "streaming_tumbling_agg",
     """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
     SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 4)     AS sum_value
     FROM events GROUP BY 1, 2
+    HAVING window_start_us + 3600000000 < (SELECT m FROM mx) - 3600000000
     """,
 )
 def streaming_tumbling_agg(spark, sf_dir):
@@ -2011,6 +1952,13 @@ def streaming_tumbling_agg(spark, sf_dir):
     MicroBatchStreamExecution shape (stream/basic.slt), and the plan shape
     that scales: state-store partial aggs + distributed sink, no
     driver-side complete-mode materialization.
+
+    STREAM-PURE: every returned row came through the writeStream path.
+    Append mode emits exactly the windows closed by the watermark
+    (end <= max_ts - 1h, flushed by the trailing no-data micro-batch);
+    both sides restrict to windows STRICTLY closed
+    (end < max_ts - 1h) so Spark's <=-vs-< eviction boundary can't
+    flip a row, and no batch-computed aggregate is ever unioned in.
 
     The schema is taken from the batch reader (post-normalization), so
     whatever the parquet encoding of ``ts`` (nanos-long / µs-NTZ / µs-LTZ)
@@ -2043,18 +1991,13 @@ def streaming_tumbling_agg(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    # append mode only emits windows closed by the watermark; the final
-    # (max-ts) window stays in state. Flush it batch-side so the result is
-    # the complete aggregation the oracle computes.
     emitted = spark.read.parquet(os.path.join(out_dir, "data"))
-    batch_agg = (
-        batch.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    # watermark bound from the batch MAX only (a filter constant, not data)
+    max_us = batch.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    closed = emitted.filter(
+        F.unix_micros(F.col("window.end")) < F.lit(max_us - 3_600_000_000)
     )
-    tail = batch_agg.join(
-        emitted.select("window", "event_type"), ["window", "event_type"], "left_anti"
-    )
-    return emitted.unionByName(tail).select(
+    return closed.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "event_type",
         "n",
@@ -2174,27 +2117,8 @@ def tsbs_daily_activity(spark, sf_dir):
 
 
 # =====================================================================
-# Extra aggregate / tokenizer coverage
+# Extra dedup / ANN coverage
 # =====================================================================
-
-@_q(
-    "array_agg_sorted",
-    """
-    SELECT l_returnflag,
-           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
-           CAST(count(*) AS BIGINT) AS n
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def array_agg_sorted(spark, sf_dir):
-    """array_agg (SURVEY §2.4) — emitted as a sorted joined string so the
-    comparison is order-insensitive on both engines."""
-    l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
 
 @_q(
     "dedup_cluster_resolution",

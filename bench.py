@@ -26,7 +26,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "window_rank_ntile_dist",
-    "agg_distinct_counts",
+    "agg_statistical",
     "time_window_tumbling",
     "time_window_sliding",
     "gapfill_locf_interpolate",

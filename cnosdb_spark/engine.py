@@ -107,6 +107,12 @@ class Engine:
         # DDL/DML mark entries dirty; _register_views only re-reads those.
         self._registered: dict[tuple[str, str], str] = {}
         self._dirty: set[tuple[str, str]] = set()
+        # EXPLAIN plans under non-ANSI coercion by toggling the (shared)
+        # session conf; the lock keeps a concurrent query on the same
+        # SparkSession from observing non-ANSI semantics mid-flight
+        import threading
+
+        self._ansi_lock = threading.Lock()
         from .functions import gis, math_extra, weighted
 
         weighted.register(spark)
@@ -431,19 +437,20 @@ class Engine:
             # analyzer constant-folds them into errors — for EXPLAIN the
             # reference shows a plan, so match that
             # (data_type/type_conversion/double.slt:171-269)
-            prev_ansi = self.spark.conf.get("spark.sql.ansi.enabled")
-            try:
-                self.spark.conf.set("spark.sql.ansi.enabled", "false")
-                df = self._select(inner)
-                # optimization (constant folding) also runs non-ANSI here
-                plan = df._jdf.queryExecution().explainString(
-                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                        "formatted"
+            with self._ansi_lock:
+                prev_ansi = self.spark.conf.get("spark.sql.ansi.enabled")
+                try:
+                    self.spark.conf.set("spark.sql.ansi.enabled", "false")
+                    df = self._select(inner)
+                    # optimization (constant folding) also runs non-ANSI here
+                    plan = df._jdf.queryExecution().explainString(
+                        self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                            "formatted"
+                        )
                     )
-                )
-            finally:
-                self.spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
-                self._allow_stream_select = False
+                finally:
+                    self.spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+                    self._allow_stream_select = False
             return self.spark.createDataFrame([(plan,)], ["plan"])
         if kw in ("SELECT", "WITH", "VALUES", "("):
             return self._select(stmt)
@@ -779,10 +786,21 @@ class Engine:
         except Exception:
             return  # external/stream/subquery sources: no tskv signature map
 
+        # multi-table FROM (joins / comma lists): an unqualified column can
+        # belong to ANY of the tables, possibly with different types — only
+        # qualified references are checkable (left.slt:192 mixes
+        # func_tbl.f0/func_tb2.f0 with different types)
+        multi_table = bool(
+            re.search(r"\bJOIN\b", stmt, re.I)
+            or re.match(r"\s*(?:(?:AS\s+)?\w+\s*)?,", stmt[fm.end():], re.I)
+        )
+
         def field_type(qualifier: str | None, col: str) -> str | None:
             """Declared type of a column, resolved against its qualifying
             table (left.slt:192 mixes func_tbl.f0/func_tb2.f0, which have
             DIFFERENT types) or the first FROM table when unqualified."""
+            if qualifier is None and multi_table:
+                return None
             try:
                 sch = self._cat_for(db).get_schema(db, qualifier or name)
             except Exception:

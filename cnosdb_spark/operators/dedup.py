@@ -104,6 +104,25 @@ def ngram_jaccard_pairs(
     return out
 
 
+# Universal-hash permutation constants for minhash: one md5 per shingle
+# (not one per hash function) is the 40-bit base hash h; permutation i is
+# (A[i]*h + B[i]) mod P. Deterministic LCG-derived literals so the DuckDB
+# oracle can carry the identical arithmetic. A[i] < 2^20 and h < 2^40 keep
+# A[i]*h + B[i] < 2^63 (no BIGINT overflow on either engine).
+MINHASH_P = (1 << 61) - 1  # Mersenne prime 2^61-1
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    out, x = [], 88172645463325252
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x >> 20) % ((1 << 20) - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -111,14 +130,18 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per doc: hash_i(doc) = min over shingles of
-    md5(i || shingle). md5-as-permutation is the standard trick; seeds are
-    the literal integers 0..num_hashes-1 so DuckDB can replicate exactly.
-    Output: (_id, mh_0 ... mh_{k-1})."""
+    """MinHash signature per doc: ONE md5 per shingle → 40-bit integer h
+    (first 10 hex digits), then ``num_hashes`` universal-hash permutations
+    hash_i = (A[i]*h + B[i]) mod 2^61-1 — the standard
+    Carter-Wegman trick, ~num_hashes× cheaper than per-permutation md5 and
+    still exactly reproducible in ANSI SQL / DuckDB for the oracle.
+    Output: (_id, mh_0 ... mh_{k-1}) as BIGINT columns."""
     sh = _shingle_table(df, text_col, id_col, n)
+    h = F.conv(F.substring(F.md5(F.col("_sh")), 1, 10), 16, 10).cast("long")
+    sh = sh.select("_id", h.alias("_h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("_sh")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     ]
     return sh.groupBy("_id").agg(*aggs)
 

@@ -51,11 +51,42 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
-    """Real decode would dispatch to PIL/librosa/ffmpeg. Not available in
-    this container — clearly-marked stub."""
+# Optional-dependency codec detection: the real decode path activates
+# automatically when the libraries exist; in codec-less containers every
+# operator falls back to the deterministic stub and the same tests pass.
+try:  # pragma: no cover - depends on container
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+try:  # pragma: no cover - depends on container
+    import soundfile as _soundfile  # type: ignore
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAS_SOUNDFILE = False
+
+
+def real_decode(payload: bytes, kind: str):
+    """Decode a media payload into a numpy array using whichever optional
+    codec library is installed (PIL for images, soundfile for audio).
+    Raises NotImplementedError when the needed library is absent — the
+    clearly-marked stub boundary."""
+    import io
+
+    if kind == "image" and HAS_PIL:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+    if kind == "audio" and HAS_SOUNDFILE:
+        data, _sr = _soundfile.read(io.BytesIO(payload))
+        return np.asarray(data)
     raise NotImplementedError(
-        "media codecs are not installed in this environment; "
+        f"no codec available for kind={kind!r} in this environment "
+        f"(HAS_PIL={HAS_PIL}, HAS_SOUNDFILE={HAS_SOUNDFILE}); "
         "extract_features uses the deterministic stub path"
     )
 
@@ -78,17 +109,54 @@ def _stub_feature(payload: bytes | None) -> list[float]:
     ]
 
 
-def extract_features(df: DataFrame, batch_rows: int = 256) -> DataFrame:
+def _codec_feature(payload: bytes | None, kind: str) -> list[float]:
+    """Real-codec feature: decode via the optional library, then the same
+    histogram-moment vector over decoded samples. Falls back to the stub
+    when no codec applies or the payload doesn't parse."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * FEATURE_DIM
+    try:
+        arr = np.ravel(real_decode(bytes(payload), kind))
+    except (NotImplementedError, Exception):
+        return _stub_feature(payload)
+    if arr.size == 0:
+        return [0.0] * FEATURE_DIM
+    arr = arr.astype(np.float64)
+    return [
+        float(arr.mean()),
+        float(arr.std()),
+        float(arr.min()),
+        float(arr.max()),
+        float(np.percentile(arr, 25)),
+        float(np.percentile(arr, 50)),
+        float(np.percentile(arr, 75)),
+        float(arr.size),
+    ]
+
+
+def extract_features(
+    df: DataFrame, batch_rows: int = 256, use_codec: bool = False
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     The iterator-of-batches signature means one Arrow batch in flight per
     task regardless of partition size — payload bytes never accumulate.
+    With ``use_codec=True`` payloads are decoded through whichever optional
+    codec library is installed (real_decode); otherwise (default, and
+    whenever decode fails) the deterministic stub features are emitted.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
+                if use_codec:
+                    feats = [
+                        _codec_feature(p, k)
+                        for p, k in zip(chunk["payload"], chunk["kind"])
+                    ]
+                else:
+                    feats = [_stub_feature(p) for p in chunk["payload"]]
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].values,
@@ -96,7 +164,7 @@ def extract_features(df: DataFrame, batch_rows: int = 256) -> DataFrame:
                         "n_bytes": [
                             len(p) if p is not None else 0 for p in chunk["payload"]
                         ],
-                        "feature": [_stub_feature(p) for p in chunk["payload"]],
+                        "feature": feats,
                     }
                 )
 

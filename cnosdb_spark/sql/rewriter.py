@@ -357,8 +357,11 @@ def rewrite_increase(sql: str) -> str:
             f"slice({arr}, 1, greatest(size({arr}) - 1, 0)), "
             f"(c, p) -> CASE WHEN c >= p THEN c - p ELSE c END)"
         )
+        # try_element_at: all-NULL groups array_agg to an empty array, and
+        # element_at(arr, 1) on it is INVALID_ARRAY_INDEX under ANSI mode —
+        # the typed-zero seed must degrade to NULL instead of erroring
         repl = (
-            f"aggregate({deltas}, element_at({arr}, 1) - element_at({arr}, 1), "
+            f"aggregate({deltas}, try_element_at({arr}, 1) - try_element_at({arr}, 1), "
             f"(acc, x) -> acc + x)"
         )
         sql = sql[: m.start()] + repl + sql[end:]
@@ -381,8 +384,18 @@ def rewrite_lag_lead(sql: str) -> str:
             break
         end = _find_call_end(sql, m.end() - 1)
         args = _split_args(sql[m.end() : end - 1])
-        if len(args) in (2, 3) and not re.fullmatch(
-            r"-?\d+", args[1].strip()
+        # coerce ONLY the literal forms the corpus exercises (NULL, float,
+        # boolean, string literals) — identifiers and expressions pass
+        # through so Spark evaluates or rejects them (a column-ref offset
+        # must not silently become 1)
+        _coercible = re.compile(
+            r"NULL|TRUE|FALSE|-?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|'[^']*'",
+            re.I,
+        )
+        if (
+            len(args) in (2, 3)
+            and not re.fullmatch(r"-?\d+", args[1].strip())
+            and _coercible.fullmatch(args[1].strip())
         ):
             args[1] = "1"
             repl = f"{m.group(1)}({', '.join(a.strip() for a in args)})"
@@ -1082,7 +1095,15 @@ def rewrite_fn_aliases(sql: str) -> str:
     if re.search(r"\bto_hex\s*\(\s*NULL\s*\)", sql, re.I):
         # to_hex is Int64-only in DataFusion (to_hex.slt:54)
         raise ValueError("Error during planning: to_hex expects an integer")
-    sql = re.sub(r"\bto_hex\s*\(", "hex(", sql, flags=re.I)
+    # DataFusion's to_hex emits lowercase, Spark's hex uppercase — wrap in
+    # lower() for byte-for-byte output parity (to_hex.slt)
+    while True:
+        thm = re.search(r"\bto_hex\s*\(", sql, flags=re.I)
+        if not thm:
+            break
+        end = _find_call_end(sql, thm.end() - 1)
+        inner = sql[thm.end() : end - 1]
+        sql = sql[: thm.start()] + f"lower(hex({inner}))" + sql[end:]
     cm = re.search(r"\bconcat(_ws)?\s*\(", sql, flags=re.I)
     if cm:
         end = _find_call_end(sql, cm.end() - 1)

@@ -88,6 +88,53 @@ def test_multimodal_features(spark):
         assert r["feature"][7] == float(r["n_bytes"])  # len moment
 
 
+def test_multimodal_codec_fallback(spark):
+    """use_codec=True in a codec-less container falls back to the stub
+    features (payloads aren't valid media anyway) — same rows either way."""
+    media = synthetic_media(spark, n=6)
+    stub = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    codec = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, use_codec=True).collect()
+    }
+    assert stub == codec
+
+
+def test_multimodal_real_decode_activates_with_pil(spark):
+    """When PIL exists, real_decode parses an actual PNG and use_codec=True
+    features reflect decoded pixels (skips in codec-less containers)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    arr = mm.real_decode(png, "image")
+    assert arr.shape == (4, 4) and int(arr[0][0]) == 128
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(png), None)], mm.MEDIA_SCHEMA
+    )
+    row = extract_features(df, use_codec=True).collect()[0]
+    # 16 decoded pixels, all 128 → mean 128, std 0, count 16
+    assert row["feature"][0] == 128.0 and row["feature"][1] == 0.0
+    assert row["feature"][7] == 16.0
+
+
+def test_multimodal_real_decode_stub_boundary():
+    """Without codecs installed, real_decode raises the documented
+    NotImplementedError (never a silent wrong answer)."""
+    from cnosdb_spark.operators import multimodal as mm
+
+    if mm.HAS_PIL:
+        pytest.skip("PIL installed: real path active")
+    with pytest.raises(NotImplementedError):
+        mm.real_decode(b"\x89PNG", "image")
+
+
 # ---- line protocol (reference common/protocol_parser/src/line_protocol) ----
 
 def test_line_protocol_parse_types():

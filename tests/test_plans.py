@@ -52,13 +52,13 @@ def test_tumbling_window_single_shuffle(spark):
 
 
 def test_scan_reads_only_needed_columns(spark):
-    p = _plan(spark, "agg_distinct_counts")
+    p = _plan(spark, "sessionization")
     assert "ReadSchema" in p
-    # lineitem has 11 columns; this query needs 3
+    # events has 6 columns; sessionization needs only ts + user_id
     import re
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
-    assert m and len(m.group(1).split(",")) == 3
+    assert m and len(m.group(1).split(",")) == 2
 
 
 def test_embedding_near_dup_no_nested_loop(spark):
