@@ -250,11 +250,17 @@ def main() -> None:
     spark = get_spark(app_name="cnosdb_spark_tsbs")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
-    timings = {}
-    for name, fn in QUERIES.items():
-        t = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t, 4)
+    # BENCH_TRIES>1 mirrors the reference's multi-try recording
+    # (benchmark/tsbs/run_queries.sh; result = [[t1..tN], ...])
+    tries = int(os.environ.get("BENCH_TRIES", "1"))
+    names = list(QUERIES)
+    result: list[list[float]] = [[] for _ in names]
+    for _ in range(tries):
+        for i, name in enumerate(names):
+            t = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            result[i].append(round(time.perf_counter() - t, 4))
+    timings = {n: min(r) for n, r in zip(names, result)}
     print(
         json.dumps(
             {
@@ -262,6 +268,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "result": result,
                 "sf": sf_dir,
             }
         )

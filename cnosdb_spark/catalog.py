@@ -33,7 +33,13 @@ import time as _time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .schema import INGEST_ROW_COL, INGEST_SEQ_COL, TIME_COL, TskvTableSchema
+from .schema import (
+    INGEST_ROW_COL,
+    INGEST_SEQ_COL,
+    NS_RESIDUE_COL,
+    TIME_COL,
+    TskvTableSchema,
+)
 
 _CATALOG_FILE = "_tskv_table.json"
 _TB_COL = "_tb"
@@ -45,6 +51,11 @@ class Catalog:
         self.warehouse = warehouse
         self.tenant = tenant
         os.makedirs(warehouse, exist_ok=True)
+        # tables holding rows whose raw integer timestamp overflows the
+        # engine's µs render range (ms/s-precision dbs): the reference
+        # stores the raw value and fails at RENDER time
+        # (ddl/db_precision.slt:54-57) — reads of a poisoned table raise
+        self._render_poison: set[tuple[str, str]] = set()
 
     # ---------- paths ----------
     def _db_path(self, db: str) -> str:
@@ -89,6 +100,7 @@ class Catalog:
 
     def drop_table(self, db: str, name: str) -> None:
         shutil.rmtree(self._table_path(db, name), ignore_errors=True)
+        self._render_poison.discard((db, name))
 
     def get_schema(self, db: str, name: str) -> TskvTableSchema:
         p = os.path.join(self._table_path(db, name), _CATALOG_FILE)
@@ -244,6 +256,14 @@ class Catalog:
 
         by_lower = {c.lower(): c for c in df.columns}  # SQL identifiers are
         cols = []  # case-insensitive (INSERT m(TIME, ...) must hit 'time')
+        time_overflow_check = False
+        # sub-µs fidelity: residue from the source (line-protocol ingest) or
+        # computed from ns-magnitude integer time literals below
+        ns_residue = (
+            F.col(f"`{by_lower[NS_RESIDUE_COL]}`")
+            if NS_RESIDUE_COL in by_lower
+            else None
+        )
         src_types = {f.name: f.dataType for f in df.schema.fields}
         for f_ in tgt.fields:
             src = by_lower.get(f_.name.lower())
@@ -282,8 +302,23 @@ class Catalog:
                         F.abs(c) >= 10_000_000_000_000_000,
                         F.expr(f"`{src}` div 1000"),
                     ).otherwise(c).cast("long")
+                    if ns_residue is None:
+                        ns_residue = F.when(
+                            F.abs(c) >= 10_000_000_000_000_000,
+                            F.pmod(c, F.lit(1000)),
+                        ).otherwise(F.lit(0))
                 else:
-                    expr = c * scale
+                    # an ms/s-precision raw value whose µs equivalent
+                    # overflows i64 is ACCEPTED at write (the reference
+                    # stores raw ints in the db's own precision) and only
+                    # fails when rendered — store NULL and poison the table
+                    lim = ((1 << 63) - 1) // scale
+                    expr = (
+                        F.when(F.abs(c) > lim, F.lit(None))
+                        .otherwise(c * scale)
+                        .cast("long")
+                    )
+                    time_overflow_check = True
                 cols.append(F.timestamp_micros(expr).alias(f_.name))
             elif schema.fields.get(f_.name) == "unsigned":
                 # BIGINT UNSIGNED stores as long; negatives are a cast
@@ -308,6 +343,11 @@ class Catalog:
                 # be parsed as nested-struct access
                 cols.append(F.col(f"`{src}`").cast(f_.dataType).alias(f_.name))
         seq = int(_time.time_ns())
+        cols.append(
+            (ns_residue if ns_residue is not None else F.lit(0))
+            .cast("long")
+            .alias(NS_RESIDUE_COL)
+        )
         out = (
             df.select(*cols)
             .withColumn(INGEST_SEQ_COL, F.lit(seq))
@@ -319,9 +359,14 @@ class Catalog:
             .persist()
         )
         try:
-            n, ts_min, ts_max = out.agg(
-                F.count(F.lit(1)), F.min(TIME_COL), F.max(TIME_COL)
+            n, ts_min, ts_max, n_null_ts = out.agg(
+                F.count(F.lit(1)),
+                F.min(TIME_COL),
+                F.max(TIME_COL),
+                F.count(F.when(F.col(TIME_COL).isNull(), 1)),
             ).first()
+            if time_overflow_check and n_null_ts:
+                self._render_poison.add((db, name))
             self._check_time_range(db, ts_min, ts_max)
             path = self._table_path(db, name)
             out.write.mode("append").partitionBy(_TB_COL).parquet(path)
@@ -353,6 +398,14 @@ class Catalog:
 
     # ---------- reads ----------
     def read_raw(self, db: str, name: str) -> DataFrame:
+        if (db, name) in self._render_poison:
+            # ddl/db_precision.slt:57 — a stored raw timestamp outside the
+            # render range fails at query time, exactly like the reference's
+            # ms→datetime cast error
+            raise ValueError(
+                "Arrow error: Cast error: Failed to convert stored raw "
+                f"timestamp to datetime for table {db}.{name}"
+            )
         schema = self.get_schema(db, name)
         path = self._table_path(db, name)
         df = (
@@ -362,7 +415,9 @@ class Catalog:
         )
         return df
 
-    def read(self, db: str, name: str, dedup: bool = True) -> DataFrame:
+    def read(
+        self, db: str, name: str, dedup: bool = True, keep_residue: bool = False
+    ) -> DataFrame:
         """Merge-on-read table view.
 
         Per-column last-write-wins on (tags, time): for every field,
@@ -381,8 +436,12 @@ class Catalog:
             )
 
         if not dedup:
-            return df.drop(INGEST_SEQ_COL, INGEST_ROW_COL)
+            return df.drop(INGEST_SEQ_COL, INGEST_ROW_COL, NS_RESIDUE_COL)
 
+        # merge key includes the sub-µs residue: the reference keys series
+        # points on raw i64 NANOSECONDS, so points 1 ns apart are distinct
+        # rows even though TIME_COL renders them at the same µs
+        res_key = F.coalesce(F.col(NS_RESIDUE_COL), F.lit(0)).alias(NS_RESIDUE_COL)
         keys = [f"`{k}`" for k in (TIME_COL, *schema.tags)]
         # backticked names: schemaless json ingest can produce dotted
         # column names like "sev.level" that must not parse as nested access
@@ -397,19 +456,20 @@ class Catalog:
             for f_ in schema.field_names
         ]
         if not aggs:  # tag-only table: distinct series+time
-            return df.select(*keys).distinct()
-        return (
-            df.groupBy(*keys)
-            .agg(*aggs)
-            .select(*[f"`{c}`" for c in (TIME_COL, *schema.tags, *schema.field_names)])
-        )
+            out = df.select(*keys, res_key).distinct()
+            return out if keep_residue else out.drop(NS_RESIDUE_COL)
+        merged = df.groupBy(*keys, res_key).agg(*aggs)
+        out_cols = [TIME_COL, *schema.tags, *schema.field_names]
+        if keep_residue:
+            out_cols.append(NS_RESIDUE_COL)
+        return merged.select(*[f"`{c}`" for c in out_cols])
 
     def compact(self, db: str, name: str) -> None:
         """Materialize the merge-on-read view (the analogue of tskv
         compaction, tskv/src/compaction/) so reads skip dedup."""
         schema = self.get_schema(db, name)
         merged = (
-            self.read(db, name, dedup=True)
+            self.read(db, name, dedup=True, keep_residue=True)
             .withColumn(INGEST_SEQ_COL, F.lit(0))
             .withColumn(INGEST_ROW_COL, F.lit(0))
             .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))

@@ -32,6 +32,12 @@ INGEST_SEQ_COL = "_ingest_seq"
 # row inside one write batch (cases/function/common/count.slt air fixture);
 # (_ingest_seq, _ingest_row) is the total write order.
 INGEST_ROW_COL = "_ingest_row"
+# Sub-microsecond residue (ns % 1000) of the ingested timestamp: TIME_COL
+# is µs TimestampType (Spark-native), but the reference keys series points
+# on raw i64 NANOSECONDS (tskv_table_schema.rs:409-415) — ns-distinct
+# points must stay distinct under the LWW merge (sqlancer/repeat_write.slt
+# keeps writes at 1 ns, 2 ns, 3 ns as three rows). NULL/0 = no residue.
+NS_RESIDUE_COL = "_ns_res"
 
 FIELD_TYPES: dict[str, T.DataType] = {
     "float": T.DoubleType(),
@@ -81,6 +87,7 @@ class TskvTableSchema:
         if with_ingest_seq:
             cols.append(T.StructField(INGEST_SEQ_COL, T.LongType(), nullable=False))
             cols.append(T.StructField(INGEST_ROW_COL, T.LongType(), nullable=False))
+            cols.append(T.StructField(NS_RESIDUE_COL, T.LongType(), nullable=True))
         return T.StructType(cols)
 
     def to_json(self) -> dict:

@@ -18,6 +18,8 @@ from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
+from ..schema import NS_RESIDUE_COL
+
 _UNESCAPE = re.compile(r"\\([ ,=])")
 
 
@@ -86,7 +88,6 @@ def parse_lines_meta(
     for schema auto-creation, where a string *field* must not become a tag)."""
     mult = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[precision]
     out: dict[str, tuple[list[dict], set[str]]] = {}
-    sub_us_count = 0
     for lineno, line in enumerate(text.splitlines(), 1):
         line = line.strip()
         if not line or line.startswith("#"):
@@ -116,23 +117,14 @@ def parse_lines_meta(
             # integer µs arithmetic: float seconds would lose ns precision
             row["time"] = datetime(1970, 1, 1) + timedelta(microseconds=ns // 1000)
             if ns % 1000:
-                sub_us_count += 1
+                # sub-µs residue rides along in the hidden storage column
+                # so ns-distinct points stay distinct under the LWW merge
+                # (the reference keys on raw i64 ns — sqlancer/
+                # repeat_write.slt expects timestamps 1..3 ns as 3 rows)
+                row[NS_RESIDUE_COL] = ns % 1000
         else:
             row["time"] = datetime.now(timezone.utc).replace(tzinfo=None)
         rows.append(row)
-    if sub_us_count:
-        # The reference keeps ns-distinct points distinct (tskv keys on the
-        # raw i64 ns); our storage keys on µs timestamps, so sub-µs points
-        # sharing a µs would LWW-merge. Surface it instead of silently
-        # dropping data.
-        import warnings
-
-        warnings.warn(
-            f"{sub_us_count} line-protocol point(s) carry sub-microsecond "
-            "timestamp residue (ns % 1000 != 0); points within the same "
-            "microsecond on one series will last-write-wins merge",
-            stacklevel=2,
-        )
     return out
 
 

@@ -779,6 +779,20 @@ _TIME_INT_CMP = re.compile(
 _TIME_INT_BETWEEN = re.compile(
     r"\b(time)\s+(NOT\s+)?BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)(?![\d.\w])", re.I
 )
+# mixed bounds: one side an int literal, the other a string literal —
+# DataFusion coerces each independently (type_conversion/timestamp.slt:461)
+_TIME_MIXED_BETWEEN = re.compile(
+    r"\b(time)\s+(NOT\s+)?BETWEEN\s+(-?\d+|'[^']*')\s+AND\s+(-?\d+|'[^']*')"
+    r"(?![\d.\w])",
+    re.I,
+)
+
+
+def _ts_bound(lit: str) -> str:
+    lit = lit.strip()
+    if re.fullmatch(r"-?\d+", lit):
+        return f"timestamp_micros({int(lit) // 1000})"
+    return f"try_cast({lit} AS TIMESTAMP)"
 
 
 def rewrite_time_int_comparison(sql: str) -> str:
@@ -789,14 +803,18 @@ def rewrite_time_int_comparison(sql: str) -> str:
         lambda m: f"{m.group(1)} {m.group(2)} timestamp_micros({m.group(3)})",
         sql,
     )
-    # time BETWEEN <int> AND <int> — same ns-integer coercion
-    # (type_conversion/timestamp.slt:431-493)
-    return _TIME_INT_BETWEEN.sub(
+    # time BETWEEN <int> AND <int> — same ns-integer coercion; mixed
+    # int/string bounds coerce each side independently
+    # (type_conversion/timestamp.slt:431-501; an unparseable string bound
+    # is NULL via try_cast, matching the plan-then-no-rows behavior)
+    return _TIME_MIXED_BETWEEN.sub(
         lambda m: (
             f"{m.group(1)} {m.group(2) or ''}BETWEEN "
-            f"timestamp_micros({m.group(3)}) AND "
-            f"timestamp_micros({m.group(4)})"
-        ),
+            f"{_ts_bound(m.group(3))} AND {_ts_bound(m.group(4))}"
+        )
+        if re.fullmatch(r"-?\d+", m.group(3).strip())
+        or re.fullmatch(r"-?\d+", m.group(4).strip())
+        else m.group(0),
         sql,
     )
 
@@ -1208,9 +1226,16 @@ def rewrite_bare_to_timestamp(sql: str) -> str:
             pos = end
             continue  # string literal: Spark's parser already matches
         else:
+            # unparseable non-null input is a RUNTIME parse error in the
+            # reference (to_timestamp.slt:47 'invalid-date' string row), not
+            # a NULL — the raise_error arm fires only when both parse paths
+            # miss (coalesce evaluates lazily)
             repl = (
                 f"coalesce(try_to_timestamp(cast(({arg}) as string)), "
-                f"timestamp_micros(try_cast(({arg}) as bigint) div 1000))"
+                f"timestamp_micros(try_cast(({arg}) as bigint) div 1000), "
+                f"CASE WHEN ({arg}) IS NOT NULL THEN raise_error(concat("
+                f"'Arrow: Parser error: Error parsing timestamp from ', "
+                f"cast(({arg}) as string), ': error parsing date')) END)"
             )
         sql = sql[: m.start()] + repl + sql[end:]
         pos = m.start() + len(repl)
@@ -1236,7 +1261,10 @@ def rewrite_to_timestamp_unit(sql: str) -> str:
             )
         parsed = (
             f"coalesce(try_to_timestamp(cast(({x}) as string)), "
-            f"timestamp_{unit}(try_cast(({x}) as bigint)))"
+            f"timestamp_{unit}(try_cast(({x}) as bigint)), "
+            f"CASE WHEN ({x}) IS NOT NULL THEN raise_error(concat("
+            f"'Arrow: Parser error: Error parsing timestamp from ', "
+            f"cast(({x}) as string), ': error parsing date')) END)"
         )
         if unit == "micros":
             repl = parsed  # TimestampType is already µs-precision
@@ -1412,6 +1440,93 @@ def rewrite_extract_parts(sql: str) -> str:
     return sql
 
 
+_CORR_RE = re.compile(r"\bcorr\s*\(", re.I)
+
+
+def rewrite_corr(sql: str) -> str:
+    """corr(x, y) → pairwise-guard formula (statistical_agg/corr.slt):
+    DataFusion returns 0.0 for zero-variance inputs (corr(1,2) → 0.0,
+    corr.slt:20-22) and NULL when no complete pair exists (corr(f1,f3) →
+    NULL, corr.slt:55) — Spark's corr raises DIVIDE_BY_ZERO under ANSI.
+    covar_pop is already pairwise; the stddevs are pairwise-filtered so
+    differing null patterns can't skew the ratio."""
+    pos = 0
+    while True:
+        m = _CORR_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _find_call_end(sql, m.end() - 1)
+        args = _split_args(sql[m.end() : end - 1])
+        if len(args) != 2:
+            raise ValueError(
+                "Error during planning: The function Correlation expects 2 "
+                f"arguments, but {len(args)} were provided"
+            )
+        x, y = (a.strip() for a in args)
+        xp = f"CASE WHEN ({y}) IS NOT NULL THEN CAST(({x}) AS DOUBLE) END"
+        yp = f"CASE WHEN ({x}) IS NOT NULL THEN CAST(({y}) AS DOUBLE) END"
+        denom = f"(stddev_pop({xp}) * stddev_pop({yp}))"
+        repl = (
+            f"(CASE WHEN count({xp}) = 0 OR count({yp}) = 0 "
+            f"THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {denom} = 0 THEN 0.0 "
+            f"ELSE covar_pop(CAST(({x}) AS DOUBLE), CAST(({y}) AS DOUBLE)) "
+            f"/ {denom} END)"
+        )
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
+_CONCAT_RE = re.compile(r"\bconcat\s*\(", re.I)
+
+
+def rewrite_concat_null_skip(sql: str) -> str:
+    """DataFusion's concat SKIPS NULL arguments (concat.slt:146:
+    CONCAT('-','1',NULL,'2','3') → '-123'); Spark's concat propagates NULL.
+    concat_ws('') has exactly the skip-NULL semantics. concat_ws itself is
+    untouched (the \\bconcat\\( pattern can't match 'concat_ws(')."""
+    out = []
+    pos = 0
+    while True:
+        m = _CONCAT_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.start()])
+        out.append("concat_ws('', ")
+        pos = m.end()
+
+
+def rewrite_bool_string_cast(sql: str) -> str:
+    """CAST(<boolean predicate fn> AS STRING) renders '0'/'1' in the
+    reference dialect (type_conversion/between.slt:34, string_func/
+    ascii.slt:87) — not Spark's 'false'/'true'. Covers the syntactically
+    detectable producers (starts_with/ends_with); boolean *columns* are
+    handled schema-aware in Engine._coerce_bool_string_args."""
+    pat = re.compile(
+        r"CAST\s*\(\s*((?:starts_with|ends_with|startswith|endswith)\s*\()",
+        re.I,
+    )
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        fn_open = m.start(1)
+        fn_end = _find_call_end(sql, sql.index("(", fn_open))
+        cast_end = _find_call_end(sql, sql.index("(", m.start()))
+        # only rewrite CAST(fn(...) AS STRING) — the fn call must span the
+        # whole cast operand
+        tail = sql[fn_end : cast_end - 1]
+        if not re.fullmatch(r"\s*AS\s+(STRING|VARCHAR|TEXT)\s*", tail, re.I):
+            pos = fn_end
+            continue
+        inner = sql[fn_open:fn_end]
+        repl = f"CAST(CAST({inner} AS INT) AS STRING)"
+        sql = sql[: m.start()] + repl + sql[cast_end:]
+        pos = m.start() + len(repl)
+
+
 def rewrite_dql(sql: str) -> str:
     sql = rewrite_double_quoted_identifiers(sql)
     sql = rewrite_misc_parity(sql)
@@ -1454,6 +1569,9 @@ def rewrite_dql(sql: str) -> str:
     sql = rewrite_approx_distinct(sql)
     sql = rewrite_time_int_comparison(sql)
     sql = rewrite_selector(sql)
+    sql = rewrite_corr(sql)
+    sql = rewrite_concat_null_skip(sql)
+    sql = rewrite_bool_string_cast(sql)
     sql = rewrite_overflow_decimal_literals(sql)
     sql = escape_literal_backslashes(sql)
     return sql
