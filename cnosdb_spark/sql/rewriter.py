@@ -1302,6 +1302,22 @@ def rewrite_array_agg_order(sql: str) -> str:
         )
 
 
+_LIKE_LIT = re.compile(r"((?:NOT\s+)?I?LIKE\s*\(?\s*)('(?:[^']|'')*')", re.I)
+
+
+def escape_like_pattern_backslashes(sql: str) -> str:
+    """A lone backslash in a LIKE pattern literal is a PLAIN character in
+    DataFusion but Spark's LIKE compiler rejects it ('escape character is
+    not allowed to precede ...', sqlancer/select.slt:2483). Double it at
+    the PATTERN level (escape_literal_backslashes then doubles again for
+    the parser, netting an escaped-backslash pattern = literal match)."""
+    if "\\" not in sql:
+        return sql
+    return _LIKE_LIT.sub(
+        lambda m: m.group(1) + m.group(2).replace("\\", "\\\\"), sql
+    )
+
+
 def escape_literal_backslashes(sql: str) -> str:
     """DataFusion treats a backslash inside a string literal as a plain
     character; Spark's parser treats it as an escape. Double every
@@ -1527,7 +1543,70 @@ def rewrite_bool_string_cast(sql: str) -> str:
         pos = m.start() + len(repl)
 
 
+def _check_unsupported_casts(sql: str) -> None:
+    """DataFusion cast-support parity (sqlancer/function.slt):
+    Float64 → Timestamp is unsupported (:1522), Timestamp → Float64 is
+    unsupported (:2041), and chr() of a code point beyond the encoding is
+    an execution error (:2267). Spark would silently do all three."""
+    if re.search(
+        r"CAST\s*\(\s*-?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?\s+AS\s+TIMESTAMP\b",
+        sql, re.I,
+    ):
+        raise ValueError(
+            "This feature is not implemented: Unsupported CAST from "
+            "Float64 to Timestamp(Nanosecond, None)"
+        )
+    pat = re.compile(r"CAST\s*\(\s*(to_timestamp\w*\s*\(|time\s+AS)", re.I)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            break
+        inner = m.group(1)
+        if re.match(r"time\s", inner, re.I):  # CAST(time AS ...
+            tail_start = m.end()
+        else:
+            tail_start = _find_call_end(sql, m.end(1) - 1)
+        cast_end = _find_call_end(sql, sql.index("(", m.start()))
+        tail = sql[tail_start : cast_end - 1]
+        if re.search(r"AS\s+(DOUBLE|FLOAT|REAL)\s*$", tail, re.I) or (
+            inner.upper().startswith("TIME")
+            and re.match(r"\s*(DOUBLE|FLOAT|REAL)\s*$", tail, re.I)
+        ):
+            raise ValueError(
+                "This feature is not implemented: Unsupported CAST from "
+                "Timestamp(Nanosecond, None) to Float64"
+            )
+        pos = m.end()
+    for m in re.finditer(r"\bchr\s*\(\s*(-?\d+)\s*\)", sql, re.I):
+        if not 0 <= int(m.group(1)) <= 0x10FFFF:
+            raise ValueError(
+                "Execution error: requested character too large for encoding."
+            )
+
+
+def _clamp_large_counts(sql: str) -> str:
+    """left/right with an i64 count beyond i32 take the whole string in
+    DataFusion (sqlancer/function.slt:2091); Spark's int cast would
+    overflow — clamp the literal (any clamped value already exceeds every
+    string length, so semantics are unchanged)."""
+    return re.sub(
+        r"(\b(?:left|right)\s*\([^()]*?,\s*)(-?\d{10,})(\s*\))",
+        lambda m: (
+            m.group(1)
+            + ("2147483647" if int(m.group(2)) > 0 else "-2147483647")
+            + m.group(3)
+        )
+        if abs(int(m.group(2))) > 2147483647
+        else m.group(0),
+        sql,
+        flags=re.I,
+    )
+
+
 def rewrite_dql(sql: str) -> str:
+    _check_unsupported_casts(sql)
+    sql = _clamp_large_counts(sql)
     sql = rewrite_double_quoted_identifiers(sql)
     sql = rewrite_misc_parity(sql)
     sql = rewrite_extract_parts(sql)
@@ -1573,5 +1652,6 @@ def rewrite_dql(sql: str) -> str:
     sql = rewrite_concat_null_skip(sql)
     sql = rewrite_bool_string_cast(sql)
     sql = rewrite_overflow_decimal_literals(sql)
+    sql = escape_like_pattern_backslashes(sql)
     sql = escape_literal_backslashes(sql)
     return sql

@@ -96,7 +96,7 @@ CURATED = [
     # DataFusion evaluates permissively — fuzzer-only expression shapes
     ("sqlancer/select.slt", 0.97),
     ("sqlancer/repeat_write.slt", 1.0),
-    ("sqlancer/function.slt", 0.94),
+    ("sqlancer/function.slt", 0.95),
     ("function/common/math_function/acos.slt", 1.0),
     ("function/common/math_function/acosh.slt", 1.0),
     ("function/common/math_function/asin.slt", 1.0),
