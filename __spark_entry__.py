@@ -257,18 +257,35 @@ def join_outer(spark, sf_dir):
 def agg_statistical(spark, sf_dir):
     """Statistical aggregate family (SURVEY §2.4 statistical_agg slt) +
     array_agg emitted as a sorted joined string (order-insensitive) +
-    multi-column count(DISTINCT) (distinct.slt) in the same grouped agg."""
+    multi-column count(DISTINCT) (distinct.slt).
+
+    The two distinct counts are computed as separate narrow
+    distinct→count aggregations joined back on the 3-row group key
+    instead of one multi-distinct agg: Spark plans the latter via Expand
+    (one input replica per distinct column — 3× the shuffle volume at
+    100 TB), while each narrow path shuffles only (flag, key) pairs with
+    map-side partial dedup."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    stats = l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         F.round(F.avg("l_tax"), 6).alias("avg_tax"),
         F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    n_parts = (
+        l.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    n_supps = (
+        l.select("l_returnflag", "l_suppkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_supps"))
+    )
+    return stats.join(n_parts, "l_returnflag").join(n_supps, "l_returnflag").select(
+        "l_returnflag", "std_qty", "var_qty", "corr_qty_price", "covar_qty_disc",
+        "avg_tax", "statuses", "n_parts", "n_supps", "n_rows",
     )
 
 
