@@ -949,6 +949,9 @@ class Engine:
                 return None
             if col.lower() == "time":
                 return "time"
+            if col in sch.tags:
+                return "string"  # tags are Utf8 (to_hex(tag) must error,
+                # sqlancer/function.slt:670; trim(tag) is fine)
             return sch.fields.get(col)
 
         # a wildcard next to explicit table columns duplicates names —

@@ -1583,6 +1583,104 @@ def _check_unsupported_casts(sql: str) -> None:
             raise ValueError(
                 "Execution error: requested character too large for encoding."
             )
+    # DataFusion's simplify_expressions folds constants EAGERLY, so an
+    # invalid string→boolean cast errors even in a dead AND branch
+    # (sqlancer/select.slt:3466) — Spark would fold the branch away first
+    for m in re.finditer(
+        r"CAST\s*\(\s*CAST\s*\(\s*(-?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+        r"\s+AS\s+(?:STRING|VARCHAR)\s*\)\s+AS\s+BOOLEAN\s*\)",
+        sql, re.I,
+    ):
+        # constant-folded float→string→boolean (select.slt:3466)
+        raise ValueError(
+            f"Arrow error: Cast error: Cannot cast value '{m.group(1)}' "
+            "to value of Boolean type"
+        )
+    for m in re.finditer(
+        r"CAST\s*\(\s*'([^']*)'\s+AS\s+BOOLEAN\s*\)", sql, re.I
+    ):
+        if m.group(1).strip().lower() not in (
+            "true", "false", "t", "f", "yes", "no", "y", "n", "1", "0",
+            "on", "off",
+        ):
+            raise ValueError(
+                f"Arrow error: Cast error: Cannot cast value '{m.group(1)}' "
+                "to value of Boolean type"
+            )
+    # SUM/AVG over a string literal (unary +/- is identity on Utf8 in
+    # DataFusion, so SUM(+('-991419863')) is a Sum-of-Utf8 planning error,
+    # sqlancer/select.slt:1091); Spark would coerce the string to double
+    for m in re.finditer(r"\b(SUM|AVG)\s*\(", sql, re.I):
+        end = _find_call_end(sql, m.end() - 1)
+        inner = sql[m.end() : end - 1].strip()
+        while True:
+            stripped = re.sub(r"^[+\-]\s*", "", inner).strip()
+            if stripped != inner:
+                inner = stripped
+                continue
+            if (
+                inner.startswith("(")
+                and inner.endswith(")")
+                and _balanced(inner[1:-1])
+            ):
+                inner = inner[1:-1].strip()
+                continue
+            break
+        if re.fullmatch(r"'[^']*'", inner):
+            raise ValueError(
+                f"Error during planning: The function {m.group(1).title()} "
+                "does not support inputs of type Utf8."
+            )
+    # duplicate identical ORDER BY expressions are a planning error
+    # ("Projections require unique expression names",
+    # sqlancer/select.slt:3068)
+    top_ob = None
+    for om in re.finditer(r"\bORDER\s+BY\s+", sql, re.I):
+        # only the statement-level ORDER BY (paren depth 0) — not the ones
+        # inside OVER(...) or subqueries
+        if _balanced(sql[: om.start()]):
+            top_ob = om
+    if top_ob:
+        tail = sql[top_ob.end():]
+        tm = re.search(r"\bLIMIT\b|\bOFFSET\b|;", tail, re.I)
+        if tm:
+            tail = tail[: tm.start()]
+        items = [
+            re.sub(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", "", i.strip(), flags=re.I)
+            for i in _split_args(tail)
+        ]
+        norm = [" ".join(i.split()).lower() for i in items if i]
+        dups = {n for n in norm if norm.count(n) > 1}
+        if dups:
+            # the error only fires when the duplicated key is NOT already
+            # projected: DataFusion appends missing sort columns to the
+            # projection, and THAT duplication is what it rejects
+            # (select.slt:3068 errors — f1 unprojected; function.slt:2191
+            # is fine — f0 is in the SELECT list)
+            sm = re.match(r"\s*SELECT\s+(?:ALL\s+|DISTINCT\s+)?(.*?)\s+FROM\b", sql, re.I | re.S)
+            sel = ""
+            if sm:
+                sel = " ".join(sm.group(1).split()).lower()
+            for d in dups:
+                bare = d.split(".")[-1]
+                if sel == "*" or d in sel or bare in sel:
+                    continue
+                raise ValueError(
+                    "Error during planning: Projections require unique "
+                    "expression names: duplicate ORDER BY expression"
+                )
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 
 
 def _clamp_large_counts(sql: str) -> str:

@@ -94,9 +94,9 @@ CURATED = [
     # keeps ns-distinct points distinct; the residual select/function gap is
     # Spark-ANSI runtime strictness (div/0, overflow, cast) where
     # DataFusion evaluates permissively — fuzzer-only expression shapes
-    ("sqlancer/select.slt", 0.97),
+    ("sqlancer/select.slt", 0.975),
     ("sqlancer/repeat_write.slt", 1.0),
-    ("sqlancer/function.slt", 0.95),
+    ("sqlancer/function.slt", 0.96),
     ("function/common/math_function/acos.slt", 1.0),
     ("function/common/math_function/acosh.slt", 1.0),
     ("function/common/math_function/asin.slt", 1.0),
