@@ -1,0 +1,94 @@
+"""Unit tests for the round-4 DataFusion-dialect parity rewrites
+(cnosdb_spark/sql/rewriter.py) — fast, no SparkSession needed for the
+pure-text checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from cnosdb_spark.sql.rewriter import (
+    escape_like_pattern_backslashes,
+    rewrite_bool_string_cast,
+    rewrite_concat_null_skip,
+    rewrite_corr,
+    rewrite_dql,
+)
+
+
+def test_concat_becomes_null_skipping():
+    out = rewrite_concat_null_skip("SELECT concat('-', '1', NULL, '2')")
+    assert out == "SELECT concat_ws('', '-', '1', NULL, '2')"
+    # concat_ws itself untouched
+    assert rewrite_concat_null_skip("SELECT concat_ws('|', a, b)") == (
+        "SELECT concat_ws('|', a, b)"
+    )
+
+
+def test_corr_zero_variance_guard_shape():
+    out = rewrite_corr("SELECT corr(1, 2) FROM t")
+    assert "covar_pop" in out and "stddev_pop" in out and "WHEN" in out
+    with pytest.raises(ValueError, match="expects 2 arguments"):
+        rewrite_corr("SELECT corr(1, 2, 3) FROM t")
+
+
+def test_bool_string_cast_renders_01():
+    out = rewrite_bool_string_cast(
+        "SELECT CAST(startswith(t0, t1) AS STRING) FROM m"
+    )
+    assert "CAST(CAST(startswith(t0, t1) AS INT) AS STRING)" in out
+    # CAST to other types untouched
+    same = "SELECT CAST(startswith(t0, t1) AS INT) FROM m"
+    assert rewrite_bool_string_cast(same) == same
+
+
+def test_like_pattern_backslash_doubles():
+    out = escape_like_pattern_backslashes(r"SELECT a LIKE('X\Yf') FROM m")
+    assert r"'X\\Yf'" in out
+
+
+def test_unsupported_cast_float_to_timestamp():
+    with pytest.raises(ValueError, match="Float64 to Timestamp"):
+        rewrite_dql("SELECT CAST(0.777 AS TIMESTAMP)")
+
+
+def test_unsupported_cast_timestamp_to_double():
+    with pytest.raises(ValueError, match="Timestamp.*to Float64"):
+        rewrite_dql("SELECT CAST(to_timestamp(1) AS DOUBLE) FROM m")
+    with pytest.raises(ValueError, match="Timestamp.*to Float64"):
+        rewrite_dql("SELECT CAST(time AS DOUBLE) FROM m")
+    # string target stays fine
+    rewrite_dql("SELECT CAST(time AS STRING) FROM m")
+
+
+def test_chr_out_of_range_literal():
+    with pytest.raises(ValueError, match="too large for encoding"):
+        rewrite_dql("SELECT chr(4134107298484193642)")
+    rewrite_dql("SELECT chr(128512)")  # valid code point
+
+
+def test_sum_of_string_literal_planning_error():
+    with pytest.raises(ValueError, match="does not support inputs of type Utf8"):
+        rewrite_dql("SELECT SUM(+ ('-991419863')) FROM m0")
+    rewrite_dql("SELECT SUM(f0) FROM m0")
+
+
+def test_invalid_string_to_boolean_cast():
+    with pytest.raises(ValueError, match="Boolean type"):
+        rewrite_dql("SELECT CAST('0.946' AS BOOLEAN)")
+    with pytest.raises(ValueError, match="Boolean type"):
+        rewrite_dql("SELECT CAST(CAST(0.9464 AS STRING) AS BOOLEAN) FROM m")
+    rewrite_dql("SELECT CAST('true' AS BOOLEAN)")
+
+
+def test_duplicate_order_by_only_when_unprojected():
+    with pytest.raises(ValueError, match="unique"):
+        rewrite_dql("SELECT m0.f0 FROM m0 ORDER BY m0.f1 ASC, m0.f1 ASC")
+    # duplicated key IS projected → fine (function.slt:2191)
+    rewrite_dql("SELECT m3.f0 FROM m3 ORDER BY m3.f0 ASC, m3.f0 ASC")
+    # window-internal ORDER BY never triggers it
+    rewrite_dql("SELECT rank() OVER (ORDER BY a, a) FROM t")
+
+
+def test_left_right_count_clamps():
+    out = rewrite_dql("SELECT right(t0, 5276657375400990514) FROM m1")
+    assert "2147483647" in out and "5276657375400990514" not in out
