@@ -878,6 +878,26 @@ class Engine:
 
         if re.search(r"\bconcat\s*\(", stmt, re.I):
             map_args("concat(?!_ws)", concat_arg)
+
+        if re.search(r"\bconcat_ws\s*\(", stmt, re.I):
+            # same '0'/'1' boolean and ISO-'T' time renders apply
+            # (concat_ws.slt:124,165); the first argument is the separator
+            # and is never coerced
+            pos = 0
+            while True:
+                mm = re.compile(r"\bconcat_ws\s*\(", re.I).search(stmt, pos)
+                if not mm:
+                    break
+                from .sql.rewriter import _find_call_end, _split_args
+
+                end = _find_call_end(stmt, mm.end() - 1)
+                args = _split_args(stmt[mm.end() : end - 1])
+                new_args = [args[0].strip()] + [
+                    concat_arg(a.strip()) for a in args[1:]
+                ]
+                repl = stmt[mm.start() : mm.end()] + ", ".join(new_args) + ")"
+                stmt = stmt[: mm.start()] + repl + stmt[end:]
+                pos = mm.start() + len(repl)
         if bool_fields and re.search(r"\bascii\s*\(", stmt, re.I):
             map_args("ascii", ascii_arg)
         if re.search(r"\bcorr\s*\(", stmt, re.I):
@@ -2268,6 +2288,9 @@ class Engine:
             self.spark.catalog.dropTempView(view)
             self._dirty.discard(key)
         shutil.rmtree(self.catalog._db_path(db), ignore_errors=True)
+        self.catalog._render_poison = {
+            k for k in self.catalog._render_poison if k[0] != db
+        }
         self._hidden_dbs.discard(db)
 
     def _schedule_drop(self, kind: str, target: str, dur: str) -> None:

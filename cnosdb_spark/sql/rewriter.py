@@ -1418,11 +1418,109 @@ def rewrite_misc_parity(sql: str) -> str:
     return sql
 
 
+_STR_EDGE_RE = re.compile(
+    r"\b(ltrim|rtrim|split_part|replace|left|right)\s*\(", re.I
+)
+
+
+def rewrite_string_fn_edge_cases(sql: str) -> str:
+    """DataFusion string-fn semantics Spark renders differently:
+    - 2-arg ltrim/rtrim is (str, trimChars) — Spark's deprecated 2-arg
+      form is (trimChars, str), so the args swap (ltrim.slt:89);
+    - split_part with an empty literal delimiter returns ''
+      (split_part.slt:86; Spark returns the whole string);
+    - replace with an empty literal search interleaves the replacement
+      between every character (replace.slt:92);
+    - left/right with a negative literal count drop from the other end
+      (left.slt:25 LEFT('Hello', -1) → 'Hell'; Spark returns '')."""
+    pos = 0
+    while True:
+        m = _STR_EDGE_RE.search(sql, pos)
+        if not m:
+            return sql
+        fn = m.group(1).lower()
+        end = _find_call_end(sql, m.end() - 1)
+        args = [a.strip() for a in _split_args(sql[m.end() : end - 1])]
+        repl = None
+        if fn in ("ltrim", "rtrim") and len(args) == 2:
+            repl = f"{fn}({args[1]}, {args[0]})"
+        elif fn == "split_part" and len(args) == 3 and args[1] == "''":
+            repl = f"(CASE WHEN ({args[0]}) IS NULL THEN CAST(NULL AS STRING) ELSE '' END)"
+        elif fn == "replace" and len(args) == 3 and args[1] == "''":
+            s, r = args[0], args[2]
+            repl = (
+                f"concat({r}, array_join(transform("
+                f"filter(split({s}, ''), _c -> _c <> ''), "
+                f"_c -> concat(_c, {r})), ''))"
+            )
+        elif (
+            fn in ("left", "right")
+            and len(args) == 2
+            and re.fullmatch(r"-\d+", args[1])
+        ):
+            n = -int(args[1])
+            if fn == "left":
+                repl = (
+                    f"substr({args[0]}, 1, "
+                    f"greatest(char_length({args[0]}) - {n}, 0))"
+                )
+            else:
+                repl = f"substr({args[0]}, {n} + 1)"
+        if repl is None:
+            pos = end
+            continue
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
+_FLOAT_MATH_RE = re.compile(r"\b(signum|ln|log10|log2)\s*\(", re.I)
+
+
+def rewrite_float_math_parity(sql: str) -> str:
+    """Rust-f64 semantics for signum and the log family
+    (math_function/{signum,log10,log2}.slt; Rust f64::signum(+0.0) = 1.0
+    and ln/log10/log2 of 0 → -inf, of negatives → NaN) — Spark returns
+    0.0 / NULL respectively."""
+    pos = 0
+    while True:
+        m = _FLOAT_MATH_RE.search(sql, pos)
+        if not m:
+            return sql
+        fn = m.group(1).lower()
+        end = _find_call_end(sql, m.end() - 1)
+        args = _split_args(sql[m.end() : end - 1])
+        if len(args) != 1:
+            pos = end
+            continue  # 2-arg log(base, x) etc: leave to Spark
+        x = f"CAST(({args[0].strip()}) AS DOUBLE)"
+        if fn == "signum":
+            repl = (
+                f"(CASE WHEN {x} IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"WHEN isnan({x}) THEN {x} "
+                f"WHEN {x} >= 0.0 THEN 1.0D ELSE -1.0D END)"
+            )
+        else:
+            repl = (
+                f"(CASE WHEN {x} IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"WHEN isnan({x}) OR {x} < 0.0 THEN CAST('NaN' AS DOUBLE) "
+                f"WHEN {x} = 0.0 THEN CAST('-Infinity' AS DOUBLE) "
+                f"ELSE {fn}({x}) END)"
+            )
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
+# pmod, not %: pre-1970 timestamps have negative unix_micros and the
+# seconds-within-minute extraction must stay in [0, 60) (date_part.slt
+# mixes 1969 rows — % would emit -56000 where the reference shows 0)
 _SUBSEC_EXPR = {
-    "millisecond": "((unix_micros(CAST({x} AS TIMESTAMP)) % 60000000) div 1000)",
-    "microsecond": "(unix_micros(CAST({x} AS TIMESTAMP)) % 60000000)",
-    "nanosecond": "((unix_micros(CAST({x} AS TIMESTAMP)) % 60000000) * 1000)",
+    "millisecond": "(pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000) div 1000)",
+    "microsecond": "pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000)",
+    "nanosecond": "(pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000) * 1000)",
     "epoch": "(unix_micros(CAST({x} AS TIMESTAMP)) / 1000000.0)",
+    # postgres dow: Sunday=0..Saturday=6 (date_part.slt:128); Spark's
+    # dayofweek is 1-based Sunday=1
+    "dow": "(dayofweek(CAST({x} AS TIMESTAMP)) - 1)",
 }
 _DATE_TRUNC_UNITS = {
     "year", "quarter", "month", "week", "day", "hour", "minute", "second",
@@ -1583,6 +1681,13 @@ def _check_unsupported_casts(sql: str) -> None:
             raise ValueError(
                 "Execution error: requested character too large for encoding."
             )
+    # the log family rejects the timestamp column (ln.slt:23 expects a
+    # planning error; the float-math rewrite would otherwise cast it)
+    if re.search(r"\b(ln|log10|log2|log)\s*\(\s*(?:\w+\.)?time\s*\)", sql, re.I):
+        raise ValueError(
+            "Error during planning: No function matches the given name and "
+            "argument types for log over Timestamp(Nanosecond, None)"
+        )
     # DataFusion's simplify_expressions folds constants EAGERLY, so an
     # invalid string→boolean cast errors even in a dead AND branch
     # (sqlancer/select.slt:3466) — Spark would fold the branch away first
@@ -1710,6 +1815,7 @@ def rewrite_dql(sql: str) -> str:
     sql = rewrite_extract_parts(sql)
     sql = rewrite_system_variables(sql)
     sql = rewrite_fn_aliases(sql)
+    sql = rewrite_string_fn_edge_cases(sql)
     sql = rewrite_time_fn_parity(sql)
     sql = rewrite_date_bin(sql)
     sql = rewrite_approx_percentile(sql)
@@ -1746,6 +1852,7 @@ def rewrite_dql(sql: str) -> str:
     sql = rewrite_approx_distinct(sql)
     sql = rewrite_time_int_comparison(sql)
     sql = rewrite_selector(sql)
+    sql = rewrite_float_math_parity(sql)
     sql = rewrite_corr(sql)
     sql = rewrite_concat_null_skip(sql)
     sql = rewrite_bool_string_cast(sql)

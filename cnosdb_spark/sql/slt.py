@@ -315,11 +315,20 @@ _TS_TOKEN_RE = re.compile(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?")
 def _canon_expected_token(tok: str):
     """Canonicalize one DataFusion-rendered value token."""
     if tok.startswith('"') and tok.endswith('"'):
-        return tok[1:-1]
+        # the renderer backslash-escapes quotes/backslashes inside quoted
+        # tokens (trim.slt:26 shows "\"dog" for the value `"dog`)
+        return re.sub(r"\\(.)", r"\1", tok[1:-1])
     if tok == "NULL":
         return None
     if tok in ("true", "false"):
         return tok
+    # Rust float renderings (exp.slt 'inf', log10.slt '-inf'/'NaN')
+    if tok in ("inf", "Infinity"):
+        return float("inf")
+    if tok in ("-inf", "-Infinity"):
+        return float("-inf")
+    if tok == "NaN":
+        return float("nan")
     if _TS_TOKEN_RE.fullmatch(tok):
         from datetime import datetime
 
@@ -338,6 +347,10 @@ class _Unparseable(Exception):
 def _canon_num(x: float):
     """Round to 9 significant digits so engine float formatting/summation
     differences don't register as value mismatches."""
+    from math import isinf, isnan
+
+    if isnan(x) or isinf(x):
+        return x
     if x == 0:
         return 0.0
     from math import floor, log10
@@ -368,7 +381,18 @@ def _cells_equal(a, b) -> bool:
         return True
     if a is None or b is None:
         return a is b
+    # booleans render 'true'/'false' bare but '1'/'0' through first()/last()
+    # (first.slt:34 expects "1") — accept both renderings
+    for x, y in ((a, b), (b, a)):
+        if x in ("true", "false") and (
+            (isinstance(y, float) and y in (0.0, 1.0)) or y in ("0", "1")
+        ):
+            return (x == "true") == (y in (1.0, "1"))
     if isinstance(a, float) and isinstance(b, float):
+        from math import isnan
+
+        if isnan(a) or isnan(b):
+            return isnan(a) and isnan(b)
         return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b))
     # numeric strings vs numbers (DataFusion casts render differently)
     if isinstance(a, float) and isinstance(b, str) and _NUM_RE.fullmatch(b):

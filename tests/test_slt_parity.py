@@ -330,9 +330,44 @@ VALUE_CHECKED = [
     ("function/common/statistical_agg/corr.slt", 1.0),
     ("dql/int_float_compare.slt", 1.0),
     ("dql/empty_table.slt", 1.0),
-    # excluded from the value tier (classification tier still covers them):
-    # coalesce (DataFusion string-coercion vs Spark ANSI cast), sqrt
-    # (NaN rendering for negative inputs), lower (unicode case-fold edge)
+    # ---- round-4 widening: every file the canonicalizer fully parses ----
+    ("function/string_func/upper.slt", 1.0),
+    ("function/string_func/btrim.slt", 1.0),
+    ("function/string_func/reverse.slt", 1.0),
+    ("function/string_func/initcap.slt", 1.0),
+    ("function/string_func/right.slt", 1.0),
+    ("function/string_func/md5.slt", 1.0),
+    ("function/string_func/strpos.slt", 1.0),
+    ("function/string_func/bit_length.slt", 1.0),
+    ("function/string_func/octet_length.slt", 1.0),
+    ("function/string_func/ltrim.slt", 1.0),
+    ("function/string_func/rtrim.slt", 1.0),
+    ("function/string_func/trim.slt", 1.0),
+    ("function/string_func/split_part.slt", 1.0),
+    ("function/string_func/left.slt", 0.97),
+    ("function/string_func/concat_ws.slt", 0.97),
+    ("function/common/math_function/round.slt", 1.0),
+    ("function/common/math_function/gcd.slt", 1.0),
+    ("function/common/math_function/trunc.slt", 1.0),
+    ("function/common/math_function/exp.slt", 1.0),
+    ("function/common/math_function/signum.slt", 1.0),
+    ("function/common/math_function/sqrt.slt", 1.0),
+    ("function/common/math_function/ln.slt", 1.0),
+    ("function/common/math_function/log10.slt", 1.0),
+    ("function/common/math_function/log2.slt", 1.0),
+    ("function/common/statistical_agg/stddev.slt", 1.0),
+    ("function/common/first.slt", 1.0),
+    ("function/common/last.slt", 1.0),
+    ("function/common/increase.slt", 1.0),
+    ("function/common/time_functions/date_trunc.slt", 1.0),
+    ("function/common/time_functions/date_part.slt", 1.0),
+    ("dql/show_series.slt", 1.0),
+    ("dql/show_tag_values.slt", 1.0),
+    # still excluded from the value tier (classification covers them):
+    # coalesce (DataFusion string-coercion vs Spark ANSI cast), lower
+    # (unicode case-fold edge), replace/chr/topk/bottom/only_tag_col
+    # (expected blocks pin ns-rendered timestamps for ns-literal rows —
+    # the engine's documented small-int-literal µs interpretation)
 ]
 
 
