@@ -880,9 +880,11 @@ class Engine:
             map_args("concat(?!_ws)", concat_arg)
 
         if re.search(r"\bconcat_ws\s*\(", stmt, re.I):
-            # same '0'/'1' boolean and ISO-'T' time renders apply
-            # (concat_ws.slt:124,165); the first argument is the separator
-            # and is never coerced
+            # same '0'/'1' boolean and ISO-'T' time renders apply to the
+            # value args (concat_ws.slt:124,165) AND to the separator — a
+            # typed-column separator materializes between values with the
+            # same DataFusion rendering (concat_ws.slt:226
+            # concat_ws(TIME,TIME,TIME) shows three ISO-'T' copies)
             pos = 0
             while True:
                 mm = re.compile(r"\bconcat_ws\s*\(", re.I).search(stmt, pos)
@@ -892,12 +894,58 @@ class Engine:
 
                 end = _find_call_end(stmt, mm.end() - 1)
                 args = _split_args(stmt[mm.end() : end - 1])
-                new_args = [args[0].strip()] + [
-                    concat_arg(a.strip()) for a in args[1:]
-                ]
+                new_args = [concat_arg(a.strip()) for a in args]
                 repl = stmt[mm.start() : mm.end()] + ", ".join(new_args) + ")"
                 stmt = stmt[: mm.start()] + repl + stmt[end:]
                 pos = mm.start() + len(repl)
+        int_fields = {
+            f for f, t in sch.fields.items()
+            if str(t).lower() in ("bigint", "unsigned")
+        }
+
+        if int_fields and re.search(r"\b(left|right)\s*\(", stmt, re.I):
+            # DataFusion's left/right count arg is Int64; Spark casts to
+            # INT, so a bigint count column overflows at runtime
+            # (sqlancer/function.slt:2497 right(s, m2.f0) — DF returns the
+            # whole string for any count beyond the length, and drops from
+            # the other end for runtime negatives). Only integer-typed
+            # FIELD columns are clamped — boolean/time counts stay put so
+            # Spark still raises the planning error the corpus expects
+            # (left.slt:200/212).
+            pos2 = 0
+            while True:
+                lm = re.compile(r"\b(left|right)\s*\(", re.I).search(stmt, pos2)
+                if not lm:
+                    break
+                from .sql.rewriter import _find_call_end, _split_args
+
+                end2 = _find_call_end(stmt, lm.end() - 1)
+                largs = [a.strip() for a in _split_args(stmt[lm.end(): end2 - 1])]
+                if len(largs) != 2 or (
+                    largs[1].split(".")[-1].strip('"') not in int_fields
+                ):
+                    pos2 = end2
+                    continue
+                fn2, s2, n2 = lm.group(1).lower(), largs[0], largs[1]
+                if fn2 == "right":
+                    repl2 = (
+                        f"(CASE WHEN {n2} IS NULL THEN CAST(NULL AS STRING) "
+                        f"WHEN {n2} >= 0 THEN right({s2}, "
+                        f"CAST(LEAST({n2}, 2147483647) AS INT)) "
+                        f"ELSE substr({s2}, CAST(LEAST(-({n2}), 2147483647) "
+                        f"AS INT) + 1) END)"
+                    )
+                else:
+                    repl2 = (
+                        f"(CASE WHEN {n2} IS NULL THEN CAST(NULL AS STRING) "
+                        f"WHEN {n2} >= 0 THEN left({s2}, "
+                        f"CAST(LEAST({n2}, 2147483647) AS INT)) "
+                        f"ELSE substr({s2}, 1, CAST(greatest("
+                        f"char_length({s2}) + {n2}, 0) AS INT)) END)"
+                    )
+                stmt = stmt[: lm.start()] + repl2 + stmt[end2:]
+                pos2 = lm.start() + len(repl2)
+
         if bool_fields and re.search(r"\bascii\s*\(", stmt, re.I):
             map_args("ascii", ascii_arg)
         if re.search(r"\bcorr\s*\(", stmt, re.I):

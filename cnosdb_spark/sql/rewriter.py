@@ -1466,6 +1466,16 @@ def rewrite_string_fn_edge_cases(sql: str) -> str:
                 )
             else:
                 repl = f"substr({args[0]}, {n} + 1)"
+        elif (
+            fn in ("left", "right")
+            and len(args) == 2
+            and re.fullmatch(r"\d+", args[1])
+            and int(args[1]) > 2147483647
+        ):
+            # DataFusion's count arg is Int64; a count beyond i32 (and any
+            # string length) means the whole string — Spark's INT cast
+            # would overflow
+            repl = f"{fn}({args[0]}, 2147483647)"
         if repl is None:
             pos = end
             continue
@@ -1474,6 +1484,155 @@ def rewrite_string_fn_edge_cases(sql: str) -> str:
 
 
 _FLOAT_MATH_RE = re.compile(r"\b(signum|ln|log10|log2)\s*\(", re.I)
+
+
+_FOLD_INT_PAIR = re.compile(
+    r"\(\s*\(\s*(-?\d+)\s*\)\s*([+*/%-])\s*\(\s*(-?\d+)\s*\)\s*\)"
+)
+
+_I64_MASK = (1 << 64) - 1
+
+
+def _wrap_i64(v: int) -> int:
+    v &= _I64_MASK
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _trunc_div(a: int, b: int) -> int:
+    # Rust i64 division truncates toward zero; Python // floors
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def rewrite_fuzzer_arith_parity(sql: str) -> str:
+    """DataFusion-27 arithmetic-kernel parity for the sqlancer corpora
+    (sqlancer/{select,function}.slt), where Spark's ANSI runtime errors
+    but the reference evaluates permissively:
+
+    - ``((<int>) op (<int>))`` literal pairs are constant-folded in Python
+      with the reference's semantics: Int64 typing (Spark types a small
+      literal Int32, so ``(-1424580636)*(1068537236)`` raises
+      ARITHMETIC_OVERFLOW where DataFusion's i64 product fits —
+      select.slt:2298), *wrapping* overflow (arrow-rs non-checked kernels:
+      ``((9223372036854775807)-(-1826088151))`` wraps — select.slt:760),
+      truncate-toward-zero division, and NULL on a zero divisor
+      (arrow divide_opt — select.slt:229 expects rows, not an error).
+      The fuzzer always fully parenthesizes, so requiring the outer parens
+      keeps the fold precedence-safe anywhere it fires.
+    - ``(X)/(Y)`` with non-literal operands → ``try_divide`` (NULL on a
+      zero divisor like divide_opt, instead of Spark's DIVIDE_BY_ZERO —
+      select.slt:750 TLP partitions stay count-exact under NULL).
+      ``%`` is untouched: DataFusion's modulo DOES raise "Divide by zero
+      error" (select.slt:3125), which Spark's REMAINDER_BY_ZERO matches
+      at the error-classification level.
+    """
+    pos = 0
+    while True:
+        m = _FOLD_INT_PAIR.search(sql, pos)
+        if not m:
+            break
+        a, op, b = int(m.group(1)), m.group(2), int(m.group(3))
+        if op == "+":
+            r = str(_wrap_i64(a + b))
+        elif op == "-":
+            r = str(_wrap_i64(a - b))
+        elif op == "*":
+            r = str(_wrap_i64(a * b))
+        elif op == "/":
+            r = "NULL" if b == 0 else str(_trunc_div(a, b))
+        elif b == 0:  # reference modulo-by-zero raises — leave to Spark
+            pos = m.end()
+            continue
+        else:  # %
+            r = str(a - _trunc_div(a, b) * b)  # Rust rem: dividend's sign
+        sql = sql[: m.start()] + f"({r})" + sql[m.end():]
+        pos = 0  # folds can cascade outward (((a)op(b))op(c))
+
+    # (X) op (Y) → try_divide/try_multiply/try_add/try_subtract: scan for
+    # an arithmetic operator flanked by ')' ... '(' (the fuzzer's fully
+    # parenthesized style — this shape appears nowhere else in the corpus
+    # except tpch's no-overflow decimal products, where try_multiply is
+    # value-identical). Precedence guards keep the infix→call conversion
+    # from re-associating mixed-precedence chains; same-precedence chains
+    # re-associate correctly because the scan resumes after the call text.
+    _TRY_FN = {"/": "try_divide", "*": "try_multiply",
+               "+": "try_add", "-": "try_subtract"}
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in ("'", '"'):
+            q = ch
+            i += 1
+            while i < len(sql) and sql[i] != q:
+                i += 1
+            i += 1
+            continue
+        if ch not in _TRY_FN:
+            i += 1
+            continue
+        lp = i - 1
+        while lp >= 0 and sql[lp].isspace():
+            lp -= 1
+        rp = i + 1
+        while rp < len(sql) and sql[rp].isspace():
+            rp += 1
+        if lp < 0 or sql[lp] != ")" or rp >= len(sql) or sql[rp] != "(":
+            i += 1
+            continue
+        # balanced-walk back over the left parenthesized operand
+        depth, ls = 0, lp
+        while ls >= 0:
+            if sql[ls] == ")":
+                depth += 1
+            elif sql[ls] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            ls -= 1
+        if ls < 0:
+            i += 1
+            continue
+        # a function call's argument list: include the callee name (and a
+        # qualified prefix) so sum(x)/(y) keeps its whole left operand
+        while ls > 0 and (sql[ls - 1].isalnum() or sql[ls - 1] in "_."):
+            ls -= 1
+        # precedence guards: a tighter-binding neighbor owns an operand
+        pb = ls - 1
+        while pb >= 0 and sql[pb].isspace():
+            pb -= 1
+        prev_op = sql[pb] if pb >= 0 else ""
+        if prev_op in "*/%" or (ch in "+-" and prev_op in "+-"):
+            i += 1
+            continue
+        re_ = _find_call_end(sql, rp)
+        if ch in "+-":
+            nx = re_
+            while nx < len(sql) and sql[nx].isspace():
+                nx += 1
+            if nx < len(sql) and sql[nx] in "*/%":
+                i += 1
+                continue
+        left, right = sql[ls:lp + 1], sql[rp:re_]
+        if ch == "/":
+            repl = f"try_divide({left}, {right})"
+        else:
+            # arrow-rs non-checked kernels WRAP on i64 overflow
+            # (function.slt:2480/2497 expect the wrapped value's rows):
+            # try_op is NULL exactly on integer overflow (or NULL input),
+            # then the DECIMAL(38,0) mod-2^64 fallback reproduces the
+            # two's-complement result; (2^63)^2 < 10^38 so the product
+            # fits DECIMAL(38,0)
+            ldec = f"try_cast({left} AS DECIMAL(38,0))"
+            rdec = f"try_cast({right} AS DECIMAL(38,0))"
+            wrap = (
+                f"CAST(pmod({ldec} {ch} {rdec} + 9223372036854775808, "
+                f"CAST('18446744073709551616' AS DECIMAL(38,0))) "
+                f"- 9223372036854775808 AS BIGINT)"
+            )
+            repl = f"coalesce({_TRY_FN[ch]}({left}, {right}), {wrap})"
+        sql = sql[:ls] + repl + sql[re_:]
+        i = ls + len(repl)
+    return sql
 
 
 def rewrite_float_math_parity(sql: str) -> str:
@@ -1853,6 +2012,7 @@ def rewrite_dql(sql: str) -> str:
     sql = rewrite_time_int_comparison(sql)
     sql = rewrite_selector(sql)
     sql = rewrite_float_math_parity(sql)
+    sql = rewrite_fuzzer_arith_parity(sql)
     sql = rewrite_corr(sql)
     sql = rewrite_concat_null_skip(sql)
     sql = rewrite_bool_string_cast(sql)

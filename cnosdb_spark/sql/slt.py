@@ -315,9 +315,11 @@ _TS_TOKEN_RE = re.compile(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?")
 def _canon_expected_token(tok: str):
     """Canonicalize one DataFusion-rendered value token."""
     if tok.startswith('"') and tok.endswith('"'):
-        # the renderer backslash-escapes quotes/backslashes inside quoted
-        # tokens (trim.slt:26 shows "\"dog" for the value `"dog`)
-        return re.sub(r"\\(.)", r"\1", tok[1:-1])
+        # the renderer backslash-escapes ONLY quotes inside quoted tokens
+        # (trim.slt:26 shows "\"dog" for the value `"dog`); a backslash
+        # before any other char is literal (left.slt:107 "Hello\n" is the
+        # 7-char value Hello\n — unescaping it would corrupt the expected)
+        return tok[1:-1].replace('\\"', '"')
     if tok == "NULL":
         return None
     if tok in ("true", "false"):

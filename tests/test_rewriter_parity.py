@@ -92,3 +92,36 @@ def test_duplicate_order_by_only_when_unprojected():
 def test_left_right_count_clamps():
     out = rewrite_dql("SELECT right(t0, 5276657375400990514) FROM m1")
     assert "2147483647" in out and "5276657375400990514" not in out
+
+
+def test_fuzzer_literal_pair_folds_wrap_i64():
+    # arrow-rs non-checked kernels wrap (sqlancer/select.slt:760, :2298)
+    out = rewrite_dql(
+        "SELECT a FROM m WHERE (((9223372036854775807)-(-1826088151))) IN (1)"
+    )
+    assert "(-9223372035028687658)" in out
+    out = rewrite_dql("SELECT ((-1424580636)*(1068537236)) AS x")
+    assert "(-1522217455250562096)" in out
+    # truncate-toward-zero division, NULL on zero divisor (divide_opt)
+    assert "(-3)" in rewrite_dql("SELECT ((-7)/(2))")
+    assert "(NULL)" in rewrite_dql("SELECT ((7)/(0))")
+    # Rust rem takes the dividend's sign; %0 is left for Spark to raise
+    assert "(-1)" in rewrite_dql("SELECT ((-7)%(2))")
+    assert "(7)%(0)" in rewrite_dql("SELECT ((7)%(0))")
+
+
+def test_fuzzer_column_pair_try_ops():
+    out = rewrite_dql("SELECT x FROM m WHERE CAST(((m.f0)/(m.f0)) AS BOOLEAN)")
+    assert "try_divide((m.f0), (m.f0))" in out
+    out = rewrite_dql("SELECT ((m.f0)*(m.f0)) AS sq FROM m")
+    assert "try_multiply((m.f0), (m.f0))" in out and "pmod" in out
+
+
+def test_fuzzer_arith_precedence_guards():
+    # mixed-precedence chains must not re-associate
+    out = rewrite_dql("SELECT (a)+(b)*(c), x/(b)/(c), a*(b)/(c) FROM t")
+    assert "try_multiply((b), (c))" in out
+    assert "x/(b)/(c)" in out and "a*(b)/(c)" in out
+    # tpch's decimal products stay untouched (identifier left operand)
+    sql = "SELECT sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS s FROM l"
+    assert rewrite_dql(sql) == sql

@@ -94,9 +94,14 @@ CURATED = [
     # keeps ns-distinct points distinct; the residual select/function gap is
     # Spark-ANSI runtime strictness (div/0, overflow, cast) where
     # DataFusion evaluates permissively — fuzzer-only expression shapes
-    ("sqlancer/select.slt", 0.975),
+    # round 4 added DataFusion-27 arithmetic-kernel parity for the fully
+    # parenthesized fuzzer shapes (rewrite_fuzzer_arith_parity: i64-wrap
+    # folds, divide_opt NULL, Int64 left/right counts) — 777/786 and
+    # 301/312. The residue is string-vs-number comparison coercion inside
+    # BETWEEN/IN and cast-'false'-to-int permissiveness, fuzzer-only
+    ("sqlancer/select.slt", 0.985),
     ("sqlancer/repeat_write.slt", 1.0),
-    ("sqlancer/function.slt", 0.96),
+    ("sqlancer/function.slt", 0.964),
     ("function/common/math_function/acos.slt", 1.0),
     ("function/common/math_function/acosh.slt", 1.0),
     ("function/common/math_function/asin.slt", 1.0),
@@ -344,7 +349,11 @@ VALUE_CHECKED = [
     ("function/string_func/rtrim.slt", 1.0),
     ("function/string_func/trim.slt", 1.0),
     ("function/string_func/split_part.slt", 1.0),
-    ("function/string_func/left.slt", 0.97),
+    ("function/string_func/left.slt", 1.0),
+    # 42/43: the one residual is concat_ws(TIME,TIME,TIME) over ns-literal
+    # rows (concat_ws.slt:226) — the documented small-int-literal µs
+    # interpretation renders .000001 where the reference renders
+    # .000000001 (SURVEY §7.4 risk 6)
     ("function/string_func/concat_ws.slt", 0.97),
     ("function/common/math_function/round.slt", 1.0),
     ("function/common/math_function/gcd.slt", 1.0),
