@@ -175,10 +175,34 @@ def minhash_lsh_pairs(
         "_id",
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bucket"),
     )
-    a, b_ = buckets.alias("a"), buckets.alias("b")
+    # pair generation: one aggregation per bucket, then an in-bucket
+    # combination expansion — NOT a self-join. A self-join re-executes the
+    # whole shingle→signature pipeline for each side (Spark's exchange
+    # reuse does not fire across the alias boundary here: 4 parquet scans,
+    # 12 hash aggregates in the joined plan), doubling the dominant cost.
+    # Per-bucket expansion is the same O(k²)-per-bucket fan-out the
+    # equi-join has (both concentrate one bucket's pairs on one key), but
+    # the expensive signature computation runs exactly once.
+    ids = F.array_sort(F.collect_set("_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_ids"),
+                    i + 2,
+                    F.greatest(F.size(F.col("_ids")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b_, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.groupBy("_bucket")
+        .agg(ids.alias("_ids"))
+        .where(F.size("_ids") >= 2)
+        .select(F.explode(pair_expr).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
     return pairs
@@ -246,15 +270,36 @@ def simhash_near_dup_pairs(
             )
         ).alias("_bucket"),
     )
-    a, b_ = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(b_, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("_fa"),
-            F.col("b.simhash").alias("_fb"),
+    # per-bucket combination expansion instead of a self-join: the banded
+    # self-join re-executes the 32-agg simhash pipeline for both sides
+    # (no cross-alias exchange reuse); one groupBy computes it once, and
+    # the (id, fingerprint) struct is 16 bytes so carrying it through the
+    # bucket aggregation is free
+    items = F.array_sort(F.collect_set(F.struct(F.col("_id"), F.col("simhash"))))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_items"),
+                    i + 2,
+                    F.greatest(F.size(F.col("_items")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    x["simhash"].alias("_fa"),
+                    y["simhash"].alias("_fb"),
+                ),
+            ),
         )
+    )
+    cand = (
+        keyed.groupBy("_bucket")
+        .agg(items.alias("_items"))
+        .where(F.size("_items") >= 2)
+        .select(F.explode(pair_expr).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p._fa", "_p._fb")
         .distinct()
     )
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
@@ -306,20 +351,40 @@ def embedding_near_dup_pairs(
         )
         for b in range(bands)
     ]
-    keyed = v.select("_id", "_v", F.explode(F.array(*band_keys)).alias("_bucket"))
-    a, b_ = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(b_, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
+    keyed = v.select("_id", F.explode(F.array(*band_keys)).alias("_bucket"))
+    # candidate IDs via per-bucket combination expansion (single pass, no
+    # self-join), THEN fetch vectors by id for the exact-cosine check. The
+    # old join carried both full vectors through the candidate `distinct()`
+    # — a shuffle of 2×dims doubles per candidate row; distinct-ing bare
+    # (id_a, id_b) first keeps the wide rows out of the dedup exchange.
+    ids = F.array_sort(F.collect_set("_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_ids"),
+                    i + 2,
+                    F.greatest(F.size(F.col("_ids")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    cand = (
+        keyed.groupBy("_bucket")
+        .agg(ids.alias("_ids"))
+        .where(F.size("_ids") >= 2)
+        .select(F.explode(pair_expr).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (
-        cand.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
