@@ -54,8 +54,29 @@ class Catalog:
         # tables holding rows whose raw integer timestamp overflows the
         # engine's µs render range (ms/s-precision dbs): the reference
         # stores the raw value and fails at RENDER time
-        # (ddl/db_precision.slt:54-57) — reads of a poisoned table raise
+        # (ddl/db_precision.slt:54-57) — reads of a poisoned table raise.
+        # The set is a cache; a marker file in the table directory makes
+        # the poison survive an engine restart on the same warehouse.
         self._render_poison: set[tuple[str, str]] = set()
+
+    def _poison_marker_path(self, db: str, name: str) -> str:
+        return os.path.join(self._table_path(db, name), "_render_poison")
+
+    def _poison(self, db: str, name: str) -> None:
+        self._render_poison.add((db, name))
+        try:
+            with open(self._poison_marker_path(db, name), "w") as f:
+                f.write("")
+        except OSError:
+            pass  # table dir gone mid-write: the in-memory flag still holds
+
+    def _is_poisoned(self, db: str, name: str) -> bool:
+        if (db, name) in self._render_poison:
+            return True
+        if os.path.exists(self._poison_marker_path(db, name)):
+            self._render_poison.add((db, name))
+            return True
+        return False
 
     # ---------- paths ----------
     def _db_path(self, db: str) -> str:
@@ -297,10 +318,20 @@ class Catalog:
                     # (≥1e16 µs would be year 2286+) are epoch ns — the
                     # reference's interpretation; small literals stay µs
                     # (see divergence note above)
-                    # integer div — double division loses ns precision
+                    # FLOOR division (not trunc `div`): pmod is
+                    # floor-style, so floor keeps time*1000 + residue ==
+                    # original for pre-epoch ns values and matches
+                    # line_protocol's Python // and % decomposition —
+                    # the same physical point gets the same (time,
+                    # _ns_res) merge key on both ingest paths.
+                    # (c - pmod(c, 1000)) is exactly divisible, so the
+                    # integer `div` below IS the floor; double division
+                    # would lose ns precision.
                     expr = F.when(
                         F.abs(c) >= 10_000_000_000_000_000,
-                        F.expr(f"`{src}` div 1000"),
+                        F.expr(
+                            f"(`{src}` - pmod(`{src}`, 1000)) div 1000"
+                        ),
                     ).otherwise(c).cast("long")
                     if ns_residue is None:
                         ns_residue = F.when(
@@ -366,7 +397,7 @@ class Catalog:
                 F.count(F.when(F.col(TIME_COL).isNull(), 1)),
             ).first()
             if time_overflow_check and n_null_ts:
-                self._render_poison.add((db, name))
+                self._poison(db, name)
             self._check_time_range(db, ts_min, ts_max)
             path = self._table_path(db, name)
             out.write.mode("append").partitionBy(_TB_COL).parquet(path)
@@ -398,7 +429,7 @@ class Catalog:
 
     # ---------- reads ----------
     def read_raw(self, db: str, name: str) -> DataFrame:
-        if (db, name) in self._render_poison:
+        if self._is_poisoned(db, name):
             # ddl/db_precision.slt:57 — a stored raw timestamp outside the
             # render range fails at query time, exactly like the reference's
             # ms→datetime cast error

@@ -114,11 +114,14 @@ class Engine:
         self._registered: dict[tuple[str, str], str] = {}
         self._dirty: set[tuple[str, str]] = set()
         # EXPLAIN plans under non-ANSI coercion by toggling the (shared)
-        # session conf; the lock keeps a concurrent query on the same
-        # SparkSession from observing non-ANSI semantics mid-flight
+        # session conf; _select also plans under this lock, so a concurrent
+        # query can't be ANALYZED while the conf is flipped (execution
+        # after planning is outside the lock — analysis-time constant
+        # folding is where ANSI-vs-not changes outcomes). RLock: the
+        # EXPLAIN path re-enters through _select.
         import threading
 
-        self._ansi_lock = threading.Lock()
+        self._ansi_lock = threading.RLock()
         from .functions import gis, math_extra, weighted
 
         weighted.register(spark)
@@ -769,7 +772,25 @@ class Engine:
         if raw_count is not None:
             return raw_count
         stmt = self._coerce_schema_typed_args(stmt)
-        df = self.spark.sql(rewrite_dql(self._qualify(stmt)))
+        qualified = self._qualify(stmt)
+        rewritten = rewrite_dql(qualified)
+        try:
+            with self._ansi_lock:
+                df = self.spark.sql(rewritten)
+        except Exception as exc:
+            # the fuzzer-arith infix→try_op conversion assumes integer
+            # operands; on non-integer types (timestamp - timestamp) its
+            # coalesce/decimal wrap is untypable — retry with it off, and
+            # re-raise the ORIGINAL error if the plain form fails too
+            # (keeps error-message parity for genuinely bad statements)
+            alt = rewrite_dql(qualified, fuzzer_arith=False)
+            if alt == rewritten:
+                raise
+            try:
+                with self._ansi_lock:
+                    df = self.spark.sql(alt)
+            except Exception:
+                raise exc
         self._reject_cross_join(df)
         return df
 

@@ -117,7 +117,7 @@ def _codec_feature(payload: bytes | None, kind: str) -> list[float]:
         return [0.0] * FEATURE_DIM
     try:
         arr = np.ravel(real_decode(bytes(payload), kind))
-    except (NotImplementedError, Exception):
+    except Exception:  # NotImplementedError (no codec) or a bad payload
         return _stub_feature(payload)
     if arr.size == 0:
         return [0.0] * FEATURE_DIM

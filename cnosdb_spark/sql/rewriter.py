@@ -789,9 +789,16 @@ _TIME_MIXED_BETWEEN = re.compile(
 
 
 def _ts_bound(lit: str) -> str:
+    """Integer time bound → the µs value catalog.insert would store:
+    ns-magnitude values (|v| ≥ 1e16) floor-divide by 1000, small values
+    are already µs (keeps `time = X`, `time BETWEEN X AND X`, and the
+    stored row all consistent)."""
     lit = lit.strip()
     if re.fullmatch(r"-?\d+", lit):
-        return f"timestamp_micros({int(lit) // 1000})"
+        v = int(lit)
+        if abs(v) >= 10_000_000_000_000_000:
+            v //= 1000  # floor — matches catalog.insert's decomposition
+        return f"timestamp_micros({v})"
     return f"try_cast({lit} AS TIMESTAMP)"
 
 
@@ -800,7 +807,7 @@ def rewrite_time_int_comparison(sql: str) -> str:
     native precision; the reference coerces as ns — µs keeps insert and
     comparison consistent at Spark precision, see catalog.insert)."""
     sql = _TIME_INT_CMP.sub(
-        lambda m: f"{m.group(1)} {m.group(2)} timestamp_micros({m.group(3)})",
+        lambda m: f"{m.group(1)} {m.group(2)} {_ts_bound(m.group(3))}",
         sql,
     )
     # time BETWEEN <int> AND <int> — same ns-integer coercion; mixed
@@ -1448,17 +1455,26 @@ def rewrite_string_fn_edge_cases(sql: str) -> str:
             repl = f"(CASE WHEN ({args[0]}) IS NULL THEN CAST(NULL AS STRING) ELSE '' END)"
         elif fn == "replace" and len(args) == 3 and args[1] == "''":
             s, r = args[0], args[2]
-            repl = (
+            # NULL guard: the inner concat is later converted to
+            # NULL-skipping concat_ws('') by rewrite_concat_null_skip,
+            # which would turn replace(NULL, '', r) into r instead of NULL
+            body = (
                 f"concat({r}, array_join(transform("
                 f"filter(split({s}, ''), _c -> _c <> ''), "
                 f"_c -> concat(_c, {r})), ''))"
+            )
+            repl = (
+                f"(CASE WHEN ({s}) IS NULL OR ({r}) IS NULL "
+                f"THEN CAST(NULL AS STRING) ELSE {body} END)"
             )
         elif (
             fn in ("left", "right")
             and len(args) == 2
             and re.fullmatch(r"-\d+", args[1])
         ):
-            n = -int(args[1])
+            # clamp to i32 so the substr arithmetic stays INT-safe; any
+            # clamped drop-count already exceeds every string length
+            n = min(-int(args[1]), 2147483646)
             if fn == "left":
                 repl = (
                     f"substr({args[0]}, 1, "
@@ -1539,12 +1555,15 @@ def rewrite_fuzzer_arith_parity(sql: str) -> str:
         elif op == "*":
             r = str(_wrap_i64(a * b))
         elif op == "/":
-            r = "NULL" if b == 0 else str(_trunc_div(a, b))
+            # wrap: i64::MIN / -1 overflows to i64::MIN in the
+            # non-checked arrow kernel
+            r = "NULL" if b == 0 else str(_wrap_i64(_trunc_div(a, b)))
         elif b == 0:  # reference modulo-by-zero raises — leave to Spark
             pos = m.end()
             continue
         else:  # %
-            r = str(a - _trunc_div(a, b) * b)  # Rust rem: dividend's sign
+            # Rust rem: dividend's sign; wrap keeps i64::MIN % -1 == 0
+            r = str(_wrap_i64(a - _wrap_i64(_trunc_div(a, b)) * b))
         sql = sql[: m.start()] + f"({r})" + sql[m.end():]
         pos = 0  # folds can cascade outward (((a)op(b))op(c))
 
@@ -1757,17 +1776,27 @@ def rewrite_concat_null_skip(sql: str) -> str:
     """DataFusion's concat SKIPS NULL arguments (concat.slt:146:
     CONCAT('-','1',NULL,'2','3') → '-123'); Spark's concat propagates NULL.
     concat_ws('') has exactly the skip-NULL semantics. concat_ws itself is
-    untouched (the \\bconcat\\( pattern can't match 'concat_ws(')."""
+    untouched (the \\bconcat\\( pattern can't match 'concat_ws('). Quoted
+    regions are skipped — 'concat(' inside a string literal stays put."""
     out = []
-    pos = 0
-    while True:
-        m = _CONCAT_RE.search(sql, pos)
-        if not m:
-            out.append(sql[pos:])
-            return "".join(out)
-        out.append(sql[pos : m.start()])
-        out.append("concat_ws('', ")
-        pos = m.end()
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _CONCAT_RE.match(sql, i)
+        if m:
+            out.append("concat_ws('', ")
+            i = m.end()
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def rewrite_bool_string_cast(sql: str) -> str:
@@ -1947,28 +1976,13 @@ def _balanced(s: str) -> bool:
     return depth == 0
 
 
-def _clamp_large_counts(sql: str) -> str:
-    """left/right with an i64 count beyond i32 take the whole string in
-    DataFusion (sqlancer/function.slt:2091); Spark's int cast would
-    overflow — clamp the literal (any clamped value already exceeds every
-    string length, so semantics are unchanged)."""
-    return re.sub(
-        r"(\b(?:left|right)\s*\([^()]*?,\s*)(-?\d{10,})(\s*\))",
-        lambda m: (
-            m.group(1)
-            + ("2147483647" if int(m.group(2)) > 0 else "-2147483647")
-            + m.group(3)
-        )
-        if abs(int(m.group(2))) > 2147483647
-        else m.group(0),
-        sql,
-        flags=re.I,
-    )
-
-
-def rewrite_dql(sql: str) -> str:
+def rewrite_dql(sql: str, *, fuzzer_arith: bool = True) -> str:
+    """``fuzzer_arith=False`` skips rewrite_fuzzer_arith_parity's
+    infix→try_op conversion, which assumes integer operands; the engine
+    retries with it off when the converted statement fails analysis
+    (e.g. fully-parenthesized timestamp arithmetic, where try_subtract +
+    the decimal wrap fallback is untypable)."""
     _check_unsupported_casts(sql)
-    sql = _clamp_large_counts(sql)
     sql = rewrite_double_quoted_identifiers(sql)
     sql = rewrite_misc_parity(sql)
     sql = rewrite_extract_parts(sql)
@@ -2012,7 +2026,8 @@ def rewrite_dql(sql: str) -> str:
     sql = rewrite_time_int_comparison(sql)
     sql = rewrite_selector(sql)
     sql = rewrite_float_math_parity(sql)
-    sql = rewrite_fuzzer_arith_parity(sql)
+    if fuzzer_arith:
+        sql = rewrite_fuzzer_arith_parity(sql)
     sql = rewrite_corr(sql)
     sql = rewrite_concat_null_skip(sql)
     sql = rewrite_bool_string_cast(sql)

@@ -139,3 +139,22 @@ def test_tag_field_overlap_rejected():
         TskvTableSchema("t", "d", "m", tags=["time"], fields={})
     with pytest.raises(ValueError):
         TskvTableSchema("t", "d", "m", tags=[], fields={"f": "blob"})
+
+
+def test_ns_decomposition_consistent_across_ingest_paths(spark, tmp_path):
+    """The same pre-epoch ns-resolution point ingested via SQL INSERT
+    (integer time literal) and via line protocol must land on the same
+    (time, _ns_res) merge key: both decompose with FLOOR division + pmod
+    residue, so LWW keeps ONE row, and time*1000 + residue reconstructs
+    the original ns value exactly."""
+    from cnosdb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE mns(f0 BIGINT, TAGS(t0))")
+    ns = -10_000_000_000_000_001  # |v| >= 1e16 → ns-magnitude, pre-epoch
+    eng.sql(f"INSERT INTO mns(time, t0, f0) VALUES ({ns}, 'a', 1)")
+    eng.write_lines(f"mns,t0=a f0=2i {ns}")
+    rows = eng.sql("SELECT t0, f0 FROM mns").collect()
+    # same merge key → LWW keeps only the later write
+    assert len(rows) == 1
+    assert rows[0]["f0"] == 2

@@ -564,3 +564,52 @@ def test_system_variables(eng):
     for bad in ["select @@server_versi", "select @@", "select @x"]:
         with pytest.raises(ValueError, match="no type information"):
             eng.sql(bad)
+
+
+def test_timestamp_arith_falls_back_without_fuzzer_rewrite(eng):
+    """Fully-parenthesized timestamp subtraction: the fuzzer infix→try_op
+    conversion is untypable on timestamps; the engine retries with it off
+    instead of hard-failing."""
+    eng.sql("CREATE TABLE mta(f0 BIGINT, TAGS(t0))")
+    eng.sql(
+        "INSERT INTO mta(time, t0, f0) VALUES "
+        "('2024-01-01 00:00:10', 'a', 1), ('2024-01-01 00:00:00', 'a', 2)"
+    )
+    out = eng.sql(
+        "SELECT (max(time)) - (min(time)) AS d FROM mta"
+    ).collect()
+    assert len(out) == 1 and out[0]["d"] is not None
+
+
+def test_replace_empty_search_null_propagates(eng):
+    eng.sql("CREATE TABLE mrep(s0 STRING, f1 BIGINT, TAGS(t0))")
+    eng.sql(
+        "INSERT INTO mrep(time, t0, s0, f1) VALUES "
+        "('2024-01-01', 'a', 'ab', 1), ('2024-01-02', 'b', NULL, 2)"
+    )
+    rows = {
+        r["t0"]: r["r"]
+        for r in eng.sql(
+            "SELECT t0, replace(s0, '', '-') AS r FROM mrep"
+        ).collect()
+    }
+    assert rows["a"] == "-a-b-"  # interleave semantics (replace.slt:92)
+    assert rows["b"] is None  # NULL in → NULL out, not the bare '-'
+
+
+def test_render_poison_survives_engine_restart(spark, tmp_path):
+    """ddl/db_precision.slt:54-57: an ms-precision raw value whose µs
+    equivalent overflows i64 is accepted at write and fails at render —
+    including after a restart on the same warehouse."""
+    wh = str(tmp_path / "wh")
+    eng1 = Engine(spark, wh)
+    eng1.sql("CREATE DATABASE dbms WITH precision 'ms'")
+    eng1.sql("CREATE TABLE dbms.mp(f0 BIGINT, TAGS(t0))")
+    eng1.sql(
+        "INSERT INTO dbms.mp(time, t0, f0) VALUES (9223372036854775807, 'a', 1)"
+    )
+    with pytest.raises(Exception):
+        eng1.sql("SELECT * FROM dbms.mp").collect()
+    eng2 = Engine(spark, wh)  # fresh engine, same warehouse
+    with pytest.raises(Exception):
+        eng2.sql("SELECT * FROM dbms.mp").collect()

@@ -125,3 +125,63 @@ def test_fuzzer_arith_precedence_guards():
     # tpch's decimal products stay untouched (identifier left operand)
     sql = "SELECT sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS s FROM l"
     assert rewrite_dql(sql) == sql
+
+
+def test_left_right_negative_count_clamps_int_safe():
+    # a huge negative drop-count must not overflow Spark's INT substr args
+    out = rewrite_dql("SELECT left(t0, -9999999999) FROM m1")
+    assert "substr" in out and "2147483646" in out
+    assert "-9999999999" not in out
+
+
+def test_replace_empty_search_propagates_null():
+    # the expansion's inner concat later becomes NULL-skipping
+    # concat_ws('') — the CASE guard must keep replace(NULL,'','x') NULL
+    out = rewrite_dql("SELECT replace(f0, '', 'x') FROM m")
+    assert "CASE WHEN (f0) IS NULL" in out
+    assert "CAST(NULL AS STRING)" in out
+
+
+def test_concat_inside_string_literal_untouched():
+    sql = "SELECT 'x concat(a) y', concat(a, b) FROM m"
+    out = rewrite_concat_null_skip(sql)
+    assert "'x concat(a) y'" in out
+    assert "concat_ws('', a, b)" in out
+
+
+def test_fuzzer_div_mod_fold_wraps_i64_min():
+    # arrow-rs wrapping kernels: i64::MIN / -1 wraps to i64::MIN,
+    # i64::MIN % -1 is 0 — neither may emit an out-of-i64 literal
+    out = rewrite_dql("SELECT ((-9223372036854775808)/(-1))")
+    assert "(-9223372036854775808)" in out and "9223372036854775808)" != out
+    assert "(9223372036854775808)" not in out
+    out = rewrite_dql("SELECT ((-9223372036854775808)%(-1))")
+    assert "(0)" in out
+
+
+def test_time_between_matches_cmp_rewrite():
+    # BETWEEN bounds and >=/<= comparisons must coerce integer literals
+    # identically (µs below the ns-magnitude threshold, floor-div above)
+    between = rewrite_dql("SELECT * FROM m WHERE time BETWEEN 2000 AND 5000")
+    cmp_ = rewrite_dql("SELECT * FROM m WHERE time >= 2000 AND time <= 5000")
+    assert "timestamp_micros(2000)" in between
+    assert "timestamp_micros(5000)" in between
+    assert "timestamp_micros(2000)" in cmp_
+    # ns-magnitude literals floor-divide on BOTH paths (floor, not trunc:
+    # catalog.insert decomposes with floor + pmod residue)
+    b2 = rewrite_dql(
+        "SELECT * FROM m WHERE time BETWEEN -10000000000000001 AND "
+        "1700000000000000000"
+    )
+    assert "timestamp_micros(-10000000000001)" in b2  # floor(-1e16-1 / 1000)
+    assert "timestamp_micros(1700000000000000)" in b2
+    c2 = rewrite_dql("SELECT * FROM m WHERE time > 1700000000000000000")
+    assert "timestamp_micros(1700000000000000)" in c2
+
+
+def test_rewrite_dql_fuzzer_arith_kwarg():
+    sql = "SELECT (t0.time) - (t1.time) AS d FROM m t0, m t1"
+    with_arith = rewrite_dql(sql)
+    without = rewrite_dql(sql, fuzzer_arith=False)
+    assert "try_subtract" in with_arith
+    assert "try_subtract" not in without
