@@ -134,16 +134,31 @@ def minhash_signatures(
     (first 10 hex digits), then ``num_hashes`` universal-hash permutations
     hash_i = (A[i]*h + B[i]) mod 2^61-1 — the standard
     Carter-Wegman trick, ~num_hashes× cheaper than per-permutation md5 and
-    still exactly reproducible in ANSI SQL / DuckDB for the oracle.
+    still exactly reproducible in ANSI SQL / DuckDB for the oracle
+    (min over the same multiset, whether per-row or grouped).
     Output: (_id, mh_0 ... mh_{k-1}) as BIGINT columns."""
-    sh = _shingle_table(df, text_col, id_col, n)
-    h = F.conv(F.substring(F.md5(F.col("_sh")), 1, 10), 16, 10).cast("long")
-    sh = sh.select("_id", h.alias("_h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+    t = df.select(
+        F.col(id_col).alias("_id"), tokens(normalize(F.col(text_col))).alias("_toks")
+    )
+    t = t.select("_id", word_ngrams(F.col("_toks"), n).alias("_sh"))
+    # per-row array pipeline — NO explode, NO shuffle: the shingle table
+    # never leaves its row. Each stage is its own projection so the
+    # non-cheap transform() is evaluated once (CollapseProject refuses to
+    # inline expensive exprs referenced num_hashes times).
+    hs = F.transform(
+        F.col("_sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long"),
+    )
+    t = t.select("_id", hs.alias("_hs"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("_hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+            )
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     ]
-    return sh.groupBy("_id").agg(*aggs)
+    return t.select("_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -213,30 +228,37 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
 
     Each token hashes to a ``bits``-bit integer (md5 prefix); bit b of the
     fingerprint is 1 iff the sum over tokens of ±1 (by token bit b) is > 0.
-    Expressed as ``bits`` conditional aggregates — one pass, no UDF, and
-    replicable in ANSI SQL (DuckDB oracle). 32 bits keeps every
-    intermediate in int64.
+    Expressed per-row as ``bits`` array-``aggregate`` folds over the
+    token-hash array — NO explode, NO shuffle (the token table never
+    leaves its row), no UDF, and replicable in ANSI SQL (DuckDB oracle,
+    which computes the identical sums). 32 bits keeps every intermediate
+    in int64.
     Output: (_id, simhash BIGINT).
     """
     hexlen = bits // 4
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens(normalize(F.col(text_col)))).alias("_tok"),
+    t = df.select(
+        F.col(id_col).alias("_id"), tokens(normalize(F.col(text_col))).alias("_toks")
     )
-    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, hexlen), 16, 10).cast("long")
-    tok = tok.withColumn("_h", h)
-    aggs = [
-        F.sum(
-            F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"_s{b}")
-        for b in range(bits)
-    ]
-    sums = tok.groupBy("_id").agg(*aggs)
+    # materialize the md5 hashes in their own projection so the bits
+    # folds below reference a computed array, not bits copies of the md5
+    # transform (CollapseProject keeps non-cheap multi-referenced exprs
+    # in their own stage)
+    hs = F.transform(
+        F.col("_toks"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, hexlen), 16, 10).cast("long"),
+    )
+    t = t.select("_id", hs.alias("_hs"))
     fp = None
     for b in range(bits):
-        bit = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        s = F.aggregate(
+            F.col("_hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+        bit = F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
-    return sums.select("_id", fp.cast("long").alias("simhash"))
+    return t.select("_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_near_dup_pairs(
