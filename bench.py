@@ -57,13 +57,19 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    tries = int(os.environ.get("SPARK_GRAFT_BENCH_TRIES", "2"))
     for name in HEADLINE:
         fn = qs[name]
-        # one warm-up-free measured run; deterministic plans, cold caches
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # min of N tries, the reference's own methodology
+        # (benchmark/benchmark.sh records per-query [min, mean] over
+        # tries) — local[32] wall times vary ±30% run-to-run from JIT/GC
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -74,6 +80,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "tries": tries,
             }
         )
     )
