@@ -75,18 +75,38 @@ def ngram_jaccard_pairs(
     internally consistent and oracle-reproducible.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = _shingle_table(df, text_col, id_col, n).distinct()
+    # One aggregation per shingle (collect the doc-id set), then in-bucket
+    # pair expansion — NOT a self-join. The alias self-join evaluates the
+    # expensive text→shingle pipeline once per alias (a, b, sizes,
+    # doc_freq: 4 scans); here it runs exactly once, the stop-shingle
+    # ceiling becomes a plain size() filter on the bucket (no doc_freq
+    # join), and sizes/pairs both derive from the tiny kept-bucket table.
+    sh = _shingle_table(df, text_col, id_col, n)
+    buckets = sh.groupBy("_sh").agg(F.array_sort(F.collect_set("_id")).alias("_ids"))
     if max_doc_freq is not None:
-        doc_freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-        sh = (
-            sh.join(doc_freq.filter(F.col("_df") <= max_doc_freq), "_sh")
-            .select("_id", "_sh")
+        buckets = buckets.filter(F.size("_ids") <= max_doc_freq)
+    sizes = (
+        buckets.select(F.explode("_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_ids"),
+                    i + 2,
+                    F.greatest(F.size(F.col("_ids")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    )
     inter = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.where(F.size("_ids") >= 2)
+        .select(F.explode(pair_expr).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_common"))
     )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
