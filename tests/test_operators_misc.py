@@ -238,3 +238,82 @@ def test_multimodal_resize_and_frames(spark):
     vids = {r["media_id"] for r in frames}
     assert len(frames) == 3 * len(vids) and len(vids) == 4
     assert all(len(r["frame"]) == 8 for r in frames)
+
+
+# ---------------------------------------------------------------- curation
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from cnosdb_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "What is the capital of France Paris is the answer here")],
+        ["qid", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim 8-gram from the benchmark embedded mid-document
+            (10, "intro text What is the capital of France Paris is more text"),
+            (11, "a completely unrelated document about distributed query engines"),
+            # case/whitespace variant still matches (normalize() runs first)
+            (12, "WHAT IS   THE CAPITAL OF FRANCE PARIS IS"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["matched_ngrams"], r["contaminated"])
+           for r in decontaminate(corpus, bench, n=8).collect()}
+    assert out[10][1] is True and out[10][0] >= 1
+    assert out[11] == (0, False)
+    assert out[12][1] is True
+
+
+def test_decontaminate_broadcast_plan(spark):
+    from cnosdb_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(1, "a b c d e f g h")], ["qid", "text"])
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().toString()
+    # the benchmark probe side must be broadcast: the corpus shingle
+    # table is never shuffled for the match join
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_split_dataset_deterministic_and_complete(spark):
+    from cnosdb_spark.operators.curation import split_dataset
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_dataset(df, "doc_id", w).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert 1400 <= counts["train"] <= 1800  # ~1600 expected
+    # stable across recomputation and independent of partitioning
+    b = split_dataset(df.repartition(13), "doc_id", w)
+    joined = split_dataset(df, "doc_id", w).alias("x").join(
+        b.alias("y"), "doc_id"
+    ).filter("x.split <> y.split")
+    assert joined.count() == 0
+
+
+def test_split_dataset_matches_duckdb_oracle(spark):
+    """The md5-bucket arithmetic is ANSI-SQL-reproducible: DuckDB computes
+    the identical split for every id."""
+    import duckdb
+
+    from cnosdb_spark.operators.curation import split_dataset
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(df, "doc_id", {"train": 0.9, "val": 0.1}).collect()
+    }
+    duck = duckdb.connect().execute(
+        """
+        SELECT i AS doc_id,
+               CASE WHEN CAST(('0x' || substring(md5('split|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < 0.9
+                    THEN 'train' ELSE 'val' END AS split
+        FROM range(0, 500) t(i)
+        """
+    ).fetchall()
+    assert {int(i): s for i, s in duck} == got
