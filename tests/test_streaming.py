@@ -190,3 +190,92 @@ def test_interval_trigger_update_mode_incremental(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stateful_streaming_increase_matches_batch(spark, tmp_path):
+    """applyInPandasWithState counter-increase: per-series state folds
+    across ≥2 micro-batches; the final emission per key must equal the
+    batch increase() over the whole table (functions/timeseries.py),
+    including a counter reset inside the second batch."""
+    import glob
+    import shutil
+
+    from cnosdb_spark.functions.timeseries import increase
+    from cnosdb_spark.streaming.stateful import streaming_increase
+
+    src = str(tmp_path / "counters")
+    os.makedirs(src)
+    base = datetime(2024, 1, 1)
+    rows = []
+    # s0: monotone 0,10,20,...,90 → increase 90
+    # s1: 0,5,10,15,20 then RESET to 2,4,6,8,10 → 20 + 2 + 8 = 30
+    for i in range(10):
+        rows.append((base + timedelta(minutes=i), "s0", 10.0 * i))
+        v = 5.0 * i if i < 5 else 2.0 * (i - 4)
+        rows.append((base + timedelta(minutes=i), "s1", v))
+    df = spark.createDataFrame(rows, ["time", "series", "value"])
+    df.filter(F.col("time") < base + timedelta(minutes=5)).coalesce(1).write.parquet(
+        str(tmp_path / "h1")
+    )
+    df.filter(F.col("time") >= base + timedelta(minutes=5)).coalesce(1).write.parquet(
+        str(tmp_path / "h2")
+    )
+    for i, h in enumerate(("h1", "h2")):
+        dst = os.path.join(src, f"part{i}.parquet")
+        shutil.copy(glob.glob(str(tmp_path / h / "*.parquet"))[0], dst)
+        # the file source orders batches by modification time — pin it,
+        # or the halves can arrive reversed and the fold sees h1 as late
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_increase(sdf, "time", "value", ["series"])
+
+    sink_dir = str(tmp_path / "inc_updates")
+    os.makedirs(sink_dir)
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    updates = spark.read.parquet(sink_dir)
+    assert updates.select("batch_id").distinct().count() >= 2
+    from pyspark.sql import Window
+
+    latest = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("series").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .filter("rn = 1")
+    )
+    got = {r["series"]: (r["increase"], r["n_points"], r["n_late"])
+           for r in latest.collect()}
+    expect = {
+        r["series"]: r["increase"]
+        for r in increase(df, "time", "value", ["series"]).collect()
+    }
+    assert set(got) == {"s0", "s1"}
+    for k in got:
+        assert got[k][0] == pytest.approx(expect[k])
+        assert got[k][1] == 10 and got[k][2] == 0
+    assert expect["s0"] == pytest.approx(90.0)
+    assert expect["s1"] == pytest.approx(30.0)
