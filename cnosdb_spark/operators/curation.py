@@ -1,15 +1,17 @@
 """Corpus-curation operators for large-scale training-data pipelines:
-benchmark decontamination and deterministic dataset splits.
+benchmark decontamination, deterministic dataset splits, PII redaction,
+repetition (boilerplate) quality signals, and cross-document paragraph
+dedup / boilerplate stripping.
 
 Not part of the reference surface (CnosDB is a TSDB); these extend the
-engine's LLM-pipeline family (dedup.py, text.py, similarity.py). Both are
+engine's LLM-pipeline family (dedup.py, text.py, similarity.py). All are
 pure built-in-function plans — no Python UDFs — and deterministic, so
 they are DuckDB-differential-testable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import word_ngrams
 from .text import normalize, tokens
@@ -96,3 +98,162 @@ def split_dataset(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+# PII patterns kept to syntax valid in both Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround. Redaction order matters —
+# emails first (they contain dots/digits), then IPs, then phone numbers.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d\s().-]{7,}\d\b", "<PHONE>"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """PII redaction: replace emails, IPv4 addresses, and phone-like digit
+    runs with typed placeholders; emit per-category match counts (counted
+    BEFORE redaction, so e.g. the digits inside an email are not
+    double-counted as a phone).
+
+    Pure column expressions (chained ``regexp_replace``) — a narrow map at
+    any scale, no shuffle. Patterns are deliberately conservative
+    (precision over recall): a curation pipeline scrubs obvious
+    identifiers; entity-level NER is out of scope for a SQL engine.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.coalesce(
+            F.regexp_count(t, F.lit(pat)), F.lit(0)
+        ).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    red = t
+    for pat, placeholder in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, placeholder)
+    return df.select(
+        "*", *counts.values(), red.alias(out_col)
+    )
+
+
+def _nonblank(parts: Column) -> Column:
+    return F.filter(F.transform(parts, F.trim), lambda x: x != "")
+
+
+def _char_sum(parts: Column) -> Column:
+    return F.aggregate(
+        parts, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText quality
+    rules): fraction of duplicate lines and paragraphs, by count and by
+    character mass. High values indicate boilerplate, scraped navigation,
+    or degenerate generations.
+
+    Lines split on single newlines, paragraphs on blank-line runs; blank
+    segments are excluded from both numerator and denominator. All four
+    ratios are pure array expressions over one pass of the text — no
+    shuffle, no UDF, whole-stage codegen end to end.
+    """
+    t = F.col(text_col)
+
+    def frac_pair(parts: Column, prefix: str) -> list[Column]:
+        distinct = F.array_distinct(parts)
+        n, nd = F.size(parts), F.size(distinct)
+        chars, chars_d = _char_sum(parts), _char_sum(distinct)
+        dup_frac = F.when(n > 0, (n - nd) / n).otherwise(0.0)
+        dup_char_frac = F.when(chars > 0, (chars - chars_d) / chars).otherwise(0.0)
+        return [
+            dup_frac.cast("double").alias(f"dup_{prefix}_frac"),
+            dup_char_frac.cast("double").alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    lines = _nonblank(F.split(t, r"\n"))
+    paras = _nonblank(F.split(t, r"\n{2,}"))
+    return df.select("*", *frac_pair(lines, "line"), *frac_pair(paras, "para"))
+
+
+def duplicate_paragraphs(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document paragraph-level dedup detector: normalized-paragraph
+    hashes that occur in at least ``min_docs`` distinct documents —
+    the candidate boilerplate set (site chrome, license headers, nav bars).
+
+    Scale shape: explode to (hash, doc) then ONE keyed aggregation —
+    count + approx doc-count per hash; no joins, no all-pairs. Output:
+    (par_hash, n_docs, n_occurrences, example) sorted nowhere (caller
+    orders if needed).
+    """
+    paras = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_nonblank(F.split(F.col(text_col), r"\n{2,}"))).alias("_p"),
+    ).select("_id", F.md5(normalize(F.col("_p"))).alias("par_hash"), "_p")
+    return (
+        paras.groupBy("par_hash")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("_p").alias("example"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document boilerplate paragraphs (those flagged by
+    ``duplicate_paragraphs``) from every document, preserving original
+    paragraph order, and report how much was removed.
+
+    Scale shape: paragraphs are exploded WITH position, left-anti joined
+    against the boilerplate hash set (a keyed shuffle join — the
+    boilerplate set can be large, so no broadcast is assumed; AQE will
+    broadcast it when it is small), then reassembled with one groupBy per
+    document using position-sorted ``array_agg``. Two keyed shuffles
+    total, both on uniform keys.
+    """
+    bp = duplicate_paragraphs(corpus, text_col, id_col, min_docs).select("par_hash")
+    paras = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_nonblank(F.split(F.col(text_col), r"\n{2,}"))).alias("_pos", "_p"),
+    ).withColumn("par_hash", F.md5(normalize(F.col("_p"))))
+    kept = paras.join(bp, "par_hash", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                lambda s: s["_p"],
+            ),
+            "\n\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    totals = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("n_paras_total"))
+    return (
+        corpus.select(F.col(id_col).alias("_id"))
+        .join(totals, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_paras_kept"), F.lit(0)).alias("n_paras_kept"),
+            F.coalesce(F.col("n_paras_total"), F.lit(0)).alias("n_paras_total"),
+        )
+    )

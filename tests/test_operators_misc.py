@@ -317,3 +317,113 @@ def test_split_dataset_matches_duckdb_oracle(spark):
         """
     ).fetchall()
     assert {int(i): s for i, s in duck} == got
+
+
+def test_redact_pii(spark):
+    from cnosdb_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk or call +1 (555) 010-7788 now"),
+            (2, "server at 10.0.42.7 responded; fallback 192.168.1.1"),
+            (3, "no identifiers here, just prose about engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["text_redacted"]
+    assert "alice" not in out[1]["text_redacted"]
+    # the phone's digits survive count-before-redact independence
+    assert out[1]["n_phone"] >= 1 and "<PHONE>" in out[1]["text_redacted"]
+    assert out[2]["n_ip"] == 2 and out[2]["text_redacted"].count("<IP>") == 2
+    assert out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0
+    assert out[3]["text_redacted"] == out[3]["text"]
+
+
+def test_repetition_stats_pinned(spark):
+    from cnosdb_spark.operators.curation import repetition_stats
+
+    txt_dup = "menu\nhome\nmenu\nhome\n\n\nmenu\nhome"  # 2 paras, all lines dup
+    txt_clean = "alpha\nbeta\n\n\ngamma"
+    df = spark.createDataFrame(
+        [(1, txt_dup), (2, txt_clean), (3, ""), (4, "\n\n\n")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: 6 lines, 2 distinct -> dup_line_frac 4/6
+    assert abs(out[1]["dup_line_frac"] - 4 / 6) < 1e-9
+    # paragraphs: ["menu\nhome\nmenu\nhome", "menu\nhome"] -> distinct, 0 dup
+    assert out[1]["dup_para_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_para_char_frac"] == 0.0
+    assert out[3]["dup_line_frac"] == 0.0 and out[4]["dup_para_frac"] == 0.0
+
+
+def test_repetition_stats_matches_duckdb(spark):
+    """Duplicate line/paragraph fractions are list-expression reproducible
+    in DuckDB over the same seeded documents."""
+    import duckdb
+
+    from cnosdb_spark.operators.curation import repetition_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in repetition_stats(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ).select("doc_id", "dup_line_frac", "dup_line_char_frac").collect()
+    }
+    duck = duckdb.connect().execute(
+        f"""
+        WITH l AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                             x -> x <> '') AS lines
+          FROM read_parquet('{sf}/documents.parquet'))
+        SELECT doc_id,
+          CASE WHEN len(lines) > 0
+               THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+               ELSE 0 END AS dlf,
+          CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+               THEN (list_sum(list_transform(lines, x -> length(x)))
+                     - list_sum(list_transform(list_distinct(lines), x -> length(x))))
+                    * 1.0 / list_sum(list_transform(lines, x -> length(x)))
+               ELSE 0 END AS dlcf
+        FROM l
+        """
+    ).fetchall()
+    assert len(duck) == len(got) > 0
+    for doc_id, dlf, dlcf in duck:
+        sdlf, sdlcf = got[doc_id]
+        assert abs(sdlf - float(dlf)) < 1e-9, doc_id
+        assert abs(sdlcf - float(dlcf)) < 1e-9, doc_id
+
+
+def test_duplicate_paragraphs_and_strip(spark):
+    from cnosdb_spark.operators.curation import duplicate_paragraphs, strip_boilerplate
+
+    footer = "Copyright 2026 ACME Corp\nAll rights reserved"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique intro one\n\n{footer}"),
+            (2, f"different body text\n\n{footer}"),
+            (3, f"third doc entirely\n\n{footer.upper()}"),  # case variant
+            (4, "no boilerplate at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    dup = duplicate_paragraphs(df, min_docs=2).collect()
+    assert len(dup) == 1 and dup[0]["n_docs"] == 3  # normalize() folds case
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, min_docs=2).collect()}
+    assert out[1]["text_clean"] == "unique intro one"
+    assert out[2]["n_paras_kept"] == 1 and out[2]["n_paras_total"] == 2
+    assert out[3]["text_clean"] == "third doc entirely"
+    assert out[4]["text_clean"] == "no boilerplate at all"
+    assert out[4]["n_paras_kept"] == 1
+
+
+def test_strip_boilerplate_plan_no_cartesian(spark):
+    from cnosdb_spark.operators.curation import strip_boilerplate
+
+    df = spark.createDataFrame([(1, "a\n\nb"), (2, "a\n\nc")], ["doc_id", "text"])
+    plan = strip_boilerplate(df)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
