@@ -106,6 +106,39 @@ def run_incremental_agg(
     return writer.format("parquet").start(sink_path)
 
 
+def dedup_points_stream(
+    stream_df: DataFrame,
+    tag_cols: list[str],
+    time_col: str = "time",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Suppress re-delivered duplicate points at stream-ingest time:
+    drop rows whose (series tags, time) key was already seen within the
+    watermark window — the streaming guard against client retries and
+    at-least-once redelivery.
+
+    Reference parity note: tskv's merge dedups (series, time) LAST-write-
+    wins at read/compaction (tskv/src/reader/sort_merge.rs); a streaming
+    pipeline cannot know a later write is coming, so this operator is
+    FIRST-arrival-wins duplicate *suppression* — exact re-deliveries
+    collapse, genuine overwrites still reach storage and are resolved by
+    the batch merge-on-read LWW view (catalog dedup view / compaction).
+
+    Scale shape: Structured Streaming keyed state, bounded by the
+    watermark — state size is O(points per watermark window), evicted as
+    event time advances; no unbounded growth at any throughput.
+    """
+    df = stream_df
+    has_wm = any(
+        f.name == time_col
+        and any("watermarkDelayMs" in k for k in (f.metadata or {}))
+        for f in df.schema.fields
+    )
+    if not has_wm:
+        df = df.withWatermark(time_col, watermark_delay)
+    return df.dropDuplicatesWithinWatermark([*tag_cols, time_col])
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

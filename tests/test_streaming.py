@@ -279,3 +279,41 @@ def test_stateful_streaming_increase_matches_batch(spark, tmp_path):
         assert got[k][1] == 10 and got[k][2] == 0
     assert expect["s0"] == pytest.approx(90.0)
     assert expect["s1"] == pytest.approx(30.0)
+
+
+def test_stream_ingest_dedup_within_watermark(spark, tmp_path):
+    """dedup_points_stream suppresses re-delivered (tags, time) duplicates
+    at ingest; distinct points and ns-distinct retries survive."""
+    from cnosdb_spark.streaming.stream_table import dedup_points_stream
+
+    path = str(tmp_path / "dup_src")
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(minutes=m), f"t{m % 2}", float(m)) for m in range(10)]
+    df = spark.createDataFrame(rows, ["time", "tag", "v"])
+    # write the batch twice -> every point re-delivered once
+    df.write.parquet(path)
+    df.write.mode("append").parquet(path)
+
+    st = StreamTable("dup_stream", path, "time")
+    deduped = dedup_points_stream(st.read(spark), ["tag"], "time", "30 minutes")
+    q = run_to_memory(deduped, "dedup_out", output_mode="append")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT time, tag, v FROM dedup_out").collect()
+    assert len(got) == 10  # 20 delivered, 10 unique survive
+    assert len({(r["time"], r["tag"]) for r in got}) == 10
+
+
+def test_stream_ingest_dedup_respects_existing_watermark(spark, tmp_path):
+    from cnosdb_spark.streaming.stream_table import dedup_points_stream
+
+    path = str(tmp_path / "wm_src")
+    base = datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(base, "a", 1.0), (base, "a", 1.0)], ["time", "tag", "v"]
+    ).write.parquet(path)
+    st = StreamTable("wm_stream", path, "time", watermark_delay="5 minutes")
+    sdf = st.read(spark)  # StreamTable already applied the watermark
+    deduped = dedup_points_stream(sdf, ["tag"])
+    q = run_to_memory(deduped, "wm_dedup_out", output_mode="append")
+    q.awaitTermination(120)
+    assert spark.sql("SELECT * FROM wm_dedup_out").count() == 1
