@@ -1,0 +1,207 @@
+"""Hypothesis-driven differential fuzzing of Engine.sql against DuckDB.
+
+The reference validates its engine with sqlancer-generated expression
+queries (cases/sqlancer/*.slt — pinned snapshots). This suite is the live
+analogue for OUR engine: generate random *well-typed* scalar expressions
+restricted to the semantics Spark, DataFusion, and DuckDB agree on
+(arithmetic without division, three-valued logic, CASE, string ops with
+positive offsets), run them through the full Engine.sql path (dialect
+rewriter + LWW merge-on-read view + Spark), and compare row-for-row with
+DuckDB on identical data.
+
+Deliberately EXCLUDED generator shapes (documented engine divergences or
+cross-engine disagreements, see tests/test_slt_parity.py header):
+division/modulo (div-by-zero semantics), round() (half-up vs half-even),
+cross-type string/number comparisons, casts, greatest/least (NULL
+handling), negative substr offsets, overflow-prone literals.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cnosdb_spark.engine import Engine
+
+ROWS = [
+    # (time, t0, f0 BIGINT, f1 DOUBLE, f2 BOOLEAN, f3 STRING)
+    ("2024-01-01 00:00:00", "'a'", "1", "0.5", "true", "'alpha'"),
+    ("2024-01-01 00:00:01", "'a'", "-3", "2.25", "false", "'Beta'"),
+    ("2024-01-01 00:00:02", "'b'", "7", "-1.75", "true", "''"),
+    ("2024-01-01 00:00:03", "'b'", "0", "0.0", "false", "'gamma delta'"),
+    ("2024-01-01 00:00:04", "'c'", "42", "3.5", "true", "'x'"),
+    ("2024-01-01 00:00:05", "'c'", "NULL", "1.5", "NULL", "'y'"),
+    ("2024-01-01 00:00:06", "'d'", "5", "NULL", "false", "NULL"),
+    ("2024-01-01 00:00:07", "'d'", "-10", "-0.25", "NULL", "'zz top'"),
+    ("2024-01-01 00:00:08", "'e'", "100", "10.0", "true", "'alpha'"),
+    # NB: a row with every field NULL is rejected at INSERT (reference
+    # "Fields can't be empty" parity) — keep one field non-NULL
+    ("2024-01-01 00:00:09", "'e'", "NULL", "NULL", "NULL", "'only'"),
+]
+
+
+@pytest.fixture(scope="module")
+def feng(spark, tmp_path_factory):
+    eng = Engine(spark, str(tmp_path_factory.mktemp("fuzz_wh")))
+    eng.sql("CREATE TABLE fz(f0 BIGINT, f1 DOUBLE, f2 BOOLEAN, f3 STRING, TAGS(t0))")
+    values = ", ".join(
+        f"('{t}', {t0}, {f0}, {f1}, {f2}, {f3})" for t, t0, f0, f1, f2, f3 in ROWS
+    )
+    eng.sql(f"INSERT INTO fz(time, t0, f0, f1, f2, f3) VALUES {values}")
+    return eng
+
+
+@pytest.fixture(scope="module")
+def fduck():
+    import duckdb
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"(TIMESTAMP '{t}', {t0}, {f0}, {f1}, {f2}, {f3})"
+        for t, t0, f0, f1, f2, f3 in ROWS
+    )
+    con.execute(
+        "CREATE TABLE fz AS SELECT * FROM (VALUES "
+        + values
+        + ") v(time, t0, f0, f1, f2, f3)"
+    )
+    yield con
+    con.close()
+
+
+# ---------------------------------------------------------------- generator
+
+NUM_LEAVES = ["f0", "f1", "0", "1", "-2", "3.5", "0.25", "10"]
+STR_LEAVES = ["t0", "f3", "'alpha'", "'b'", "''", "'Zz'"]
+BOOL_LEAVES = ["f2", "true", "false"]
+
+num_expr = st.deferred(
+    lambda: st.one_of(
+        st.sampled_from(NUM_LEAVES),
+        st.tuples(num_expr, st.sampled_from(["+", "-", "*"]), num_expr).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        num_expr.map(lambda e: f"abs({e})"),
+        num_expr.map(lambda e: f"(- {e})"),
+        st.tuples(num_expr, num_expr).map(lambda t: f"coalesce({t[0]}, {t[1]})"),
+        str_expr.map(lambda e: f"length({e})"),
+        st.tuples(bool_expr, num_expr, num_expr).map(
+            lambda t: f"(CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END)"
+        ),
+    )
+)
+
+str_expr = st.deferred(
+    lambda: st.one_of(
+        st.sampled_from(STR_LEAVES),
+        str_expr.map(lambda e: f"lower({e})"),
+        str_expr.map(lambda e: f"upper({e})"),
+        st.tuples(str_expr, str_expr).map(lambda t: f"({t[0]} || {t[1]})"),
+        st.tuples(str_expr, st.integers(1, 4), st.integers(0, 5)).map(
+            lambda t: f"substr({t[0]}, {t[1]}, {t[2]})"
+        ),
+        st.tuples(bool_expr, str_expr, str_expr).map(
+            lambda t: f"(CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END)"
+        ),
+    )
+)
+
+bool_expr = st.deferred(
+    lambda: st.one_of(
+        st.sampled_from(BOOL_LEAVES),
+        st.tuples(num_expr, st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]), num_expr).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        st.tuples(str_expr, st.sampled_from(["<", "=", ">"]), str_expr).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        st.tuples(bool_expr, st.sampled_from(["AND", "OR"]), bool_expr).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        bool_expr.map(lambda e: f"(NOT {e})"),
+        num_expr.map(lambda e: f"({e} IS NULL)"),
+        str_expr.map(lambda e: f"({e} IS NOT NULL)"),
+        str_expr.map(lambda e: f"({e} LIKE '%a%')"),
+    )
+)
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v)  # int/double unify: Spark + - * may widen
+    return v
+
+
+def _run_both(feng, fduck, exprs: list[str]):
+    cols = ", ".join(f"{e} AS v{i}" for i, e in enumerate(exprs))
+    sql = f"SELECT time, {cols} FROM fz"
+    got = sorted(
+        [tuple(_canon(x) for x in r) for r in feng.sql(sql).collect()],
+        key=repr,
+    )
+    want = sorted(
+        [tuple(_canon(x) for x in r) for r in fduck.execute(sql).fetchall()],
+        key=repr,
+    )
+    assert got == want, f"divergence for: {exprs}\n got={got}\nwant={want}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(e1=num_expr, e2=bool_expr)
+def test_fuzz_numeric_and_bool(feng, fduck, e1, e2):
+    _run_both(feng, fduck, [e1, e2])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(e1=str_expr, e2=num_expr)
+def test_fuzz_string_and_numeric(feng, fduck, e1, e2):
+    _run_both(feng, fduck, [e1, e2])
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(cond=bool_expr)
+def test_fuzz_where_clause(feng, fduck, cond):
+    """WHERE-clause placement exercises the rewriter's predicate paths and
+    Spark filter pushdown against DuckDB's evaluation of the same tree."""
+    sql = f"SELECT time, t0 FROM fz WHERE {cond}"
+    got = sorted((r["time"], r["t0"]) for r in feng.sql(sql).collect())
+    want = sorted(fduck.execute(sql).fetchall())
+    assert got == want, f"divergence for WHERE {cond}\n got={got}\nwant={want}"
