@@ -205,3 +205,58 @@ def test_fuzz_where_clause(feng, fduck, cond):
     got = sorted((r["time"], r["t0"]) for r in feng.sql(sql).collect())
     want = sorted(fduck.execute(sql).fetchall())
     assert got == want, f"divergence for WHERE {cond}\n got={got}\nwant={want}"
+
+
+_AGG_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+
+
+@_AGG_SETTINGS
+@given(e=num_expr)
+def test_fuzz_grouped_aggregates(feng, fduck, e):
+    """GROUP BY pipeline: the same generated numeric expression under
+    sum/count/min/max/avg per tag group must agree with DuckDB (floats
+    canonicalized to 9 decimals — double sums of these magnitudes agree
+    far past that)."""
+    sql = (
+        f"SELECT t0, sum({e}) AS s, count({e}) AS c, "
+        f"min({e}) AS mn, max({e}) AS mx, avg({e}) AS av "
+        f"FROM fz GROUP BY t0"
+    )
+    got = sorted(
+        [tuple(_canon(x) for x in r) for r in feng.sql(sql).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(_canon(x) for x in r) for r in fduck.execute(sql).fetchall()],
+        key=repr,
+    )
+    assert got == want, f"divergence for agg over: {e}\n got={got}\nwant={want}"
+
+
+@_AGG_SETTINGS
+@given(e=num_expr)
+def test_fuzz_window_lag_running(feng, fduck, e):
+    """Window path: lag and a running sum of a generated expression over
+    (PARTITION BY t0 ORDER BY time) must agree with DuckDB."""
+    sql = (
+        f"SELECT time, t0, lag({e}) OVER (PARTITION BY t0 ORDER BY time) AS lg, "
+        f"sum({e}) OVER (PARTITION BY t0 ORDER BY time "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs "
+        f"FROM fz"
+    )
+    got = sorted(
+        [tuple(_canon(x) for x in r) for r in feng.sql(sql).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(_canon(x) for x in r) for r in fduck.execute(sql).fetchall()],
+        key=repr,
+    )
+    assert got == want, f"divergence for window over: {e}\n got={got}\nwant={want}"
