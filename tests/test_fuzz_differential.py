@@ -19,6 +19,7 @@ handling), negative substr offsets, overflow-prone literals.
 from __future__ import annotations
 
 import math
+from datetime import date, datetime
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -134,6 +135,10 @@ def _canon(v):
         return None
     if isinstance(v, bool):
         return v
+    # DuckDB date_trunc('year'|'month'|'day') yields DATE where Spark and
+    # DataFusion both yield TIMESTAMP — same instant, normalize the type
+    if isinstance(v, date) and not isinstance(v, datetime):
+        return datetime(v.year, v.month, v.day)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -260,3 +265,54 @@ def test_fuzz_window_lag_running(feng, fduck, e):
         key=repr,
     )
     assert got == want, f"divergence for window over: {e}\n got={got}\nwant={want}"
+
+
+# time-function shapes: date_trunc/date_part spellings Spark, DataFusion,
+# and DuckDB all accept with identical semantics on µs timestamps
+TIME_FIELDS = ["year", "month", "day", "hour", "minute", "second"]
+TRUNC_UNITS = ["year", "month", "day", "hour", "minute", "second"]
+
+time_num_expr = st.one_of(
+    st.sampled_from(TIME_FIELDS).map(lambda f: f"date_part('{f}', time)"),
+    st.sampled_from(TIME_FIELDS).map(lambda f: f"extract({f} FROM time)"),
+)
+
+
+@_AGG_SETTINGS
+@given(e=time_num_expr, unit=st.sampled_from(TRUNC_UNITS))
+def test_fuzz_time_functions(feng, fduck, e, unit):
+    sql = f"SELECT time, {e} AS p, date_trunc('{unit}', time) AS tr FROM fz"
+    got = sorted(
+        [tuple(_canon(x) for x in r) for r in feng.sql(sql).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(_canon(x) for x in r) for r in fduck.execute(sql).fetchall()],
+        key=repr,
+    )
+    assert got == want, f"divergence for: {sql}\n got={got}\nwant={want}"
+
+
+@_AGG_SETTINGS
+@given(
+    e=num_expr,
+    lo=st.sampled_from(["-2", "0", "f0", "0.25"]),
+    hi=st.sampled_from(["1", "10", "f1", "3.5"]),
+    inlist=st.lists(st.sampled_from(["0", "1", "7", "-10", "42", "3.5"]),
+                    min_size=1, max_size=4),
+)
+def test_fuzz_between_and_in(feng, fduck, e, lo, hi, inlist):
+    """Same-typed BETWEEN and IN predicates (the shapes the sqlancer floors
+    exclude are CROSS-typed; same-typed semantics are common ground)."""
+    items = ", ".join(inlist)
+    sql = (
+        f"SELECT time, ({e} BETWEEN {lo} AND {hi}) AS b, "
+        f"({e} IN ({items})) AS i FROM fz"
+    )
+    got = sorted(
+        [tuple(_canon(x) for x in r) for r in feng.sql(sql).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(_canon(x) for x in r) for r in fduck.execute(sql).fetchall()],
+        key=repr,
+    )
+    assert got == want, f"divergence for: {sql}\n got={got}\nwant={want}"
