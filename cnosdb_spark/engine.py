@@ -919,6 +919,54 @@ class Engine:
                 repl = stmt[mm.start() : mm.end()] + ", ".join(new_args) + ")"
                 stmt = stmt[: mm.start()] + repl + stmt[end:]
                 pos = mm.start() + len(repl)
+        if re.search(r"\bcoalesce\s*\(", stmt, re.I):
+            # DataFusion coerces a MIXED numeric/string coalesce to Utf8
+            # (coalesce.slt:26-155: coalesce(d_double_1, null, d_string)
+            # yields '69.0'/'C'); Spark ANSI instead casts the string arg to
+            # double and errors on non-numeric text. Cast the numeric args
+            # to string when the call mixes both — Spark's double→string
+            # render ('69.0') matches DataFusion's byte-for-byte here.
+            num_fields = {
+                f for f, t in sch.fields.items()
+                if str(t).lower() in ("double", "bigint", "unsigned")
+            }
+
+            def _coal_type(a: str) -> str:
+                if a.upper() == "NULL":
+                    return "null"
+                if a.startswith("'"):
+                    return "str"
+                base = a.split(".")[-1].strip('"')
+                if base in str_fields or base in tag_set:
+                    return "str"
+                if base in num_fields:
+                    return "num"
+                toks = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", a))
+                if toks & (str_fields | tag_set):
+                    return "other"
+                if toks & num_fields or re.search(r"\d", a):
+                    return "num"
+                return "other"
+
+            pos = 0
+            while True:
+                mm = re.compile(r"\bcoalesce\s*\(", re.I).search(stmt, pos)
+                if not mm:
+                    break
+                from .sql.rewriter import _find_call_end, _split_args
+
+                end = _find_call_end(stmt, mm.end() - 1)
+                args = [a.strip() for a in _split_args(stmt[mm.end() : end - 1])]
+                kinds = [_coal_type(a) for a in args]
+                if "str" in kinds and "num" in kinds:
+                    args = [
+                        f"cast({a} as string)" if k == "num" else a
+                        for a, k in zip(args, kinds)
+                    ]
+                repl = stmt[mm.start() : mm.end()] + ", ".join(args) + ")"
+                stmt = stmt[: mm.start()] + repl + stmt[end:]
+                pos = mm.start() + len(repl)
+
         int_fields = {
             f for f, t in sch.fields.items()
             if str(t).lower() in ("bigint", "unsigned")

@@ -372,9 +372,12 @@ VALUE_CHECKED = [
     ("function/common/time_functions/date_part.slt", 1.0),
     ("dql/show_series.slt", 1.0),
     ("dql/show_tag_values.slt", 1.0),
+    # round-4: mixed numeric/string coalesce now coerces to Utf8 like
+    # DataFusion (engine._coerce_schema_typed_args) — full value parity
+    ("function/common/conditional_function/coalesce.slt", 1.0),
     # still excluded from the value tier (classification covers them):
-    # coalesce (DataFusion string-coercion vs Spark ANSI cast), lower
-    # (unicode case-fold edge), replace/chr/topk/bottom/only_tag_col
+    # lower (DF27's lower is ASCII-only — 'Ç' stays 'Ç'; Spark's Unicode
+    # case-fold is deliberately kept), replace/chr/topk/bottom/only_tag_col
     # (expected blocks pin ns-rendered timestamps for ns-literal rows —
     # the engine's documented small-int-literal µs interpretation)
 ]
