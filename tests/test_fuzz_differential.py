@@ -316,3 +316,55 @@ def test_fuzz_between_and_in(feng, fduck, e, lo, hi, inlist):
         key=repr,
     )
     assert got == want, f"divergence for: {sql}\n got={got}\nwant={want}"
+
+
+@_AGG_SETTINGS
+@given(e=num_expr, cond=bool_expr)
+def test_fuzz_self_join(feng, fduck, e, cond):
+    """Join path: equi self-join on the tag with a generated projection and
+    filter; exercises join planning + the LWW view on both sides."""
+    sql = (
+        f"SELECT a.time, a.t0, ({e.replace('t0','a.t0').replace('f0','a.f0').replace('f1','b.f1').replace('f3','a.f3')}) AS v "
+        f"FROM fz a JOIN fz b ON a.t0 = b.t0 AND a.time = b.time "
+        f"WHERE {cond.replace('t0','b.t0').replace('f0','b.f0').replace('f1','a.f1').replace('f2','b.f2').replace('f3','b.f3')}"
+    )
+    got = sorted(
+        [tuple(_canon(x) for x in r) for r in feng.sql(sql).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(_canon(x) for x in r) for r in fduck.execute(sql).fetchall()],
+        key=repr,
+    )
+    assert got == want, f"divergence for: {sql}\n got={got}\nwant={want}"
+
+
+@_AGG_SETTINGS
+@given(dur=st.integers(1, 7), agg_e=num_expr)
+def test_fuzz_time_window_durations(feng, fduck, dur, agg_e):
+    """Randomized time_window durations: the signature tumbling-window
+    rewrite must bucket identically to epoch-aligned integer arithmetic in
+    DuckDB for any window length."""
+    sql_spark = (
+        f"SELECT time_window(time, interval '{dur} seconds') AS w, "
+        f"sum({agg_e}) AS s FROM fz GROUP BY w"
+    )
+    sql_duck = (
+        f"SELECT to_timestamp((epoch_us(time) // {dur * 1_000_000}) "
+        f"* {dur * 1_000_000} // 1000000) AS ws, sum({agg_e}) AS s "
+        f"FROM fz GROUP BY ws"
+    )
+    got = sorted(
+        [
+            (_canon(r["w"]["start"].replace(tzinfo=None) if hasattr(r["w"]["start"], "replace") else r["w"]["start"]), _canon(r["s"]))
+            for r in feng.sql(sql_spark).collect()
+        ],
+        key=repr,
+    )
+    want = sorted(
+        [
+            (_canon(ws.replace(tzinfo=None)), _canon(s))
+            for ws, s in fduck.execute(sql_duck).fetchall()
+        ],
+        key=repr,
+    )
+    assert got == want, f"divergence for dur={dur}s agg={agg_e}\n got={got}\nwant={want}"
