@@ -368,3 +368,26 @@ def test_fuzz_time_window_durations(feng, fduck, dur, agg_e):
         key=repr,
     )
     assert got == want, f"divergence for dur={dur}s agg={agg_e}\n got={got}\nwant={want}"
+
+
+@_AGG_SETTINGS
+@given(
+    e=num_expr,
+    c1=bool_expr,
+    c2=bool_expr,
+    op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+)
+def test_fuzz_set_operations(feng, fduck, e, c1, c2, op):
+    sql = (
+        f"SELECT t0, ({e}) AS v FROM fz WHERE {c1} "
+        f"{op} "
+        f"SELECT t0, ({e}) AS v FROM fz WHERE {c2}"
+    )
+    got = sorted(
+        [tuple(_canon(x) for x in r) for r in feng.sql(sql).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(_canon(x) for x in r) for r in fduck.execute(sql).fetchall()],
+        key=repr,
+    )
+    assert got == want, f"divergence for: {sql}\n got={got}\nwant={want}"
