@@ -116,28 +116,27 @@ def redact_pii(
     out_col: str = "text_redacted",
 ) -> DataFrame:
     """PII redaction: replace emails, IPv4 addresses, and phone-like digit
-    runs with typed placeholders; emit per-category match counts (counted
-    BEFORE redaction, so e.g. the digits inside an email are not
-    double-counted as a phone).
+    runs with typed placeholders; emit per-category match counts. Each
+    category is counted on the text with the PREVIOUS categories already
+    redacted, so the digits inside an email or IP are not double-counted
+    as a phone.
 
     Pure column expressions (chained ``regexp_replace``) — a narrow map at
     any scale, no shuffle. Patterns are deliberately conservative
     (precision over recall): a curation pipeline scrubs obvious
     identifiers; entity-level NER is out of scope for a SQL engine.
     """
-    t = F.col(text_col)
-    counts = {
-        name: F.coalesce(
-            F.regexp_count(t, F.lit(pat)), F.lit(0)
-        ).alias(f"n_{name}")
-        for name, (pat, _) in PII_PATTERNS.items()
-    }
-    red = t
-    for pat, placeholder in PII_PATTERNS.values():
+    # counts run against the PROGRESSIVELY redacted text, mirroring the
+    # redaction chain: digits inside an already-redacted email/IP can't
+    # also be counted as a phone
+    red = F.col(text_col)
+    counts = []
+    for name, (pat, placeholder) in PII_PATTERNS.items():
+        counts.append(
+            F.coalesce(F.regexp_count(red, F.lit(pat)), F.lit(0)).alias(f"n_{name}")
+        )
         red = F.regexp_replace(red, pat, placeholder)
-    return df.select(
-        "*", *counts.values(), red.alias(out_col)
-    )
+    return df.select("*", *counts, red.alias(out_col))
 
 
 def _nonblank(parts: Column) -> Column:
@@ -222,33 +221,43 @@ def strip_boilerplate(
     ``duplicate_paragraphs``) from every document, preserving original
     paragraph order, and report how much was removed.
 
-    Scale shape: paragraphs are exploded WITH position, left-anti joined
-    against the boilerplate hash set (a keyed shuffle join — the
-    boilerplate set can be large, so no broadcast is assumed; AQE will
-    broadcast it when it is small), then reassembled with one groupBy per
-    document using position-sorted ``array_agg``. Two keyed shuffles
-    total, both on uniform keys.
+    Scale shape: paragraphs are exploded WITH position, left-joined
+    against the boilerplate hash set to mark keeps (a keyed shuffle join —
+    the boilerplate set can be large, so no broadcast is assumed; AQE
+    broadcasts it when small), then ONE groupBy per document computes the
+    position-sorted reassembly AND both counts together (``collect_list``
+    skips the NULLed-out dropped paragraphs), and one final join restores
+    paragraph-less documents. Three keyed shuffles on uniform keys; the
+    corpus text is exploded/hashed twice (once to derive the boilerplate
+    set, once to rebuild) — persist the exploded frame upstream if the
+    corpus scan dominates.
     """
-    bp = duplicate_paragraphs(corpus, text_col, id_col, min_docs).select("par_hash")
+    bp = (
+        duplicate_paragraphs(corpus, text_col, id_col, min_docs)
+        .select("par_hash")
+        .withColumn("_bp", F.lit(True))
+    )
     paras = corpus.select(
         F.col(id_col).alias("_id"),
         F.posexplode(_nonblank(F.split(F.col(text_col), r"\n{2,}"))).alias("_pos", "_p"),
     ).withColumn("par_hash", F.md5(normalize(F.col("_p"))))
-    kept = paras.join(bp, "par_hash", "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
+    marked = paras.join(bp, "par_hash", "left")
+    keep = F.col("_bp").isNull()
+    rebuilt = marked.groupBy("_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("_pos", "_p")))
+                ),
                 lambda s: s["_p"],
             ),
             "\n\n",
         ).alias("text_clean"),
-        F.count(F.lit(1)).alias("n_paras_kept"),
+        F.count(F.when(keep, F.lit(1))).alias("n_paras_kept"),
+        F.count(F.lit(1)).alias("n_paras_total"),
     )
-    totals = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("n_paras_total"))
     return (
         corpus.select(F.col(id_col).alias("_id"))
-        .join(totals, "_id", "left")
         .join(rebuilt, "_id", "left")
         .select(
             F.col("_id").alias(id_col),

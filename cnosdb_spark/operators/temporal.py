@@ -52,21 +52,28 @@ def asof_join(
         c for c in right.columns if c not in (key, right_time)
     ]
     lcols = left.columns
+    # the matched right row travels as ONE struct so a NULL in one of its
+    # value columns stays NULL in the output — independent per-column
+    # carries would back-fill it from an OLDER right row, synthesizing a
+    # composite row that never existed
+    r_struct = F.struct(
+        F.col(right_time).alias("_rt"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_type = right.select(r_struct.alias("_r")).schema[0].dataType
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.struct(*lcols).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+        F.lit(None).cast(r_type).alias("_r"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("_l"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-        F.col(right_time).alias("_rt"),
+        r_struct.alias("_r"),
     )
     # right rows sort BEFORE left rows at the same timestamp so an
     # equal-time quote is visible to the event (backward as-of tie rule)
@@ -75,32 +82,48 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_side").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_cv_{c}") for c in value_cols],
-        F.last("_rt", ignorenulls=True).over(w).alias("_crt"),
+    out = (
+        l_tag.unionByName(r_tag)
+        .select("*", F.last("_r", ignorenulls=True).over(w).alias("_cr"))
+        .filter(F.col("_side") == 0)
     )
-    out = carried.filter(F.col("_side") == 0)
+    matched = F.col("_cr").isNotNull()
+    # NULL keys never match under equality-join semantics (the window
+    # would otherwise group all NULL keys into one partition and pair them)
+    matched = matched & F.col("_k").isNotNull()
     if tolerance is not None:
-        in_tol = F.col("_crt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            "*",
-            *[
-                F.when(in_tol, F.col(f"_cv_{c}")).alias(f"_tcv_{c}")
-                for c in value_cols
-            ],
-            F.when(in_tol, F.col("_crt")).alias("_tcrt"),
+        matched = matched & (
+            F.col("_cr")["_rt"] >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
         )
-        cv = lambda c: f"_tcv_{c}"  # noqa: E731
-        crt = "_tcrt"
-    else:
-        cv = lambda c: f"_cv_{c}"  # noqa: E731
-        crt = "_crt"
     return out.select(
         *[F.col("_l")[c].alias(c) for c in lcols],
-        *[F.col(cv(c)).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(crt).alias(f"{right_time}{suffix}"),
+        *[
+            F.when(matched, F.col("_cr")[f"_v_{c}"]).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.when(matched, F.col("_cr")["_rt"]).alias(f"{right_time}{suffix}"),
     )
+
+
+_INTERVAL_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def _interval_micros(text: str) -> int:
+    """Parse '<n> <unit>' (e.g. '15 minutes') to microseconds."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+?)s?\s*", text)
+    if not m or m.group(2).lower() not in _INTERVAL_US:
+        raise ValueError(f"cannot parse interval {text!r}")
+    return int(m.group(1)) * _INTERVAL_US[m.group(2).lower()]
 
 
 def interval_range_join(
@@ -124,10 +147,12 @@ def interval_range_join(
     guard discipline as the gapfill spine, SURVEY §7.4.1); choose
     ``bucket`` near the typical interval length so fan-out stays O(1).
     """
-    b_us = F.expr(f"INTERVAL {bucket}")
+    # bucket width parsed driver-side: deriving it from
+    # to_timestamp('1970-01-01') + INTERVAL would silently shift by the
+    # session timezone offset (negative widths under UTC+N)
+    width = F.lit(_interval_micros(bucket))
     start_b = F.unix_micros(F.col(start_col).cast("timestamp"))
     end_b = F.unix_micros(F.col(end_col).cast("timestamp"))
-    width = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + b_us)
     n_b = ((end_b - F.lit(1) - (start_b - F.pmod(start_b, width))) / width).cast("long") + 1
     iv = intervals.select(
         "*",

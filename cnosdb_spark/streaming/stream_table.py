@@ -30,7 +30,7 @@ class StreamTable:
     source_path: str
     event_time_column: str
     watermark_delay: str = "0 seconds"
-    schema = None
+    schema: object = None
     # source identity + declared projection for batch-view registration
     # (stream/basic.slt selects and explains the stream table directly)
     src_db: str = ""

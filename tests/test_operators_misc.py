@@ -427,3 +427,14 @@ def test_strip_boilerplate_plan_no_cartesian(spark):
     df = spark.createDataFrame([(1, "a\n\nb"), (2, "a\n\nc")], ["doc_id", "text"])
     plan = strip_boilerplate(df)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_redact_pii_no_cross_category_double_count(spark):
+    """Digits inside an already-redacted IP must not also count as a
+    phone (counts run on the progressively redacted text)."""
+    from cnosdb_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame([(1, "host 192.168.100.200 only")], ["doc_id", "text"])
+    r = redact_pii(df).collect()[0]
+    assert r["n_ip"] == 1 and r["n_phone"] == 0 and r["n_email"] == 0
+    assert r["text_redacted"] == "host <IP> only"

@@ -147,3 +147,29 @@ def test_interval_range_join_bucket_guard(spark):
     )
     with pytest.raises(Exception, match="buckets"):
         interval_range_join(points, intervals, bucket="1 minute", max_buckets=1000).collect()
+
+
+def test_asof_join_null_value_not_backfilled(spark):
+    """A NULL field on the matched (newest) right row must stay NULL —
+    not be back-filled from an older right row (no row tearing)."""
+    left = spark.createDataFrame([(B + timedelta(seconds=3), "a", 1.0)], ["time", "sym", "qty"])
+    right = spark.createDataFrame(
+        [(B + timedelta(seconds=1), "a", 10.0, 11.0),
+         (B + timedelta(seconds=2), "a", 12.0, None)],
+        "time timestamp, sym string, bid double, ask double",
+    )
+    r = asof_join(left, right, key="sym", value_cols=["bid", "ask"]).collect()[0]
+    assert r["bid_right"] == 12.0
+    assert r["ask_right"] is None  # from the matched row, not the older one
+    assert r["time_right"] == B + timedelta(seconds=2)
+
+
+def test_asof_join_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(B + timedelta(seconds=5), None, 1.0)], "time timestamp, sym string, qty double"
+    )
+    right = spark.createDataFrame(
+        [(B + timedelta(seconds=4), None, 9.0)], "time timestamp, sym string, price double"
+    )
+    r = asof_join(left, right, key="sym", value_cols=["price"]).collect()[0]
+    assert r["price_right"] is None and r["time_right"] is None
