@@ -141,16 +141,25 @@ def lines_to_tables(
     parsed = parse_lines_meta(text, precision)
     out = {}
     for name, (rows, tagkeys) in parsed.items():
-        keys: list[str] = ["time"]
+        seen: list[str] = []
         types: dict[str, type] = {}
         for r in rows:
             for k, v in r.items():
-                if k not in keys:
-                    keys.append(k)
+                if k not in seen:
+                    seen.append(k)
                 if not isinstance(v, bool) and isinstance(v, (int, float, str)):
                     types[k] = type(v)
                 elif isinstance(v, bool):
                     types[k] = bool
+        # column order = time, tags sorted, fields sorted — the reference
+        # creates the table from the whole write batch with name-ordered
+        # columns per group (sqlancer/repeat_write.slt:24-32: f0 precedes
+        # f1 although f1 arrived first)
+        keys = (
+            ["time"]
+            + sorted(k for k in seen if k in tagkeys)
+            + sorted(k for k in seen if k != "time" and k not in tagkeys)
+        )
         fields = [T.StructField("time", T.TimestampType(), False)]
         for k in keys[1:]:
             py = types.get(k, str)

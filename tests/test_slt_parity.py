@@ -375,6 +375,10 @@ VALUE_CHECKED = [
     # round-4: mixed numeric/string coalesce now coerces to Utf8 like
     # DataFusion (engine._coerce_schema_typed_args) — full value parity
     ("function/common/conditional_function/coalesce.slt", 1.0),
+    # round-4: schemaless column order = time, tags sorted, fields sorted
+    # (line_protocol.lines_to_tables) — the LWW-merge file reaches full
+    # value parity including SELECT * column order
+    ("sqlancer/repeat_write.slt", 1.0),
     # still excluded from the value tier (classification covers them):
     # lower (DF27's lower is ASCII-only — 'Ç' stays 'Ç'; Spark's Unicode
     # case-fold is deliberately kept), replace/chr/topk/bottom/only_tag_col
