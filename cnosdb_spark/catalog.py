@@ -50,6 +50,10 @@ class Catalog:
         self.spark = spark
         self.warehouse = warehouse
         self.tenant = tenant
+        # "now" provider for the TTL retention filter — the engine rebinds
+        # this to its virtual clock so slt `sleep` advances expiry
+        # (data_tests/data_ttl.slt) without wall-clock waits
+        self.now_us = lambda: _time.time_ns() // 1000
         os.makedirs(warehouse, exist_ok=True)
         # tables holding rows whose raw integer timestamp overflows the
         # engine's µs render range (ms/s-precision dbs): the reference
@@ -446,6 +450,18 @@ class Catalog:
         )
         return df
 
+    def _ttl_filter(self, db: str, df: DataFrame) -> DataFrame:
+        """Retention: drop rows older than now − TTL ('INF' = no expiry,
+        alter_database.slt). Applies to BOTH the merge-on-read view and the
+        raw pre-merge count path — the reference's storage scan never
+        returns expired rows, so the count pushdown excludes them too
+        (data_tests/data_ttl.slt:38 expects COUNT(*) = 0 after expiry)."""
+        ttl = self.database_options(db).get("ttl")
+        if ttl and str(ttl).upper() != "INF":
+            now = F.timestamp_micros(F.lit(int(self.now_us())))
+            df = df.filter(F.col(TIME_COL) >= now - F.expr(f"INTERVAL {ttl}"))
+        return df
+
     def read(
         self, db: str, name: str, dedup: bool = True, keep_residue: bool = False
     ) -> DataFrame:
@@ -457,14 +473,7 @@ class Catalog:
         pinned by cases/sqlancer/repeat_write.slt:12-32).
         """
         schema = self.get_schema(db, name)
-        df = self.read_raw(db, name)
-
-        ttl = self.database_options(db).get("ttl")
-        if ttl and str(ttl).upper() != "INF":  # 'INF' = no expiry (alter_database.slt)
-            df = df.filter(
-                F.col(TIME_COL)
-                >= F.current_timestamp() - F.expr(f"INTERVAL {ttl}")
-            )
+        df = self._ttl_filter(db, self.read_raw(db, name))
 
         if not dedup:
             return df.drop(INGEST_SEQ_COL, INGEST_ROW_COL, NS_RESIDUE_COL)

@@ -88,6 +88,7 @@ class Engine:
         self.warehouse = warehouse
         self._home_tenant = tenant
         self._catalogs: dict[str, Catalog] = {tenant: Catalog(spark, warehouse, tenant)}
+        self._catalogs[tenant].now_us = self._now_us
         self.database = database
         # external tables, scoped per tenant (the reference scopes them to
         # the tenant's meta — information_schema/tables.slt under a fresh
@@ -184,6 +185,7 @@ class Engine:
         visible from every tenant, like the reference's single usage DB."""
         if "cnosdb" not in self._catalogs:
             self._catalogs["cnosdb"] = Catalog(self.spark, self.warehouse, "cnosdb")
+            self._catalogs["cnosdb"].now_us = self._now_us
         return self._catalogs["cnosdb"]
 
     def _cat_for(self, db: str) -> Catalog:
@@ -283,6 +285,7 @@ class Engine:
         t = self.current_tenant
         if t not in self._catalogs:
             self._catalogs[t] = Catalog(self.spark, self.warehouse, t)
+            self._catalogs[t].now_us = self._now_us
         return self._catalogs[t]
 
     @property
@@ -724,17 +727,25 @@ class Engine:
         extension/expr/session_function/mod.rs: current_user, current_role,
         current_tenant, current_database) — resolved to literals at plan
         time, exactly as the reference binds them from the session context."""
-        role = self.tenants.get(self.catalog.tenant, {}).get("members", {}).get(
-            self.user, "owner"
+        # a user with no tenant-member role has NO current_role — the
+        # reference binds ScalarValue::Null (current_role.rs:16,
+        # session.slt:35 expects NULL for root: admins are not tenant
+        # members, even though the privilege model treats them as owners)
+        role = (
+            None
+            if self._is_admin()
+            else self.tenants.get(self.catalog.tenant, {})
+            .get("members", {})
+            .get(self.user)
         )
         subs = {
-            "current_user": self.user,
-            "current_role": role,
-            "current_tenant": self.catalog.tenant,
-            "current_database": self.database,
+            "current_user": f"'{self.user}'",
+            "current_role": "CAST(NULL AS STRING)" if role is None else f"'{role}'",
+            "current_tenant": f"'{self.catalog.tenant}'",
+            "current_database": f"'{self.database}'",
         }
         for fn, val in subs.items():
-            sql = re.sub(rf"\b{fn}\s*\(\s*\)", f"'{val}'", sql, flags=re.I)
+            sql = re.sub(rf"\b{fn}\s*\(\s*\)", val, sql, flags=re.I)
         return sql
 
     def _select(self, stmt: str) -> DataFrame:
@@ -819,7 +830,8 @@ class Engine:
             *(f.lower() for f in sch.fields),
         }:
             return None  # count(0) / count(NULL) / expressions: normal path
-        raw = self._cat_for(db).read_raw(db, name)
+        cat = self._cat_for(db)
+        raw = cat._ttl_filter(db, cat.read_raw(db, name))
         col = F.lit(1) if arg == "*" else F.col(arg)
         label = f"COUNT({'*' if arg == '*' else arg})"
         return raw.agg(F.count(col).alias(label))
@@ -1019,6 +1031,10 @@ class Engine:
             map_args("ascii", ascii_arg)
         if re.search(r"\bcorr\s*\(", stmt, re.I):
             map_args("corr", corr_arg)
+        # covar family: same string-FIELD safe-coercion as corr
+        # (statistical_agg/covar.slt:54 expects NULL for covar(f1, f3))
+        if re.search(r"\bcovar(_pop|_samp)?\s*\(", stmt, re.I):
+            map_args("covar(?:_pop|_samp)?", corr_arg)
         # lag/lead default-value type parity: DataFusion demands the default
         # match the value column's Int64 type — a float default over an
         # integer field is an error (lag.slt:333, lead.slt:231); Spark would
@@ -2374,6 +2390,14 @@ class Engine:
             if dur_us >= 10_000_000:
                 self._flush_usage()
         self.clock_offset_us += dur_us - step * ticks
+        # TTL views freeze "now" at registration — a clock advance must
+        # re-register tables of TTL'd databases so expiry is re-evaluated
+        for cat in self._catalogs.values():
+            for db in cat.list_databases():
+                ttl = cat.database_options(db).get("ttl")
+                if ttl and str(ttl).upper() != "INF":
+                    for name in cat.list_tables(db):
+                        self._dirty.add((db, name))
         self._run_stream_jobs()
 
     def _run_stream_jobs(self) -> None:

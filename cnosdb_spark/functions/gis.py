@@ -56,6 +56,82 @@ def _poly_area(coords: np.ndarray) -> float:
     return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
 
 
+def _parse_nest(s: str, i: int = 0):
+    """Parenthesized WKT body → nested lists; leaves are coordinate text."""
+    out: list = []
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            node, i = _parse_nest(s, i + 1)
+            out.append(node)
+        elif c == ")":
+            return out, i + 1
+        else:
+            j = i
+            while j < len(s) and s[j] not in "()":
+                j += 1
+            txt = s[i:j].strip().strip(",").strip()
+            if txt:
+                out.append(txt)
+            i = j
+    return out, i
+
+
+def _polygon_rings(wkt: str, t: str) -> list[list[np.ndarray]]:
+    """POLYGON/MULTIPOLYGON WKT → [polygon][ring] coord arrays (ring 0 is
+    the outer shell, later rings are holes)."""
+    body = wkt.strip()[len(t):].strip()
+    nest, _ = _parse_nest(body)
+    if not nest:
+        return []
+
+    def ring(leaf) -> np.ndarray:
+        txt = leaf[0] if isinstance(leaf, list) else leaf
+        return np.array([[float(a), float(b)] for a, b in _COORD_RE.findall(txt)])
+
+    node = nest[0]
+    if t == "POLYGON":
+        return [[ring(r) for r in node]]
+    return [[ring(r) for r in poly] for poly in node]
+
+
+_GC_MEMBER_RE = re.compile(
+    r"\b(MULTIPOLYGON|POLYGON|MULTILINESTRING|MULTIPOINT|LINESTRING|POINT)\s*\("
+)
+
+
+def _collection_members(wkt: str) -> list[str]:
+    """GEOMETRYCOLLECTION body → member WKT strings (balanced-paren scan)."""
+    body = wkt.strip()[len("GEOMETRYCOLLECTION"):]
+    members = []
+    for m in _GC_MEMBER_RE.finditer(body):
+        depth, j = 1, m.end()
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        members.append(body[m.start() : j])
+    return members
+
+
+def _area_of(wkt: str) -> float:
+    t = next((x for x in _WKT_TYPES if wkt.startswith(x)), None)
+    if t in ("POLYGON", "MULTIPOLYGON"):
+        total = 0.0
+        for rings in _polygon_rings(wkt, t):
+            if not rings or len(rings[0]) < 3:
+                continue
+            total += _poly_area(rings[0]) - sum(
+                _poly_area(h) for h in rings[1:] if len(h) >= 3
+            )
+        return total
+    if t == "GEOMETRYCOLLECTION":
+        return sum(_area_of(mem) for mem in _collection_members(wkt))
+    return 0.0
+
+
 def _point_in_poly(pt: np.ndarray, poly: np.ndarray) -> bool:
     x, y = pt
     inside = False
@@ -118,8 +194,13 @@ def st_area(g: pd.Series) -> pd.Series:
                 "processing geometry `The input was an empty Point, but "
                 "the output doesn't support empty Points`"
             )
-        elif t in ("POLYGON", "MULTIPOLYGON") and len(c) >= 3:
-            out.append(_poly_area(c))
+        elif t in ("POLYGON", "MULTIPOLYGON", "GEOMETRYCOLLECTION"):
+            # geo crate unsigned_area semantics: sum over polygons of
+            # (outer-shell area − hole areas); collections sum their
+            # polygonal members — the flattened-coordinate shoelace is
+            # wrong for multipolygons (st_area.slt:159 expects
+            # 2750 + 27.5 = 2777.5 for the two-polygon fixture)
+            out.append(_area_of(w.strip().upper()))
         else:
             out.append(0.0)
     return pd.Series(out, dtype="float64")

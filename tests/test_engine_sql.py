@@ -391,8 +391,10 @@ def test_dcl_and_session_functions(eng):
         "SELECT current_user() AS u, current_role() AS r, "
         "current_tenant() AS t, current_database() AS d"
     ).collect()[0]
+    # current_role is NULL for admins — they are not tenant members
+    # (current_role.rs:16, function/session.slt:35)
     assert (row["u"], row["r"], row["t"], row["d"]) == (
-        "root", "owner", "cnosdb", "public"
+        "root", None, "cnosdb", "public"
     )
 
 
