@@ -466,8 +466,18 @@ VALUE_CHECKED = [
     ("sys_table/usage_schema/setup.slt", 1.0),
     ("variable/system.slt", 1.0),
     # round-4 targeted fixes: multipolygon/collection unsigned_area,
-    # covar string-field safe coercion, NULL current_role for admins
+    # real geometry predicates (segment intersection, containment,
+    # spatial equality), exact point/segment distances with the geo
+    # crate's supported-pair matrix, and a real WKT<->WKB codec —
+    # every gis/*.slt now at full value parity
     ("function/gis/st_area.slt", 1.0),
+    ("function/gis/st_contains.slt", 1.0),
+    ("function/gis/st_within.slt", 1.0),
+    ("function/gis/st_equals.slt", 1.0),
+    ("function/gis/st_intersects.slt", 1.0),
+    ("function/gis/st_distance.slt", 1.0),
+    ("function/gis/st_asbinary.slt", 1.0),
+    ("function/gis/st_geomfromwkb.slt", 1.0),
     ("function/common/statistical_agg/covar.slt", 1.0),
     ("function/common/statistical_agg/covar_pop.slt", 1.0),
     ("function/common/statistical_agg/covar_samp.slt", 1.0),
