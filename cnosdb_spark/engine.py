@@ -843,12 +843,25 @@ class Engine:
         (concat.slt:139), and string FIELDS inside corr() coerce safely to
         NULL (corr.slt:55 — while string TAGS are planning errors)."""
         fm = re.search(r"\bFROM\s+([\w.]+)", stmt, re.I)
-        if not fm:
-            return stmt
-        try:
-            db, name = self._split_table_name(fm.group(1))
-            sch = self._cat_for(db).get_schema(db, name)
-        except Exception:
+        sch = None
+        if fm:
+            try:
+                db, name = self._split_table_name(fm.group(1))
+                sch = self._cat_for(db).get_schema(db, name)
+            except Exception:
+                sch = None
+        # f32 log/atan2 parity applies to literal-only statements too
+        # (log.slt `select log(1)`), so it runs before the schema gate
+        from .sql.rewriter import rewrite_f32_math
+
+        f32_ints = (
+            {f for f, t in sch.fields.items() if str(t).lower() in ("bigint", "unsigned")}
+            if sch
+            else set()
+        )
+        if re.search(r"\b(log|atan2)\s*\(", stmt, re.I):
+            stmt = rewrite_f32_math(stmt, f32_ints)
+        if sch is None:
             return stmt
         bool_fields = {f for f, t in sch.fields.items() if "bool" in str(t).lower()}
         str_fields = {f for f, t in sch.fields.items() if "string" in str(t).lower()}

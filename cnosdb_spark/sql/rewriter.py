@@ -1654,6 +1654,98 @@ def rewrite_fuzzer_arith_parity(sql: str) -> str:
     return sql
 
 
+_F32_MATH_RE = re.compile(r"\b(log|atan2)\s*\(", re.I)
+
+
+def rewrite_f32_math(sql: str, int_fields: set[str]) -> str:
+    """DataFusion-27 signature parity for log/atan2, whose candidate lists
+    put Float32 FIRST (log.slt / atan2.slt error texts pin the order):
+    integer arguments coerce to Float32, so log(bigint) and
+    atan2(int, int) produce f32 results (log.slt:48 renders 0.30102998,
+    atan2.slt:8 renders 1.1071488). Single-arg log is also LOG BASE 10 in
+    DataFusion (log.slt:6: log(1e-12) = -12), not Spark's natural log.
+    Double-typed arguments keep the Float64 path (rewritten to log10 and
+    picked up by rewrite_float_math_parity's Rust-f64 semantics)."""
+    intset = {f.lower() for f in int_fields}
+
+    def is_int(a: str) -> bool:
+        a = a.strip()
+        if re.fullmatch(r"[+-]?\d+", a):
+            return True
+        return a.split(".")[-1].strip('"').lower() in intset
+
+    pos = 0
+    while True:
+        m = _F32_MATH_RE.search(sql, pos)
+        if not m:
+            return sql
+        fn = m.group(1).lower()
+        end = _find_call_end(sql, m.end() - 1)
+        args = [a.strip() for a in _split_args(sql[m.end() : end - 1])]
+        repl = None
+        if fn == "log" and len(args) == 1:
+            x = args[0]
+            if is_int(x):
+                xd = f"CAST(({x}) AS DOUBLE)"
+                repl = (
+                    f"(CASE WHEN {xd} IS NULL THEN CAST(NULL AS FLOAT) "
+                    f"WHEN isnan({xd}) OR {xd} < 0.0 THEN CAST('NaN' AS FLOAT) "
+                    f"WHEN {xd} = 0.0 THEN CAST('-Infinity' AS FLOAT) "
+                    f"ELSE CAST(log10({xd}) AS FLOAT) END)"
+                )
+            else:
+                repl = f"log10({x})"
+        elif fn == "atan2" and len(args) == 2 and all(is_int(a) for a in args):
+            a, b = args
+            repl = (
+                f"CAST(atan2(CAST(({a}) AS DOUBLE), "
+                f"CAST(({b}) AS DOUBLE)) AS FLOAT)"
+            )
+        if repl is None:
+            pos = end
+            continue
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
+_ASINH_RE = re.compile(r"\basinh\s*\(", re.I)
+
+
+def rewrite_asinh_stable(sql: str) -> str:
+    """Spark's asinh evaluates ln(x + sqrt(x²+1)) directly, which loses
+    ~7 digits to cancellation for large NEGATIVE x (asinh.slt:14:
+    round(asinh(-1000000), 10) must be -14.5086577385, Spark's builtin
+    yields -14.5086501241). Rust's asinh is odd-symmetric and stable —
+    mirror negatives through the positive branch."""
+    pos = 0
+    while True:
+        m = _ASINH_RE.search(sql, pos)
+        if not m:
+            return sql
+        end = _find_call_end(sql, m.end() - 1)
+        args = _split_args(sql[m.end() : end - 1])
+        if len(args) != 1:
+            pos = end
+            continue
+        x = f"CAST(({args[0].strip()}) AS DOUBLE)"
+
+        def stable(y: str) -> str:
+            # |y| < 1: ln(1+t) cancellation → log1p form; |y| >= 1 the
+            # direct ln(y + sqrt(y²+1)) (= Spark's asinh) is stable
+            return (
+                f"(CASE WHEN {y} < 1.0 THEN "
+                f"log1p({y} + {y} * {y} / (1.0 + sqrt({y} * {y} + 1.0))) "
+                f"ELSE asinh({y}) END)"
+            )
+
+        repl = (
+            f"(CASE WHEN {x} < 0.0 THEN -{stable(f'(-{x})')} "
+            f"ELSE {stable(x)} END)"
+        )
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
 def rewrite_float_math_parity(sql: str) -> str:
     """Rust-f64 semantics for signum and the log family
     (math_function/{signum,log10,log2}.slt; Rust f64::signum(+0.0) = 1.0
@@ -2026,6 +2118,7 @@ def rewrite_dql(sql: str, *, fuzzer_arith: bool = True) -> str:
     sql = rewrite_time_int_comparison(sql)
     sql = rewrite_selector(sql)
     sql = rewrite_float_math_parity(sql)
+    sql = rewrite_asinh_stable(sql)
     if fuzzer_arith:
         sql = rewrite_fuzzer_arith_parity(sql)
     sql = rewrite_corr(sql)

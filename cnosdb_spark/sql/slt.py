@@ -250,7 +250,16 @@ def run_slt(
             if rec.kind == "query" and rec.expected_rows is not None:
                 if check_values:
                     rows = df.collect() if df is not None else []
-                    comparable, err = compare_values(rec, rows)
+                    f32_cols = (
+                        {
+                            i
+                            for i, fld in enumerate(df.schema.fields)
+                            if fld.dataType.typeName() == "float"
+                        }
+                        if df is not None
+                        else set()
+                    )
+                    comparable, err = compare_values(rec, rows, f32_cols)
                     if comparable and err:
                         res.failures.append(f"{rec.file}:{rec.line}: {err}: {short}")
                         continue
@@ -377,7 +386,7 @@ def _canon_spark_value(v):
     raise _Unparseable(repr(v))
 
 
-def _cells_equal(a, b) -> bool:
+def _cells_equal(a, b, f32: bool = False) -> bool:
     # CnosDB renders null tags as the string "NULL" — accept either side
     if (a is None and b == "NULL") or (b is None and a == "NULL"):
         return True
@@ -395,7 +404,11 @@ def _cells_equal(a, b) -> bool:
 
         if isnan(a) or isnan(b):
             return isnan(a) and isnan(b)
-        return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b))
+        # f32-typed engine columns (DataFusion Float32-signature paths like
+        # log(int)/atan2(int,int)): libm f32 kernels differ by ~1 ulp
+        # across platforms, so compare at f32 resolution
+        tol = 3e-7 if f32 else 1e-9
+        return a == b or abs(a - b) <= tol * max(abs(a), abs(b))
     # numeric strings vs numbers (DataFusion casts render differently)
     if isinstance(a, float) and isinstance(b, str) and _NUM_RE.fullmatch(b):
         return _cells_equal(a, _canon_num(float(b)))
@@ -404,7 +417,9 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
-def compare_values(rec: SltRecord, rows) -> tuple[bool, str | None]:
+def compare_values(
+    rec: SltRecord, rows, f32_cols: set[int] | None = None
+) -> tuple[bool, str | None]:
     """Multiset value comparison of Spark result rows against the slt
     expected block. Returns (comparable, error) — comparable=False when the
     block contains constructs outside the canonicalizer (structs etc.),
@@ -422,7 +437,11 @@ def compare_values(rec: SltRecord, rows) -> tuple[bool, str | None]:
     key = lambda r: tuple(str(c) for c in r)  # noqa: E731
     expected.sort(key=key)
     got.sort(key=key)
+    f32_cols = f32_cols or set()
     for e, g in zip(expected, got):
-        if len(e) != len(g) or not all(_cells_equal(a, b) for a, b in zip(e, g)):
+        if len(e) != len(g) or not all(
+            _cells_equal(a, b, i in f32_cols)
+            for i, (a, b) in enumerate(zip(e, g))
+        ):
             return True, f"row mismatch: got {g!r} expected {e!r}"
     return True, None

@@ -485,6 +485,12 @@ VALUE_CHECKED = [
     # round-4: the raw-count fast path applies the TTL retention filter and
     # advance_clock re-registers TTL views (catalog._ttl_filter)
     ("data_tests/data_ttl.slt", 1.0),
+    # round-4: DataFusion log = log10; Float32-first signatures for
+    # log(int)/atan2(int,int) (rewrite_f32_math); cancellation-stable
+    # asinh (rewrite_asinh_stable)
+    ("function/common/math_function/log.slt", 1.0),
+    ("function/common/math_function/atan2.slt", 1.0),
+    ("function/common/math_function/asinh.slt", 1.0),
     # still excluded from the value tier (classification covers them):
     # lower (DF27's lower is ASCII-only — 'Ç' stays 'Ç'; Spark's Unicode
     # case-fold is deliberately kept), replace/chr/topk/bottom/only_tag_col
