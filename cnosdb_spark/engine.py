@@ -1437,10 +1437,19 @@ class Engine:
         pm = re.search(r"PRECISION\s+'(\w+)'", opts_str, re.I)
         if pm:
             opts["precision"] = pm.group(1).upper()
-        for key in ("shard", "replica"):
-            km = re.search(rf"{key}\s+(\d+)", opts_str, re.I)
+        for key in ("shard", "replica", "memcache_partitions", "max_cache_readers"):
+            km = re.search(rf"\b{key}\s+(\d+)", opts_str, re.I)
             if km:
                 opts[key] = int(km.group(1))
+        # remaining DatabaseConfig options (database_schema.rs) — stored
+        # raw, rendered by DESCRIBE/information_schema
+        for key in (
+            "vnode_duration", "max_memcache_size", "wal_max_file_size",
+            "wal_sync", "strict_write",
+        ):
+            km = re.search(rf"\b{key}\s+'([^']+)'", opts_str, re.I)
+            if km:
+                opts[key] = km.group(1)
         self.catalog.create_database(name, **opts)
 
     def _create_table(self, stmt: str) -> None:
@@ -2336,15 +2345,9 @@ class Engine:
             self._require_db_read(target)
             if target not in self.catalog.list_databases():
                 raise ValueError(f"Database not found: {target!r}")
-            opts = self.catalog.database_options(target)
-            row = (
-                str(opts.get("ttl", "INF")),
-                int(opts.get("shard", 1)),
-                str(opts.get("vnode_duration", "1year")),
-                int(opts.get("replica", 1)),
-                str(opts.get("precision", "NS")),
-                "128 MiB", 16, "128 MiB", False, False, 32,
-            )
+            from .schema import db_options_row
+
+            row = db_options_row(self.catalog.database_options(target))
             return self.spark.createDataFrame(
                 [row],
                 "ttl string, shard bigint, vnode_duration string, replica bigint, "
@@ -3289,15 +3292,22 @@ def _normalize_ttl(ttl: str) -> str:
         # bare number defaults to days (database_schema.rs DatabaseOptions;
         # dql/time_datatype.slt creates WITH TTL '1000000')
         return f"{ttl.strip()} DAY"
-    m = re.fullmatch(r"(\d+)\s*([a-z]+)", ttl.strip(), re.I)
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]+)", ttl.strip())
     if not m:
         return ttl
     n, unit = m.groups()
+    # humantime units are CASE-SENSITIVE: 'M' is month, 'm' is minute
+    # (describe_database.slt:76 alter set ttl '1M' renders "1month")
+    if unit == "M":
+        return f"{n} MONTH"
     unit_map = {
         "d": "DAY", "day": "DAY", "days": "DAY",
         "h": "HOUR", "hour": "HOUR", "hours": "HOUR",
         "m": "MINUTE", "min": "MINUTE",
         "s": "SECOND", "sec": "SECOND",
+        "w": "WEEK", "week": "WEEK", "weeks": "WEEK",
+        "y": "YEAR", "year": "YEAR", "years": "YEAR",
+        "month": "MONTH", "months": "MONTH",
     }
     return f"{n} {unit_map.get(unit.lower(), unit.upper())}"
 

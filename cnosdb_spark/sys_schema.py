@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .schema import TIME_COL
+from .schema import TIME_COL, db_options_row
 
 
 def tenants_df(spark: SparkSession, tenants: dict) -> DataFrame:
@@ -44,19 +44,31 @@ def users_df(spark: SparkSession, users: dict) -> DataFrame:
     masked hash_password first)."""
     import json
 
+    # UserOptions serde field order (auth/user.rs:143-153): hash_password,
+    # must_change_password, rsa_public_key, comment, granted_admin —
+    # absent fields are skipped
+    key_order = [
+        "hash_password", "must_change_password", "rsa_public_key",
+        "comment", "granted_admin",
+    ]
     rows = []
     for name, u in sorted(users.items()):
-        opts = {"hash_password": "*****"}
+        raw = {"hash_password": "*****"}
         for k, v in (u.get("options") or {}).items():
-            if k in ("true", "false"):
+            # a plaintext password is never serialized — it IS the masked
+            # hash_password (dcl_user.slt:96)
+            if k in ("true", "false", "password"):
                 continue
-            opts[k] = (
+            raw[k] = (
                 v if not isinstance(v, str)
                 else True if v == "true" else False if v == "false" else v
             )
-        rows.append(
-            (name, bool(u.get("is_admin")), json.dumps(opts, separators=(",", ":")))
-        )
+        opts = {k: raw[k] for k in key_order if k in raw}
+        opts.update({k: v for k, v in raw.items() if k not in opts})
+        # the is_admin column reflects GRANT ADMIN too
+        # (dcl/grant_admin.slt:21, alter_user.slt:74)
+        is_admin = bool(u.get("is_admin")) or raw.get("granted_admin") is True
+        rows.append((name, is_admin, json.dumps(opts, separators=(",", ":"))))
     return spark.createDataFrame(
         rows, "user_name string, is_admin boolean, user_options string"
     )
@@ -125,19 +137,17 @@ def databases_df(spark: SparkSession, catalog, hidden: set | None = None) -> Dat
         if hidden and db in hidden:
             continue
         opts = catalog.database_options(db)
-        rows.append(
-            (
-                catalog.tenant,
-                db,
-                opts.get("ttl") or "INF",
-                int(opts.get("shard", 1)),
-                int(opts.get("replica", 1)),
-            )
-        )
-    return spark.createDataFrame(
-        rows or [(catalog.tenant, "public", "INF", 1, 1)][:0],
-        "tenant_name string, database_name string, ttl string, shard bigint, replica bigint",
+        rows.append((catalog.tenant, db, *db_options_row(opts)))
+    # 13 columns, exactly the reference's information_schema.DATABASES
+    # shape (sys_table/information_schema/databases.slt:53)
+    schema = (
+        "tenant_name string, database_name string, ttl string, shard bigint, "
+        "vnode_duration string, replica bigint, precision string, "
+        "max_memcache_size string, memcache_partitions bigint, "
+        "wal_max_file_size string, wal_sync boolean, strict_write boolean, "
+        "max_cache_readers bigint"
     )
+    return spark.createDataFrame(rows or [], schema)
 
 
 def tables_df(

@@ -333,8 +333,9 @@ def test_describe_table_and_database(eng):
     assert rows["column6"] == ("STRING", "TAG", "DEFAULT")
     eng.sql("CREATE DATABASE ddb WITH TTL '100000d'")
     row = eng.sql("DESCRIBE DATABASE ddb").collect()[0]
-    # ttl is stored Spark-INTERVAL-normalized ('100000d' → '100000 DAY')
-    assert row["ttl"] == "100000 DAY" and row["shard"] == 1 and row["precision"] == "NS"
+    # ttl renders humantime-style like the reference (duration.rs:23)
+    assert row["ttl"] == "273years 9months 12days 18h 57m 36s"
+    assert row["shard"] == 1 and row["precision"] == "NS"
     with pytest.raises(ValueError):
         eng.sql("DESCRIBE DATABASE nope")
 

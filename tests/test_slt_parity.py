@@ -491,6 +491,16 @@ VALUE_CHECKED = [
     ("function/common/math_function/log.slt", 1.0),
     ("function/common/math_function/atan2.slt", 1.0),
     ("function/common/math_function/asinh.slt", 1.0),
+    # round-4: full 11-column DatabaseOptions display (humantime duration
+    # + MiB size rendering), granted_admin in is_admin, UserOptions serde
+    # key order, plaintext password never serialized
+    ("ddl/describe_database.slt", 1.0),
+    ("ddl/alter_database.slt", 1.0),
+    ("ddl/user.slt", 1.0),
+    ("dcl/grant_admin.slt", 1.0),
+    ("dcl/alter_user.slt", 1.0),
+    ("dcl/dcl_user.slt", 1.0),
+    ("dcl/dcl_role.slt", 1.0),
     # still excluded from the value tier (classification covers them):
     # lower (DF27's lower is ASCII-only — 'Ç' stays 'Ç'; Spark's Unicode
     # case-fold is deliberately kept), replace/chr/topk/bottom/only_tag_col
