@@ -266,3 +266,96 @@ def strip_boilerplate(
             F.coalesce(F.col("n_paras_total"), F.lit(0)).alias("n_paras_total"),
         )
     )
+
+
+def _hash_frac(id_col: str, salt: str) -> Column:
+    """The split_dataset hash as a uniform [0,1) fraction — deterministic,
+    content-independent, identical arithmetic to the DuckDB oracle."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its id-hash
+    fraction falls below the stratum's sampling rate.  The workhorse of
+    domain rebalancing ("keep 10% of commoncrawl, all of wikipedia").
+
+    Unlike ``DataFrame.sampleBy`` this is reproducible across re-runs,
+    partitionings, and engines (the same md5 arithmetic runs in the DuckDB
+    oracle) — at 100 TB a re-processed shard MUST make the same keep/drop
+    decisions as the original run.  Pure column expression: no shuffle, no
+    RNG state, filter pushes to the scan.
+    """
+    frac = _hash_frac(id_col, salt)
+    rate = None
+    for name, f in fractions.items():
+        cond = F.col(stratum_col) == name
+        rate = F.when(cond, float(f)) if rate is None else rate.when(cond, float(f))
+    rate = F.lit(float(default_fraction)) if rate is None else rate.otherwise(
+        float(default_fraction)
+    )
+    return df.filter(frac < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    target_weights: dict[str, float],
+    budget_tokens: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Data-mixing sampler: downsample each stratum so the output
+    approaches ``budget_tokens`` total with per-stratum token share
+    proportional to ``target_weights`` (weights normalized; a stratum
+    smaller than its allocation is kept whole — rate capped at 1, i.e.
+    no upsampling — and absent strata contribute nothing).
+
+    Two aggregation passes, both tiny on the reduce side: (1) per-stratum
+    token totals (one row per stratum), broadcast-joined back; (2) the
+    deterministic ``_hash_frac`` keep decision.  No ``.collect()`` — the
+    rates live in a one-row-per-stratum broadcast, so the plan is a scan →
+    broadcast join → filter at any scale.
+    """
+    total_w = sum(target_weights.values()) or 1.0
+    alloc = None
+    for name, wt in target_weights.items():
+        cond = F.col(stratum_col) == name
+        share = float(wt) / total_w * float(budget_tokens)
+        alloc = F.when(cond, share) if alloc is None else alloc.when(cond, share)
+    alloc = F.lit(0.0) if alloc is None else alloc.otherwise(0.0)
+    rates = (
+        df.groupBy(stratum_col)
+        .agg(F.sum(F.col(token_col)).cast("double").alias("_stratum_tokens"))
+        .withColumn("_alloc", alloc)
+        .withColumn(
+            "_rate",
+            F.when(F.col("_stratum_tokens") <= 0, 0.0).otherwise(
+                F.least(F.lit(1.0), F.col("_alloc") / F.col("_stratum_tokens"))
+            ),
+        )
+        .select(stratum_col, "_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(_hash_frac(id_col, salt) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -255,3 +255,63 @@ def ivf_topk(
             F.col("_rn").cast("int").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings around fixed centroids, then
+    inside each cluster drop every vector that has an earlier (lower-id)
+    cluster-mate with cosine ≥ threshold.  Only within-cluster pairs are
+    ever compared — the cross-cluster quadratic blowup of exact semantic
+    dedup never materializes.
+
+    ``centroids`` come from :func:`ivf_centroids` (deterministic md5-seeded
+    sample + one Lloyd step), so the whole operator is reproducible and
+    ANSI-SQL-expressible for the oracle.
+
+    Output: one row per input vector — (vec_id, cluster, is_kept,
+    dup_of) where dup_of is the smallest cluster-mate id that shadows a
+    dropped vector (NULL when kept).
+
+    Scale: assignment is a narrow map against literal centroids; the
+    within-cluster comparison is a self-equi-join on cluster id (shuffle
+    hash join — candidate volume is Σ cluster_size², bounded by choosing
+    n_centroids ∝ √N as IVF practice dictates; the corpus can be stored
+    pre-partitioned by cluster so the join is co-located).
+    """
+    c = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        ),
+        "_v",
+        centroids,
+        out_col="_cluster",
+    )
+    lo = c.select(
+        F.col("_cluster"), F.col("_id").alias("_lo"), F.col("_v").alias("_lv")
+    )
+    hi = c.select(
+        F.col("_cluster"), F.col("_id").alias("_hi"), F.col("_v").alias("_hv")
+    )
+    shadows = (
+        lo.join(hi, "_cluster")
+        .filter(F.col("_lo") < F.col("_hi"))
+        .filter(cosine_expr(F.col("_lv"), F.col("_hv")) >= threshold)
+        .groupBy("_hi")
+        .agg(F.min("_lo").alias("dup_of"))
+    )
+    return (
+        c.join(shadows, c["_id"] == shadows["_hi"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cluster").cast("int").alias("cluster"),
+            F.col("dup_of").isNull().alias("is_kept"),
+            F.col("dup_of"),
+        )
+    )

@@ -1,0 +1,260 @@
+"""Oracle-checked tests for the corpus-scoring (TF-IDF / BM25 / unigram
+LM) and deterministic-sampling (stratified / mixture / SemDeDup)
+pipeline operators, at sf0.001 for the heavy token explodes and sf0.01
+where cheap."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cnosdb_spark.operators import curation, scoring, similarity
+from cnosdb_spark.session import read_table
+
+from .conftest import SF_SMOKE
+from .oracle import compare
+
+# DuckDB mirror of operators.text normalize+tokens (lockstep with the
+# registered text_token_fingerprint oracle).
+_TOKS = "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_DT = f"""
+    doc_terms AS (
+        SELECT doc_id AS _doc, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest({_TOKS}) AS term
+            FROM documents WHERE trim(text) <> ''
+        )
+        GROUP BY doc_id, term
+    )
+"""
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    con = duckdb.connect()
+    for name in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMOKE}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_tf_idf_topk_oracle(spark, duck_smoke):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = scoring.tf_idf_topk_terms(docs, k=3)
+    want = duck_smoke.execute(
+        f"""
+        WITH {_DT},
+        df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM doc_terms GROUP BY term),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
+        scored AS (
+            SELECT _doc, doc_terms.term, tf,
+                   tf * (ln((1 + _n) / (1 + df)) + 1) AS tfidf
+            FROM doc_terms JOIN df_t ON doc_terms.term = df_t.term CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY _doc ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT _doc AS doc_id, term, tf, round(tfidf, 6) AS tfidf, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        """
+    ).df()
+    errs = compare(got, want, "tf_idf_topk")
+    assert not errs, "\n".join(errs)
+
+
+def test_bm25_oracle(spark, duck_smoke):
+    terms = ["the", "data", "time"]
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = scoring.bm25_scores(docs, terms)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    want = duck_smoke.execute(
+        f"""
+        WITH {_DT},
+        qt AS (SELECT * FROM doc_terms WHERE term IN ({tlist})),
+        lens AS (
+            SELECT doc_id AS _doc,
+                   CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS DOUBLE) AS dl
+            FROM documents
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
+        avgdl AS (SELECT avg(dl) AS _avgdl FROM lens),
+        df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY term),
+        scored AS (
+            SELECT qt._doc,
+                   ln(1 + (_n - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / _avgdl)) AS _s
+            FROM qt
+            JOIN df_t ON qt.term = df_t.term
+            JOIN lens ON qt._doc = lens._doc
+            CROSS JOIN n CROSS JOIN avgdl
+        )
+        SELECT _doc AS doc_id, round(sum(_s), 6) AS bm25 FROM scored GROUP BY _doc
+        """
+    ).df()
+    errs = compare(got, want, "bm25")
+    assert not errs, "\n".join(errs)
+
+
+def test_unigram_lm_oracle(spark, duck_smoke):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = scoring.unigram_lm_scores(docs, add_k=0.5)
+    want = duck_smoke.execute(
+        f"""
+        WITH {_DT},
+        counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cw FROM doc_terms GROUP BY term),
+        tot AS (SELECT CAST(sum(cw) AS BIGINT) AS _t, CAST(count(*) AS BIGINT) AS _v FROM counts),
+        scored AS (
+            SELECT _doc, tf, tf * log10((cw + 0.5) / (_t + 0.5 * _v)) AS _lp
+            FROM doc_terms JOIN counts ON doc_terms.term = counts.term CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT _doc, CAST(sum(tf) AS BIGINT) AS n_tokens, sum(_lp) AS _lp_sum
+            FROM scored GROUP BY _doc
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               round(p._lp_sum / p.n_tokens, 6) AS lm_logprob
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p._doc
+        """
+    ).df()
+    errs = compare(got, want, "unigram_lm")
+    assert not errs, "\n".join(errs)
+
+    # higher-probability tokens ⇒ score closer to 0; garbled text lowest
+    rows = {r["doc_id"]: r["lm_logprob"] for r in got.collect()}
+    assert all(v is None or v < 0 for v in rows.values())
+
+
+_FRAC = (
+    "(('0x' || substring(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+    " / 4294967296.0)"
+)
+
+
+def test_stratified_sample_oracle(spark, duck):
+    fr = {"src0": 0.25, "src1": 1.0, "src2": 0.5}
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    got = curation.stratified_sample(docs, "source", fr, salt="s1").select(
+        "doc_id", "source"
+    )
+    frac = _FRAC.format(salt="s1")
+    want = duck.execute(
+        f"""
+        SELECT doc_id, source FROM documents
+        WHERE {frac} < CASE source
+            WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.5
+            ELSE 0.0 END
+        """
+    ).df()
+    errs = compare(got, want, "stratified_sample")
+    assert not errs, "\n".join(errs)
+
+
+def test_stratified_sample_is_stable_under_repartition(spark):
+    fr = {"src0": 0.3}
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    a = {r[0] for r in curation.stratified_sample(docs, "source", fr).select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in curation.stratified_sample(docs.repartition(13), "source", fr)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_mixture_sample_oracle(spark, duck):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    wts = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    budget = 6_000
+    got = curation.mixture_sample(
+        docs, "source", wts, budget, token_col="n_chars", salt="m1"
+    ).select("doc_id", "source", "n_chars")
+    frac = _FRAC.format(salt="m1")
+    want = duck.execute(
+        f"""
+        WITH rates AS (
+            SELECT source,
+                   least(1.0, (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                               WHEN 'src2' THEN 0.2 ELSE 0.0 END) * {budget}
+                         / CAST(sum(n_chars) AS DOUBLE)) AS _rate
+            FROM documents GROUP BY source HAVING sum(n_chars) > 0
+        )
+        SELECT doc_id, d.source, n_chars
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {frac} < r._rate
+        """
+    ).df()
+    errs = compare(got, want, "mixture_sample")
+    assert not errs, "\n".join(errs)
+
+
+def test_mixture_sample_respects_budget(spark):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    wts = {"src0": 0.6, "src1": 0.4}
+    budget = 6_000
+    out = curation.mixture_sample(docs, "source", wts, budget, token_col="n_chars")
+    per = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()
+    }
+    assert set(per) <= set(wts)
+    # each stratum lands within hash-sampling noise of its allocation
+    # (or is kept whole when smaller than the allocation)
+    for s, wt in wts.items():
+        alloc = wt * budget
+        assert per[s] < alloc * 1.35
+
+
+def test_semantic_dedup_oracle_properties(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=4)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.9).cache()
+    n = emb.count()
+    assert out.count() == n  # one verdict per vector
+    kept = out.filter("is_kept")
+    dropped = out.filter("NOT is_kept")
+    # every dropped vector's dup_of is a KEPT-or-dropped lower id in the
+    # same cluster with cosine >= threshold
+    a = dropped.alias("d").join(
+        out.alias("o"), F.col("d.dup_of") == F.col("o.vec_id")
+    )
+    bad = a.filter(F.col("d.cluster") != F.col("o.cluster")).count()
+    assert bad == 0
+    assert dropped.filter(F.col("dup_of") >= F.col("vec_id")).count() == 0
+    # verify cosines: join vectors back for a sample of dropped rows
+    vecs = emb.select(
+        F.col("vec_id").alias("_i"), F.col("embedding").cast("array<double>").alias("_v")
+    )
+    pairs = (
+        dropped.limit(50)
+        .join(vecs, F.col("vec_id") == F.col("_i"))
+        .withColumnRenamed("_v", "_va")
+        .drop("_i")
+        .join(vecs, F.col("dup_of") == F.col("_i"))
+        .withColumnRenamed("_v", "_vb")
+    )
+    viol = pairs.filter(
+        similarity.cosine_expr(F.col("_va"), F.col("_vb")) < 0.9
+    ).count()
+    assert viol == 0
+    out.unpersist()
+
+
+def test_semantic_dedup_removes_planted_duplicate(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    # plant an exact duplicate of the min-id vector under a new max id
+    first = emb.orderBy("vec_id").limit(1)
+    top = emb.agg(F.max("vec_id")).collect()[0][0]
+    dup = first.select(
+        (F.lit(top) + 1).alias("vec_id"), "embedding", "label"
+    )
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=4)
+    out = similarity.semantic_dedup(emb.unionByName(dup), cents, threshold=0.999)
+    row = out.filter(F.col("vec_id") == top + 1).collect()[0]
+    assert not row["is_kept"]
+    assert row["dup_of"] == first.collect()[0]["vec_id"]
