@@ -93,3 +93,65 @@ def test_cluster_resolution_lineage_bounded(spark):
     # a checkpointed plan scans the materialized RDD — no joins remain
     assert "Join" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_tf_idf_broadcasts_scalar_not_corpus(spark):
+    """The doc-count scalar must ride a BroadcastExchange; the (doc, term)
+    table must aggregate with map-side combine before its exchange."""
+    from cnosdb_spark.operators import scoring
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = scoring.tf_idf_topk_terms(docs, k=3)
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastExchange" in p
+    assert "partial_count" in p
+    # the only nested-loop join allowed is the one-row doc-count scalar
+    # riding its broadcast (keyless join against a 1-row aggregate)
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_mixture_sample_rates_broadcast(spark):
+    """Per-stratum rates join must be a broadcast hash join (the rates
+    side is one row per stratum), so the plan stays scan→join→filter."""
+    from cnosdb_spark.operators import curation
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = curation.mixture_sample(
+        docs, "source", {"src0": 0.6, "src1": 0.4}, 6000, token_col="n_chars"
+    )
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in p
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Deterministic hash sampling is a pure filter: no exchange at all."""
+    from cnosdb_spark.operators import curation
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = curation.stratified_sample(docs, "source", {"src0": 0.5})
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in p
+
+
+def test_semantic_dedup_joins_on_cluster(spark):
+    """Within-cluster comparison must be an equi-join on the cluster id —
+    never a BroadcastNestedLoopJoin over all pairs."""
+    from cnosdb_spark.operators import similarity
+    from cnosdb_spark.session import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=4)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.95)
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastNestedLoopJoin" not in p
