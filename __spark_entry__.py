@@ -124,10 +124,12 @@ def tpch_q3(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    co = F.broadcast(c).join(o, c.c_custkey == o.o_custkey)
     return (
-        F.broadcast(c)
-        .join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        # build side = the BUILDING-filtered customer⋈orders slice (the
+        # small side at ANY scale); lineitem streams — broadcasting the
+        # fact side, which AQE picks at sf0.1, would not survive 100×
+        l.join(F.broadcast(co), co.o_orderkey == l.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -167,15 +169,20 @@ def tpch_q5(spark, sf_dir):
     )
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    return (
+    # dims fold into one broadcast-able slice (region→nation→customer→
+    # filtered orders, the small side at any scale); lineitem — the fact
+    # table — streams through both broadcast joins without ever shuffling
+    rnco = (
         F.broadcast(r)
         .join(n, n.n_regionkey == r.r_regionkey)
         .join(c, c.c_nationkey == n.n_nationkey)
         .join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+    )
+    return (
+        l.join(F.broadcast(rnco), rnco.o_orderkey == l.l_orderkey)
         .join(
             F.broadcast(s),
-            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+            (s.s_suppkey == F.col("l_suppkey")) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
         .agg(
