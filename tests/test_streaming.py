@@ -317,3 +317,47 @@ def test_stream_ingest_dedup_respects_existing_watermark(spark, tmp_path):
     q = run_to_memory(deduped, "wm_dedup_out", output_mode="append")
     q.awaitTermination(120)
     assert spark.sql("SELECT * FROM wm_dedup_out").count() == 1
+
+
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    """Session windows (dynamic-gap sessionization) on a stream: bursts
+    separated by more than the gap land in separate sessions, and the
+    streamed result matches the batch session_window aggregation — the
+    streaming complement of the batch `sessionization` driver query."""
+    path = str(tmp_path / "clicks")
+    base = datetime(2024, 1, 1)
+    rows = []
+    for burst_start, n in [(0, 3), (30, 2), (75, 4)]:  # minutes
+        for i in range(n):
+            rows.append((base + timedelta(minutes=burst_start + i), "u1", 1.0))
+    rows.append((base + timedelta(minutes=5), "u2", 2.0))
+    spark.createDataFrame(rows, ["time", "name", "v"]).write.parquet(path)
+
+    st = StreamTable(
+        name="clicks_stream",
+        source_path=path,
+        event_time_column="time",
+        watermark_delay="5 minutes",
+    )
+    agg = (
+        st.read(spark)
+        .groupBy(F.session_window("time", "10 minutes"), "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    q = run_to_memory(agg, "session_out", output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r["session_window"]["start"], r["name"]): (r["n"], r["sv"])
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    expect = {
+        (r["session_window"]["start"], r["name"]): (r["n"], r["sv"])
+        for r in spark.read.parquet(path)
+        .groupBy(F.session_window("time", "10 minutes"), "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got == expect
+    # u1's three bursts: 0-30 merges (gap 27 < 10? no —) verify count
+    u1_sessions = [k for k in got if k[1] == "u1"]
+    assert len(u1_sessions) == 3
