@@ -324,7 +324,7 @@ def test_fuzz_self_join(feng, fduck, e, cond):
     """Join path: equi self-join on the tag with a generated projection and
     filter; exercises join planning + the LWW view on both sides."""
     sql = (
-        f"SELECT a.time, a.t0, ({e.replace('t0','a.t0').replace('f0','a.f0').replace('f1','b.f1').replace('f3','a.f3')}) AS v "
+        f"SELECT a.time, a.t0, ({e.replace('t0','a.t0').replace('f0','a.f0').replace('f1','b.f1').replace('f2','a.f2').replace('f3','a.f3')}) AS v "
         f"FROM fz a JOIN fz b ON a.t0 = b.t0 AND a.time = b.time "
         f"WHERE {cond.replace('t0','b.t0').replace('f0','b.f0').replace('f1','a.f1').replace('f2','b.f2').replace('f3','b.f3')}"
     )
