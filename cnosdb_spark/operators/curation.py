@@ -11,7 +11,7 @@ they are DuckDB-differential-testable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import word_ngrams
 from .text import normalize, tokens
@@ -358,4 +358,100 @@ def mixture_sample(
         df.join(F.broadcast(rates), stratum_col)
         .filter(_hash_frac(id_col, salt) < F.col("_rate"))
         .drop("_rate")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    id_col: str = "doc_id",
+    shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay documents out in a
+    deterministic pseudo-random order and cut the token stream into
+    fixed-``capacity`` training sequences (bins), documents spanning bin
+    boundaries — the standard LM-pretraining packing that wastes zero
+    tokens to padding.
+
+    Layout order is (shard, md5(salt|id), id): each document hashes to one
+    of ``shards`` independent token streams, so packing parallelizes —
+    shard count scales with the cluster, each shard's running-offset
+    window is one partition of the single shuffle this op performs, and
+    re-runs reproduce byte-identical bins (no RNG state, no driver
+    sequencing).
+
+    Output: one row per non-empty document — (id, shard, seq_start —
+    token offset inside its shard's stream, first_bin / last_bin —
+    shard-local bin ids, n_bins spanned).
+    """
+    t = F.col(token_col).cast("long")
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    d = (
+        df.filter(t > 0)
+        .withColumn("_h", h)
+        .withColumn(
+            "_shard",
+            (F.conv(F.substring(F.col("_h"), 1, 4), 16, 10).cast("long") % shards)
+            .cast("int"),
+        )
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("_h", F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("seq_start", F.coalesce(F.sum(t).over(w), F.lit(0)))
+    first_bin = F.floor(F.col("seq_start") / capacity)
+    last_bin = F.floor((F.col("seq_start") + t - 1) / capacity)
+    return d.select(
+        F.col(id_col),
+        F.col("_shard").alias("shard"),
+        "seq_start",
+        first_bin.cast("long").alias("first_bin"),
+        last_bin.cast("long").alias("last_bin"),
+        (last_bin - first_bin + 1).cast("long").alias("n_bins"),
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    id_col: str = "doc_id",
+    shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Bin-level view of :func:`pack_sequences`: one row per (document,
+    bin) it occupies, with the token slice of the document that lands in
+    that bin — the manifest a training-data loader materializes sequences
+    from.
+
+    Output: (shard, bin, id, slice_start — offset inside the document,
+    slice_len).  Within each (shard, bin), reading documents ordered by
+    slice_start at their slice offsets reconstructs the packed sequence;
+    sum(slice_len) per bin == capacity for every closed bin.
+    """
+    packed = pack_sequences(df, token_col, capacity, id_col, shards, salt)
+    toks = df.select(
+        F.col(id_col), F.col(token_col).cast("long").alias("_tok")
+    )
+    e = packed.join(toks, id_col).select(
+        "shard",
+        F.col(id_col),
+        "seq_start",
+        "_tok",
+        F.explode(F.sequence("first_bin", "last_bin")).alias("bin"),
+    )
+    bin_lo = F.col("bin") * capacity
+    bin_hi = bin_lo + capacity
+    slice_start = F.greatest(bin_lo - F.col("seq_start"), F.lit(0))
+    slice_end = F.least(bin_hi - F.col("seq_start"), F.col("_tok"))
+    return e.select(
+        "shard",
+        "bin",
+        F.col(id_col),
+        slice_start.cast("long").alias("slice_start"),
+        (slice_end - slice_start).cast("long").alias("slice_len"),
     )

@@ -258,3 +258,68 @@ def test_semantic_dedup_removes_planted_duplicate(spark):
     row = out.filter(F.col("vec_id") == top + 1).collect()[0]
     assert not row["is_kept"]
     assert row["dup_of"] == first.collect()[0]["vec_id"]
+
+
+_PACK_ORDER = (
+    "md5('pack|' || CAST(doc_id AS VARCHAR)) AS _h, "
+    "CAST(('0x' || substring(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 8 AS INT) AS _shard"
+)
+
+
+def test_pack_sequences_oracle(spark, duck):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    got = curation.pack_sequences(docs, "n_chars", 4096, shards=8)
+    want = duck.execute(
+        f"""
+        WITH d AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS t, {_PACK_ORDER}
+            FROM documents WHERE n_chars > 0
+        ),
+        s AS (
+            SELECT doc_id, _shard AS shard, t,
+                   coalesce(sum(t) OVER (PARTITION BY _shard ORDER BY _h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start
+            FROM d
+        )
+        SELECT doc_id, shard, seq_start,
+               CAST(floor(seq_start / 4096.0) AS BIGINT) AS first_bin,
+               CAST(floor((seq_start + t - 1) / 4096.0) AS BIGINT) AS last_bin,
+               CAST(floor((seq_start + t - 1) / 4096.0) - floor(seq_start / 4096.0) + 1 AS BIGINT) AS n_bins
+        FROM s
+        """
+    ).df()
+    errs = compare(got, want, "pack_sequences")
+    assert not errs, "\n".join(errs)
+
+
+def test_pack_chunks_reconstruct(spark):
+    """Every closed bin holds exactly `capacity` tokens; every document's
+    slices cover it exactly once; chunks are contiguous inside each bin."""
+    cap = 4096
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    chunks = curation.pack_chunks(docs, "n_chars", cap, shards=8).cache()
+    # per-document coverage: slices tile [0, n_chars)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("slice_len").alias("covered"),
+            F.min("slice_start").alias("lo"),
+        )
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    assert per_doc.filter("covered <> n_chars OR lo <> 0").count() == 0
+    # per-bin capacity: all bins except each shard's last are exactly full
+    per_bin = chunks.groupBy("shard", "bin").agg(F.sum("slice_len").alias("fill"))
+    last_bins = per_bin.groupBy("shard").agg(F.max("bin").alias("bin"))
+    closed = per_bin.join(last_bins, ["shard", "bin"], "left_anti")
+    assert closed.filter(F.col("fill") != cap).count() == 0
+    chunks.unpersist()
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    a = sorted(curation.pack_sequences(docs, "n_chars", 2048).collect())
+    b = sorted(
+        curation.pack_sequences(docs.repartition(17), "n_chars", 2048).collect()
+    )
+    assert a == b
