@@ -455,3 +455,29 @@ def pack_chunks(
         slice_start.cast("long").alias("slice_start"),
         (slice_end - slice_start).cast("long").alias("slice_len"),
     )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    score_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top-``k`` rows per stratum by score (id asc tie-break) —
+    the per-domain document cap every crawl-curation pipeline applies so
+    no single domain dominates the mixture.
+
+    One window per stratum partition; Spark plans it as WindowGroupLimit
+    (partial top-k BEFORE the exchange since 3.5), so the shuffle carries
+    at most ``k`` rows per stratum per input partition — the same
+    pre-aggregation shape a 100 TB run needs.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -323,3 +323,31 @@ def test_pack_sequences_stable_under_repartition(spark):
         curation.pack_sequences(docs.repartition(17), "n_chars", 2048).collect()
     )
     assert a == b
+
+
+def test_cap_per_stratum_oracle(spark, duck):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    got = curation.cap_per_stratum(docs, "source", "n_chars", 5).select(
+        "doc_id", "source", "n_chars"
+    )
+    want = duck.execute(
+        """
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM documents
+        ) WHERE rk <= 5
+        """
+    ).df()
+    errs = compare(got, want, "cap_per_stratum")
+    assert not errs, "\n".join(errs)
+
+
+def test_cap_per_stratum_plan_has_group_limit(spark):
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    out = curation.cap_per_stratum(docs, "source", "n_chars", 5)
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "WindowGroupLimit" in p  # partial top-k before the exchange
