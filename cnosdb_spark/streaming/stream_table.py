@@ -154,3 +154,30 @@ def run_to_memory(
         .start()
     )
     return q
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — a Spark-first EXTENSION past the
+    reference's stream restrictions (stream_checker.rs rejects every join;
+    Structured Streaming natively supports stream⋈static), for the
+    classic "join readings against a device/dimension table" shape.
+
+    The static side re-evaluates per micro-batch (a dim update is picked
+    up by the next batch) and, when ``broadcast_dim`` (default), is
+    broadcast so enrichment never forces a stateful shuffle on the
+    stream side — the plan a 1000-executor ingest pipeline needs.
+
+    Deliberately NOT run through StreamPlanChecker: callers who want
+    reference-exact behavior keep using run_incremental_agg's default
+    enforcement; enrich_stream is the documented opt-out.
+    """
+    if dim_df.isStreaming:
+        raise ValueError("enrich_stream: the dimension side must be a static DataFrame")
+    dim = F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(dim, on, how)

@@ -361,3 +361,40 @@ def test_stream_session_window_matches_batch(spark, tmp_path):
     # u1's three bursts: 0-30 merges (gap 27 < 10? no —) verify count
     u1_sessions = [k for k in got if k[1] == "u1"]
     assert len(u1_sessions) == 3
+
+
+def test_enrich_stream_static_join(spark, source, tmp_path):
+    """Stream-static enrichment (extension past stream_checker.rs): each
+    streamed reading picks up its dimension row; output matches the batch
+    join; the checker still rejects the same plan in strict mode."""
+    from cnosdb_spark.streaming.stream_table import enrich_stream
+
+    st = StreamTable("readings", source, "time")
+    sdf = st.read(spark)
+    dims = spark.createDataFrame(
+        [("truck_0", "fleet_a"), ("truck_1", "fleet_b")], ["name", "fleet"]
+    )
+    enriched = enrich_stream(sdf, dims, on="name")
+    with pytest.raises(ValueError, match="Join"):
+        StreamPlanChecker.check(enriched)  # strict mode still reference-exact
+    out = str(tmp_path / "enriched")
+    q = (
+        enriched.writeStream.option(
+            "checkpointLocation", str(tmp_path / "ck_enrich")
+        )
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["time"], r["name"], r["fleet"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (r["time"], r["name"], r["fleet"])
+        for r in spark.read.parquet(source).join(dims, "name").collect()
+    }
+    assert got == expect
+    with pytest.raises(ValueError, match="static"):
+        enrich_stream(sdf, sdf, on="name")
