@@ -1,1 +1,1 @@
-from . import curation, dedup, multimodal, scoring, similarity, temporal, text  # noqa: F401
+from . import curation, dedup, multimodal, rollup, scoring, similarity, temporal, text  # noqa: F401

@@ -1,0 +1,121 @@
+"""Continuous-aggregate rollup tests: incremental refresh over growing
+raw data, mergeable-partial-segment reads, compaction invariance, and the
+two-tier (rollup + raw tail) query — each checked against the equivalent
+one-shot batch aggregation."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnosdb_spark.operators import rollup
+
+
+BASE = datetime(2024, 1, 1)
+
+
+def _mk_raw(spark, path, lo, hi):
+    rows = [
+        (BASE + timedelta(minutes=m), f"s{m % 3}", float(m), float(100 - m))
+        for m in range(lo, hi)
+    ]
+    spark.createDataFrame(rows, ["time", "tag", "v", "w"]).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _batch_expect(spark, path, fields=("v",)):
+    df = spark.read.parquet(path)
+    aggs = []
+    for f in fields:
+        aggs += [
+            F.count(f).alias(f"{f}_cnt"),
+            F.sum(f).alias(f"{f}_sum"),
+            F.min(f).alias(f"{f}_min"),
+            F.max(f).alias(f"{f}_max"),
+            (F.sum(f) / F.count(f)).alias(f"{f}_avg"),
+        ]
+    return {
+        tuple(r[k] for k in ("bucket", "tag"))
+        + tuple(r[f"{f}_{a}"] for f in fields for a in ("cnt", "sum", "min", "max", "avg"))
+        for r in df.groupBy(
+            F.window("time", "15 minutes").start.alias("bucket"), "tag"
+        )
+        .agg(*aggs)
+        .collect()
+    }
+
+
+def _rollup_rows(spark, rp, fields=("v",)):
+    return {
+        tuple(r[k] for k in ("bucket", "tag"))
+        + tuple(r[f"{f}_{a}"] for f in fields for a in ("cnt", "sum", "min", "max", "avg"))
+        for r in rollup.read_rollup(spark, rp, list(fields), ["tag"]).collect()
+    }
+
+
+def test_incremental_refresh_matches_batch(spark, tmp_path):
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 40)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    assert _rollup_rows(spark, rp) == _batch_expect(spark, src)
+
+    # late + new data lands as additional mergeable segments: second
+    # refresh only reads the new files (availableNow offsets), including
+    # out-of-order rows for already-rolled buckets
+    _mk_raw(spark, src, 40, 70)   # new buckets
+    _mk_raw(spark, src, 5, 8)     # late duplicates into the FIRST bucket
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    assert _rollup_rows(spark, rp) == _batch_expect(spark, src)
+
+
+def test_refresh_is_idempotent_without_new_data(spark, tmp_path):
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 30)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    n1 = spark.read.parquet(rp).count()
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    assert spark.read.parquet(rp).count() == n1
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 40)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    _mk_raw(spark, src, 40, 80)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    before = _rollup_rows(spark, rp)
+    n_seg_before = spark.read.parquet(rp).count()
+    rollup.compact_rollup(spark, rp, ["v"], ["tag"])
+    assert _rollup_rows(spark, rp) == before
+    assert spark.read.parquet(rp).count() <= n_seg_before
+
+
+def test_two_tier_query_matches_batch(spark, tmp_path):
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 60)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    _mk_raw(spark, src, 60, 75)  # tail written AFTER the last refresh
+    split = BASE + timedelta(minutes=45)  # bucket-aligned
+    got = {
+        tuple(r[k] for k in ("bucket", "tag", "v_cnt", "v_sum", "v_avg"))
+        for r in rollup.query_two_tier(
+            spark, src, rp, "15 minutes", ["v"], split, ["tag"]
+        ).collect()
+    }
+    expect = {
+        (r[0], r[1], r[2], r[3], r[6])
+        for r in _batch_expect(spark, src)
+    }
+    assert got == expect
+
+
+def test_multi_field_rollup(spark, tmp_path):
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 30)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v", "w"], ["tag"])
+    assert _rollup_rows(spark, rp, ("v", "w")) == _batch_expect(
+        spark, src, ("v", "w")
+    )
