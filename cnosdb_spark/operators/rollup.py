@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _segment_aggs(fields: list[str]) -> list:
+def _segment_aggs(fields: list[str], distinct_fields: list[str] | None = None) -> list:
     out = []
     for f in fields:
         c = F.col(f)
@@ -46,6 +46,30 @@ def _segment_aggs(fields: list[str]) -> list:
             F.min(c).alias(f"{f}_min"),
             F.max(c).alias(f"{f}_max"),
         ]
+    for f in distinct_fields or []:
+        # mergeable distinct count: a DataSketches HLL per segment —
+        # union-able across segments/refreshes, so approx COUNT DISTINCT
+        # survives the partial-segment design (plain counts cannot).
+        # hashed on the canonical string form: hll_sketch_agg accepts
+        # int/bigint/string/binary only, and the cast keeps any field
+        # type (double, timestamp) countable
+        out.append(
+            F.hll_sketch_agg(F.col(f).cast("string")).alias(f"{f}_hll")
+        )
+    return out
+
+
+def _merge_aggs(fields: list[str], distinct_fields: list[str] | None = None) -> list:
+    out = []
+    for f in fields:
+        out += [
+            F.sum(f"{f}_cnt").alias(f"{f}_cnt"),
+            F.sum(f"{f}_sum").alias(f"{f}_sum"),
+            F.min(f"{f}_min").alias(f"{f}_min"),
+            F.max(f"{f}_max").alias(f"{f}_max"),
+        ]
+    for f in distinct_fields or []:
+        out.append(F.hll_union_agg(f"{f}_hll").alias(f"{f}_hll"))
     return out
 
 
@@ -58,6 +82,7 @@ def refresh_rollup(
     fields: list[str],
     tags: list[str] | None = None,
     time_col: str = "time",
+    distinct_fields: list[str] | None = None,
 ) -> None:
     """Incremental refresh: aggregate the raw files added since the last
     refresh into partial segments and append them to the rollup store.
@@ -79,9 +104,9 @@ def refresh_rollup(
     # micro-batch's rows — stateless (no streaming state store), so
     # appended segments never double-count and merge is purely algebraic
     def _write_segment(batch_df, batch_id):
-        batch_df.groupBy(*keys).agg(*_segment_aggs(fields)).write.mode(
-            "append"
-        ).parquet(rollup_path)
+        batch_df.groupBy(*keys).agg(
+            *_segment_aggs(fields, distinct_fields)
+        ).write.mode("append").parquet(rollup_path)
 
     q = (
         raw.writeStream.foreachBatch(_write_segment)
@@ -97,21 +122,15 @@ def read_rollup(
     rollup_path: str,
     fields: list[str],
     tags: list[str] | None = None,
+    distinct_fields: list[str] | None = None,
 ) -> DataFrame:
     """Merge partial segments into the final rollup: one row per
-    (bucket, tags) with count/sum/min/max/avg per field."""
+    (bucket, tags) with count/sum/min/max/avg per field, plus an
+    HLL-estimated ``_dcount`` per distinct field."""
     seg = spark.read.parquet(rollup_path)
-    merged = [
-        agg
-        for f in fields
-        for agg in (
-            F.sum(f"{f}_cnt").alias(f"{f}_cnt"),
-            F.sum(f"{f}_sum").alias(f"{f}_sum"),
-            F.min(f"{f}_min").alias(f"{f}_min"),
-            F.max(f"{f}_max").alias(f"{f}_max"),
-        )
-    ]
-    out = seg.groupBy("bucket", *(tags or [])).agg(*merged)
+    out = seg.groupBy("bucket", *(tags or [])).agg(
+        *_merge_aggs(fields, distinct_fields)
+    )
     for f in fields:
         out = out.withColumn(
             f"{f}_avg",
@@ -119,27 +138,29 @@ def read_rollup(
                 F.col(f"{f}_cnt") > 0, F.col(f"{f}_sum") / F.col(f"{f}_cnt")
             ),
         )
+    for f in distinct_fields or []:
+        out = out.withColumn(
+            f"{f}_dcount", F.hll_sketch_estimate(F.col(f"{f}_hll"))
+        ).drop(f"{f}_hll")
     return out
 
 
 def compact_rollup(
-    spark: SparkSession, rollup_path: str, fields: list[str], tags: list[str] | None = None
+    spark: SparkSession,
+    rollup_path: str,
+    fields: list[str],
+    tags: list[str] | None = None,
+    distinct_fields: list[str] | None = None,
 ) -> None:
     """Rewrite accumulated segments as one merged segment per (bucket,
-    tags) — same merge as read_rollup minus the derived avg, so reads
-    after compaction see identical values through fewer rows."""
+    tags) — same merge as read_rollup minus the derived columns (avg,
+    dcount), HLL sketches unioned but kept as sketches so further
+    refreshes stay mergeable; reads after compaction see identical
+    values through fewer rows."""
     seg = spark.read.parquet(rollup_path)
-    merged = [
-        agg
-        for f in fields
-        for agg in (
-            F.sum(f"{f}_cnt").alias(f"{f}_cnt"),
-            F.sum(f"{f}_sum").alias(f"{f}_sum"),
-            F.min(f"{f}_min").alias(f"{f}_min"),
-            F.max(f"{f}_max").alias(f"{f}_max"),
-        )
-    ]
-    compacted = seg.groupBy("bucket", *(tags or [])).agg(*merged)
+    compacted = seg.groupBy("bucket", *(tags or [])).agg(
+        *_merge_aggs(fields, distinct_fields)
+    )
     tmp = rollup_path.rstrip("/") + "__compact_tmp"
     compacted.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)

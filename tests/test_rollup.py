@@ -119,3 +119,39 @@ def test_multi_field_rollup(spark, tmp_path):
     assert _rollup_rows(spark, rp, ("v", "w")) == _batch_expect(
         spark, src, ("v", "w")
     )
+
+
+def test_distinct_count_rollup_hll(spark, tmp_path):
+    """HLL distinct-count segments merge across refreshes AND survive
+    compaction: the estimated per-bucket distinct tag-of-minute count must
+    match the exact batch distinct (small cardinalities are exact in
+    HLL)."""
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 40)
+    rollup.refresh_rollup(
+        spark, src, rp, ck, "15 minutes", ["v"], ["tag"], distinct_fields=["v"]
+    )
+    _mk_raw(spark, src, 40, 70)
+    _mk_raw(spark, src, 5, 8)  # duplicate v values into the first bucket
+    rollup.refresh_rollup(
+        spark, src, rp, ck, "15 minutes", ["v"], ["tag"], distinct_fields=["v"]
+    )
+
+    def got():
+        return {
+            (r["bucket"], r["tag"]): r["v_dcount"]
+            for r in rollup.read_rollup(
+                spark, rp, ["v"], ["tag"], distinct_fields=["v"]
+            ).collect()
+        }
+
+    exact = {
+        (r["bucket"], r["tag"]): r["d"]
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("time", "15 minutes").start.alias("bucket"), "tag")
+        .agg(F.countDistinct("v").alias("d"))
+        .collect()
+    }
+    assert got() == exact  # tiny cardinalities: HLL is exact
+    rollup.compact_rollup(spark, rp, ["v"], ["tag"], distinct_fields=["v"])
+    assert got() == exact
