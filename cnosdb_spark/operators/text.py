@@ -121,3 +121,50 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
         out_col,
         F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"]),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count windows — the
+    retrieval/RAG chunker (stride = chunk_tokens - overlap; the final
+    window may be short; empty docs yield no chunks).
+
+    Pure column expressions: tokens once per row, chunk offsets from a
+    ``sequence`` over starts, windows via ``slice`` + ``array_join`` —
+    a narrow map (explode only multiplies rows by ceil(n/stride)), no
+    shuffle, no UDF.  Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(normalize(F.col(text_col)))
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(
+            F.ceil((F.col("_n") - F.lit(overlap)) / stride).cast("long") - 1,
+            F.lit(0).cast("long"),
+        )
+        * stride,
+        F.lit(stride).cast("long"),
+    )
+    t = (
+        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return t.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -351,3 +351,57 @@ def test_cap_per_stratum_plan_has_group_limit(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "WindowGroupLimit" in p  # partial top-k before the exchange
+
+
+def test_chunk_documents_oracle(spark, duck_smoke):
+    from cnosdb_spark.operators import text as text_ops
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = text_ops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    want = duck_smoke.execute(
+        f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+            FROM documents WHERE trim(text) <> ''
+        ),
+        c AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(0, CAST(greatest(ceil((n - 16) / 48.0) - 1, 0) AS BIGINT))) AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+        FROM c
+        """
+    ).df()
+    errs = compare(got, want, "chunk_documents")
+    assert not errs, "\n".join(errs)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from cnosdb_spark.operators import text as text_ops
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    chunks = text_ops.chunk_documents(docs, chunk_tokens=50, overlap=10).cache()
+    toks = docs.select(
+        "doc_id",
+        F.size(text_ops.tokens(text_ops.normalize(F.col("text")))).alias("n"),
+    ).filter("n > 0")
+    # token-count identity: sum of chunk tokens = n + overlap * (chunks-1)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    bad = (
+        per_doc.join(toks, "doc_id")
+        .filter(F.col("tot") != F.col("n") + 10 * (F.col("k") - 1))
+        .count()
+    )
+    assert bad == 0
+    # every chunk except possibly the last per doc is exactly 50 tokens
+    w_last = chunks.groupBy("doc_id").agg(F.max("chunk_id").alias("last_id"))
+    full = chunks.join(w_last, "doc_id").filter(
+        (F.col("chunk_id") != F.col("last_id")) & (F.col("n_chunk_tokens") != 50)
+    )
+    assert full.count() == 0
+    chunks.unpersist()
