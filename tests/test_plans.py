@@ -155,3 +155,17 @@ def test_semantic_dedup_joins_on_cluster(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_documents_is_narrow(spark):
+    """Chunking is a narrow map: tokenize → posexplode → slice, with no
+    exchange — at 100 TB it parallelizes embarrassingly over input splits."""
+    from cnosdb_spark.operators import text as text_ops
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = text_ops.chunk_documents(docs, 64, 16)
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in p
