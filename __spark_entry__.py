@@ -119,17 +119,17 @@ def tpch_q1(spark, sf_dir):
     """,
 )
 def tpch_q3(spark, sf_dir):
-    """Multi-join + agg + top-N (TakeOrderedAndProject). customer side is
-    broadcast-eligible; Catalyst/AQE picks the join strategy."""
+    """Multi-join + agg + top-N (TakeOrderedAndProject). No join hints:
+    customer and orders grow O(SF), so a pinned broadcast of either side
+    would hit Spark's 8 GB broadcast cap at large SF. AQE selects the
+    strategy from runtime stats (broadcast at small SF, shuffle join at
+    scale) — the only plan shape that survives 100×."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
-    co = F.broadcast(c).join(o, c.c_custkey == o.o_custkey)
+    co = c.join(o, c.c_custkey == o.o_custkey)
     return (
-        # build side = the BUILDING-filtered customer⋈orders slice (the
-        # small side at ANY scale); lineitem streams — broadcasting the
-        # fact side, which AQE picks at sf0.1, would not survive 100×
-        l.join(F.broadcast(co), co.o_orderkey == l.l_orderkey)
+        l.join(co, co.o_orderkey == l.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -160,7 +160,11 @@ def tpch_q3(spark, sf_dir):
     """,
 )
 def tpch_q5(spark, sf_dir):
-    """Six-table join gauntlet; dims broadcast, facts shuffle on join keys."""
+    """Six-table join gauntlet. Only the fixed-cardinality dims (region:
+    5 rows, nation: 25 rows — constant at every SF) carry broadcast
+    hints; customer/orders/supplier grow O(SF), so their join strategy is
+    left to AQE (broadcast at small SF from runtime stats, shuffle join
+    past the 8 GB cap). lineitem, the fact table, never broadcasts."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -169,19 +173,16 @@ def tpch_q5(spark, sf_dir):
     )
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    # dims fold into one broadcast-able slice (region→nation→customer→
-    # filtered orders, the small side at any scale); lineitem — the fact
-    # table — streams through both broadcast joins without ever shuffling
     rnco = (
         F.broadcast(r)
-        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
         .join(c, c.c_nationkey == n.n_nationkey)
         .join(o, o.o_custkey == c.c_custkey)
     )
     return (
-        l.join(F.broadcast(rnco), rnco.o_orderkey == l.l_orderkey)
+        l.join(rnco, rnco.o_orderkey == l.l_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == F.col("l_suppkey")) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")

@@ -27,15 +27,28 @@ def test_q1_filter_pushdown_and_partial_agg(spark):
     assert "l_comment" not in p
 
 
-def test_q3_broadcasts_dim_and_topk(spark):
+def _hints(spark, name: str) -> str:
+    """Analyzed logical plan — where join-strategy hints are still visible."""
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_q3_topk_and_no_pinned_broadcast(spark):
     p = _plan(spark, "tpch_q3_shipping_priority")
-    assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject(limit=10" in p  # no global sort for top-N
+    # scale guard: customer and orders grow O(SF) — the query must carry NO
+    # forced-broadcast hint (AQE picks broadcast at small SF, shuffle at 100×)
+    h = _hints(spark, "tpch_q3_shipping_priority")
+    assert "ResolvedHint" not in h and "UnresolvedHint" not in h
 
 
-def test_q5_no_shuffle_join_on_dims(spark):
+def test_q5_hints_only_fixed_dims(spark):
+    # region (5 rows) and nation (25 rows) are constant at every SF — those
+    # two hints are safe; anything more pins a plan that dies at 100×
+    h = _hints(spark, "tpch_q5_local_supplier")
+    assert h.count("ResolvedHint") + h.count("UnresolvedHint") == 2
     p = _plan(spark, "tpch_q5_local_supplier")
-    assert "BroadcastExchange" in p
+    assert "BroadcastExchange" in p  # the dim hints materialize
     assert p.count("Exchange hashpartitioning") <= 2  # only the final agg shuffles
 
 
