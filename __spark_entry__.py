@@ -36,7 +36,7 @@ from cnosdb_spark.functions import (
 )
 from cnosdb_spark.functions.quality import data_quality
 from cnosdb_spark.functions.repair import value_fill
-from cnosdb_spark.operators import dedup, similarity, text
+from cnosdb_spark.operators import curation, dedup, scoring, similarity, temporal, text
 from cnosdb_spark.operators.multimodal import extract_features, synthetic_media
 
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -961,6 +961,10 @@ def mode_increase_per_series(spark, sf_dir):
     SELECT 'sample', event_id, round(value, 6) FROM (
       SELECT event_id, value FROM events
       ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 20)
+    UNION ALL
+    SELECT 'offset', event_id, round(value, 6) FROM (
+      SELECT event_id, value FROM events
+      ORDER BY value DESC NULLS LAST, event_id LIMIT 10 OFFSET 5)
     """,
 )
 def topk_bottom_values(spark, sf_dir):
@@ -968,7 +972,9 @@ def topk_bottom_values(spark, sf_dir):
     global sort (SURVEY §2.6; reference
     transform_{topk,bottom}_func_to_topk_node.rs) + sample(x,n) as a
     deterministic uniform hash-sample (sample.rs is a reservoir — see
-    functions.timeseries.sample_deterministic for the divergence note)."""
+    functions.timeseries.sample_deterministic for the divergence note)
+    + LIMIT k OFFSET n (SURVEY §2.7 offset semantics — driver-verified
+    here since the standalone limit_offset row was folded out in r04)."""
     e = _t(spark, sf_dir, "events").select(
         "event_id", F.round("value", 6).alias("value")
     )
@@ -981,7 +987,13 @@ def topk_bottom_values(spark, sf_dir):
     samp = sample_deterministic(e, "event_id", 20).select(
         F.lit("sample").alias("op"), "event_id", "value"
     )
-    return top.unionAll(bot).unionAll(samp)
+    off = (
+        e.orderBy(F.col("value").desc_nulls_last(), "event_id")
+        .offset(5)
+        .limit(10)
+        .select(F.lit("offset").alias("op"), "event_id", "value")
+    )
+    return top.unionAll(bot).unionAll(samp).unionAll(off)
 
 
 @_q(
@@ -1411,33 +1423,6 @@ def lsh_ann_topk(spark, sf_dir):
     )
 
 
-@_q(
-    "text_token_fingerprint",
-    f"""
-    SELECT doc_id,
-           CAST(CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
-             AS n_tokens,
-           md5({_NORM_SQL}) AS fingerprint,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
-             AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def text_token_fingerprint(spark, sf_dir):
-    """Whitespace + BPE-ish-regex token counting (letter runs, digit runs,
-    single punctuation) and md5 content fingerprinting."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        text.fingerprint(F.col("text")).alias("fingerprint"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
-        .cast("long")
-        .alias("n_bpe_tokens"),
-    )
-
-
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"
 
 
@@ -1469,22 +1454,6 @@ _LANGID_PER_DOC_SQL = _langid_per_doc_sql()
 
 
 @_q(
-    "lang_id_counts",
-    f"""
-    SELECT lang_pred, CAST(count(*) AS BIGINT) AS n
-    FROM ({_LANGID_PER_DOC_SQL}) GROUP BY lang_pred
-    """,
-)
-def lang_id_counts(spark, sf_dir):
-    """Language-ID heuristic (marker-stopword argmax; operators/text.py
-    lang_id) → counts per language. Pure column expressions, no UDF."""
-    d = _t(spark, sf_dir, "documents")
-    return text.lang_id(d, "text").groupBy("lang_pred").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-@_q(
     "text_quality_stats",
     f"""
     WITH s AS (
@@ -1506,13 +1475,19 @@ def lang_id_counts(spark, sf_dir):
            round(CASE WHEN nt > 0
                  THEN length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / nt
                  ELSE 0 END, 6) AS mean_word_len,
-           lang_pred
+           lang_pred,
+           md5({_NORM_SQL}) AS fingerprint,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens
     FROM s JOIN ({_LANGID_PER_DOC_SQL}) lp USING (doc_id)
     """,
 )
 def text_quality_stats(spark, sf_dir):
     """Text quality statistics (length/punct/digit/stopword ratios) +
-    per-document language-ID (marker-stopword argmax heuristic)."""
+    per-document language-ID (marker-stopword argmax heuristic) +
+    md5 content fingerprint and BPE-ish-regex token count (folded from
+    the retired lang_id_counts / text_token_fingerprint rows — same
+    operators, one registry slot)."""
     d = _t(spark, sf_dir, "documents")
     out = text.with_text_stats(d, "text")
     out = text.lang_id(out, "text")
@@ -1525,7 +1500,142 @@ def text_quality_stats(spark, sf_dir):
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("mean_word_len", 6).alias("mean_word_len"),
         "lang_pred",
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
+
+
+@_q(
+    "asof_range_join",
+    """
+    SELECT 'asof' AS op, t.event_id AS k, round(q.value, 6) AS val
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') q
+      ON t.user_id = q.user_id AND q.ts <= t.ts
+    UNION ALL
+    SELECT 'asof_tol', t.event_id,
+           round(CASE WHEN q.ts >= t.ts - INTERVAL 1 HOUR THEN q.value END, 6)
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') q
+      ON t.user_id = q.user_id AND q.ts <= t.ts
+    UNION ALL
+    SELECT 'range', e.user_id, CAST(count(*) AS DOUBLE)
+    FROM events e
+    JOIN (SELECT user_id, min(ts) AS s, min(ts) + INTERVAL 6 HOUR AS e
+          FROM events GROUP BY user_id) iv
+      ON e.user_id = iv.user_id AND e.ts >= iv.s AND e.ts < iv.e
+    GROUP BY e.user_id
+    """,
+)
+def asof_range_join(spark, sf_dir):
+    """Temporal joins (operators/temporal.py) vs DuckDB's NATIVE ASOF
+    LEFT JOIN / inequality join — three arms:
+
+    - asof: for each purchase, the most recent same-user click value
+      (union + single-shuffle window carry, no join node);
+    - asof_tol: same with a 1-hour tolerance (older matches → NULL);
+    - range: events counted into per-user [first_ts, first_ts + 6h)
+      intervals via the bucketized range join (equi-join on
+      (user, hour-bucket) + exact refinement — never a nested loop).
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+
+    def asof_arm(op: str, tolerance: str | None):
+        return temporal.asof_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_time="ts",
+            right_time="ts",
+            value_cols=["value"],
+            tolerance=tolerance,
+        ).select(
+            F.lit(op).alias("op"),
+            F.col("event_id").alias("k"),
+            F.round("value_right", 6).alias("val"),
+        )
+
+    iv = e.groupBy("user_id").agg(F.min("ts").alias("s")).select(
+        "user_id", "s", (F.col("s") + F.expr("INTERVAL 6 HOURS")).alias("e")
+    )
+    pts = e.select("user_id", "ts")
+    rng = (
+        temporal.interval_range_join(
+            pts, iv, point_time="ts", start_col="s", end_col="e",
+            key="user_id", bucket="1 hour",
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("val"))
+        .select(F.lit("range").alias("op"), F.col("user_id").alias("k"), "val")
+    )
+    return asof_arm("asof", None).unionAll(asof_arm("asof_tol", "1 HOUR")).unionAll(rng)
+
+
+_STRAT_FRACS = {"src0": 0.25, "src1": 1.0, "src2": 0.5, "src3": 0.75}
+_STRAT_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRAT_FRACS.items()
+)
+
+
+@_q(
+    "scoring_sampling",
+    f"""
+    WITH doc_terms AS (
+        SELECT doc_id AS _doc, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+              FROM documents WHERE trim(text) <> '')
+        GROUP BY doc_id, term),
+    df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM doc_terms GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
+    ranked AS (
+        SELECT _doc, doc_terms.term, tf * (ln((1 + _n) / (1 + df)) + 1) AS tfidf,
+               row_number() OVER (PARTITION BY _doc
+                                  ORDER BY tf * (ln((1 + _n) / (1 + df)) + 1) DESC,
+                                           doc_terms.term ASC) AS rank
+        FROM doc_terms JOIN df_t ON doc_terms.term = df_t.term CROSS JOIN n)
+    SELECT 'tfidf' AS op, _doc AS k, term AS s, round(tfidf, 6) AS val
+    FROM ranked WHERE rank <= 2
+    UNION ALL
+    SELECT 'strat', doc_id, source, CAST(n_chars AS DOUBLE)
+    FROM documents
+    WHERE (('0x' || substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           / 4294967296.0)
+          < CASE source {_STRAT_CASE} ELSE 0.0 END
+    """,
+)
+def scoring_sampling(spark, sf_dir):
+    """Corpus scoring + deterministic sampling (operators/scoring.py,
+    operators/curation.py) — two arms:
+
+    - tfidf: top-2 characteristic terms per document by smoothed TF-IDF
+      (one (doc,term) shuffle; doc-count scalar broadcast);
+    - strat: stratified-sample keep-set — md5 id-hash fraction below the
+      per-source rate; identical arithmetic runs in the DuckDB oracle, so
+      the keep/drop decisions must match row-for-row (re-shard-stable by
+      construction).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tfidf = scoring.tf_idf_topk_terms(d, k=2).select(
+        F.lit("tfidf").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.col("term").alias("s"),
+        F.col("tfidf").alias("val"),
+    )
+    strat = curation.stratified_sample(d, "source", _STRAT_FRACS, salt="strat").select(
+        F.lit("strat").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.col("source").alias("s"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    return tfidf.unionAll(strat)
 
 
 # =====================================================================
