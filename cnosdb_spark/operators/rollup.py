@@ -33,7 +33,60 @@ follow functions/timeseries.py.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cnosdb_spark.operators.temporal import _interval_micros
+
+#: partition value reserved for compacted segments (refresh batch ids are
+#: the streaming checkpoint's non-negative micro-batch numbers)
+_COMPACTED_BATCH = -1
+
+
+def _check_names(
+    fields: list[str],
+    tags: list[str] | None,
+    distinct_fields: list[str] | None = None,
+) -> None:
+    """The rollup store generates ``bucket`` (time key), ``batch``
+    (segment partition) and per-field ``<f>_cnt/_sum/_min/_max/_hll``
+    columns — a tag or field colliding with any of those would silently
+    mis-group or raise a confusing AnalysisException deep in the plan.
+    Fail fast with the offending names instead."""
+    reserved = {"bucket", "batch"}
+    generated: set[str] = set()
+    for f in fields:
+        generated |= {f"{f}_cnt", f"{f}_sum", f"{f}_min", f"{f}_max"}
+    for f in distinct_fields or []:
+        generated.add(f"{f}_hll")
+    bad = [
+        c
+        for c in list(tags or []) + list(fields) + list(distinct_fields or [])
+        if c in reserved
+    ] + [t for t in (tags or []) if t in generated]
+    if bad:
+        raise ValueError(
+            f"rollup column name collision: {sorted(set(bad))} clash with the "
+            f"reserved keys {sorted(reserved)} or generated segment columns"
+        )
+
+
+def _local_path(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
+def _bucket_width(bucket: str):
+    from datetime import timedelta
+
+    return timedelta(microseconds=_interval_micros(bucket))
+
+
+def _to_dt(ts):
+    from datetime import datetime
+
+    return datetime.fromisoformat(ts) if isinstance(ts, str) else ts
 
 
 def _segment_aggs(fields: list[str], distinct_fields: list[str] | None = None) -> list:
@@ -90,9 +143,17 @@ def refresh_rollup(
     One refresh = one ``availableNow`` streaming run; its file-source
     offsets (the checkpoint) are the high-water mark, so re-running after
     no new data appends nothing and a crashed refresh resumes exactly.
+
+    Exactly-once despite foreachBatch's at-least-once contract: each
+    micro-batch writes its segments to its OWN partition directory
+    (``rollup_path/batch=<batch_id>``) with overwrite, so a batch replayed
+    after a crash between write and checkpoint-commit REWRITES its
+    directory instead of appending a duplicate — segment counts/sums are
+    never double-counted.
     """
     from cnosdb_spark.session import normalize_timestamps
 
+    _check_names(fields, tags, distinct_fields)
     schema = spark.read.parquet(source_path).schema
     raw = spark.readStream.schema(schema).parquet(source_path)
     raw = normalize_timestamps(raw, ts_nanos_long_cols=(time_col,))
@@ -102,11 +163,13 @@ def refresh_rollup(
 
     # aggregate INSIDE foreachBatch: each segment covers exactly its
     # micro-batch's rows — stateless (no streaming state store), so
-    # appended segments never double-count and merge is purely algebraic
+    # segments never double-count and merge is purely algebraic
     def _write_segment(batch_df, batch_id):
         batch_df.groupBy(*keys).agg(
             *_segment_aggs(fields, distinct_fields)
-        ).write.mode("append").parquet(rollup_path)
+        ).write.mode("overwrite").parquet(
+            f"{rollup_path.rstrip('/')}/batch={batch_id}"
+        )
 
     q = (
         raw.writeStream.foreachBatch(_write_segment)
@@ -127,6 +190,7 @@ def read_rollup(
     """Merge partial segments into the final rollup: one row per
     (bucket, tags) with count/sum/min/max/avg per field, plus an
     HLL-estimated ``_dcount`` per distinct field."""
+    _check_names(fields, tags, distinct_fields)
     seg = spark.read.parquet(rollup_path)
     out = seg.groupBy("bucket", *(tags or [])).agg(
         *_merge_aggs(fields, distinct_fields)
@@ -151,24 +215,65 @@ def compact_rollup(
     fields: list[str],
     tags: list[str] | None = None,
     distinct_fields: list[str] | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Rewrite accumulated segments as one merged segment per (bucket,
     tags) — same merge as read_rollup minus the derived columns (avg,
     dcount), HLL sketches unioned but kept as sketches so further
     refreshes stay mergeable; reads after compaction see identical
-    values through fewer rows."""
+    values through fewer rows.
+
+    SINGLE-WRITER: no ``refresh_rollup`` may run against this store while
+    compaction is in flight — segments a concurrent refresh appends
+    between the read and the swap would be lost, and a refresh batch
+    replayed after compaction would double-count rows the compacted
+    segment already includes.  Pass the refresh ``checkpoint`` to enforce
+    this: compaction refuses to run while the latest micro-batch is
+    written-but-uncommitted (the only state in which a replay can race a
+    compaction).
+
+    The swap is two directory renames (tmp → live via a ``__compact_old``
+    hop), atomic per rename on a POSIX/HDFS-style filesystem.  A crash
+    mid-swap leaves the data intact in exactly one of
+    ``<rollup>__compact_tmp`` / ``<rollup>__compact_old`` — the next
+    compact_rollup call names the recovery source instead of proceeding.
+    (On rename-less object stores, put the rollup store behind a table
+    format with atomic commits instead.)
+    """
+    _check_names(fields, tags, distinct_fields)
+    if checkpoint is not None:
+        ck = _local_path(checkpoint)
+        offsets = {f for f in os.listdir(os.path.join(ck, "offsets")) if f.isdigit()} if os.path.isdir(os.path.join(ck, "offsets")) else set()
+        commits = {f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()} if os.path.isdir(os.path.join(ck, "commits")) else set()
+        inflight = offsets - commits
+        if inflight:
+            raise RuntimeError(
+                f"refresh micro-batch(es) {sorted(int(b) for b in inflight)} are "
+                "written-but-uncommitted; a replay after compaction would "
+                "double-count — finish (re-run) the refresh before compacting"
+            )
+    live = _local_path(rollup_path.rstrip("/"))
+    tmp = live + "__compact_tmp"
+    old = live + "__compact_old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"previous compaction left {leftover!r} behind (crash mid-swap); "
+                "recover by restoring it as the rollup store or deleting it, "
+                "then re-run"
+            )
     seg = spark.read.parquet(rollup_path)
     compacted = seg.groupBy("bucket", *(tags or [])).agg(
         *_merge_aggs(fields, distinct_fields)
     )
-    tmp = rollup_path.rstrip("/") + "__compact_tmp"
-    compacted.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(rollup_path)
-    # best-effort tmp cleanup (local/dbfs path)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    # compacted segments live in the reserved batch=-1 partition so the
+    # store keeps a uniform batch=<n> layout for partition discovery
+    compacted.write.mode("overwrite").parquet(
+        f"{tmp}/batch={_COMPACTED_BATCH}"
+    )
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
 
 
 def query_two_tier(
@@ -177,7 +282,7 @@ def query_two_tier(
     rollup_path: str,
     bucket: str,
     fields: list[str],
-    split_ts,
+    split_ts=None,
     tags: list[str] | None = None,
     time_col: str = "time",
 ) -> DataFrame:
@@ -187,11 +292,36 @@ def query_two_tier(
     must fall on a bucket boundary — callers align it with
     ``F.window``'s epoch-aligned buckets.
 
+    ``split_ts=None`` (the safe default) derives the split from the
+    refresh high-water mark: the start of the LAST rolled bucket, so the
+    still-filling bucket always comes fresh from raw.  An explicit
+    ``split_ts`` is validated against that high-water mark — a split past
+    the last rolled bucket would silently undercount (those buckets are in
+    neither tier), so it raises instead.  Eventual-consistency window:
+    late rows OLDER than the split that arrived after the last refresh are
+    invisible until the next ``refresh_rollup`` folds them in.
+
     Output schema matches read_rollup.  At scale the raw scan prunes to
     the tail via the pushed ``time >= split_ts`` filter.
     """
     from cnosdb_spark.session import normalize_timestamps
 
+    _check_names(fields, tags)
+    hwm = spark.read.parquet(rollup_path).agg(F.max("bucket")).first()[0]
+    if split_ts is None:
+        if hwm is None:
+            raise ValueError(
+                "rollup store is empty and no split_ts given — refresh first "
+                "or query the raw table directly"
+            )
+        split_ts = hwm  # last rolled bucket re-aggregates from raw (may still fill)
+    elif hwm is None or _to_dt(split_ts) > hwm + _bucket_width(bucket):
+        raise ValueError(
+            f"split_ts {split_ts!r} is past the rollup high-water mark "
+            f"({hwm}{'' if hwm is None else ' + one bucket'}): buckets beyond "
+            "the last refresh would be missing from BOTH tiers — refresh "
+            "first or lower split_ts"
+        )
     hist = read_rollup(spark, rollup_path, fields, tags).filter(
         F.col("bucket") < F.lit(split_ts)
     )

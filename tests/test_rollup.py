@@ -155,3 +155,94 @@ def test_distinct_count_rollup_hll(spark, tmp_path):
     assert got() == exact  # tiny cardinalities: HLL is exact
     rollup.compact_rollup(spark, rp, ["v"], ["tag"], distinct_fields=["v"])
     assert got() == exact
+
+
+def test_replayed_batch_does_not_double_count(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a crash between the segment
+    write and the checkpoint commit by deleting the last commit marker —
+    the replayed batch must REWRITE its batch=<id> partition, leaving the
+    rollup identical to the one-shot batch aggregation (ADVICE r05)."""
+    import os
+
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 40)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))  # "crash" pre-commit
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    assert _rollup_rows(spark, rp) == _batch_expect(spark, src)
+
+
+def test_compact_refuses_inflight_refresh(spark, tmp_path):
+    import os
+
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 30)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(RuntimeError, match="written-but-uncommitted"):
+        rollup.compact_rollup(spark, rp, ["v"], ["tag"], checkpoint=ck)
+    # restore the commit → compaction proceeds and preserves results
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    before = _rollup_rows(spark, rp)
+    rollup.compact_rollup(spark, rp, ["v"], ["tag"], checkpoint=ck)
+    assert _rollup_rows(spark, rp) == before
+
+
+def test_compact_refuses_leftover_swap_dirs(spark, tmp_path):
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 30)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    leftover = rp + "__compact_old"
+    import os
+
+    os.makedirs(leftover)
+    with pytest.raises(RuntimeError, match="crash mid-swap"):
+        rollup.compact_rollup(spark, rp, ["v"], ["tag"])
+    os.rmdir(leftover)
+
+
+def test_name_collision_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="collision"):
+        rollup.read_rollup(spark, str(tmp_path), ["v"], ["bucket"])
+    with pytest.raises(ValueError, match="collision"):
+        rollup.read_rollup(spark, str(tmp_path), ["bucket"], ["tag"])
+    with pytest.raises(ValueError, match="collision"):
+        rollup.read_rollup(spark, str(tmp_path), ["v"], ["v_cnt"])
+    with pytest.raises(ValueError, match="collision"):
+        rollup.read_rollup(spark, str(tmp_path), ["v"], ["batch"])
+
+
+def test_two_tier_split_validation(spark, tmp_path):
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 60)  # rolled buckets: 00:00 .. 00:45
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    _mk_raw(spark, src, 60, 75)  # tail after the last refresh
+
+    # a split past the high-water mark would lose buckets from both tiers
+    with pytest.raises(ValueError, match="high-water"):
+        rollup.query_two_tier(
+            spark, src, rp, "15 minutes", ["v"],
+            BASE + timedelta(minutes=90), ["tag"],
+        )
+
+    # derived split (None) = start of the last rolled bucket → exact
+    got = {
+        (r["bucket"], r["tag"], r["v_cnt"], r["v_sum"], r["v_avg"])
+        for r in rollup.query_two_tier(
+            spark, src, rp, "15 minutes", ["v"], None, ["tag"]
+        ).collect()
+    }
+    expect = {(r[0], r[1], r[2], r[3], r[6]) for r in _batch_expect(spark, src)}
+    assert got == expect
