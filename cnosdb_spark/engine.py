@@ -2039,7 +2039,12 @@ class Engine:
                         "Failed to do analyze. err: negative value for "
                         f"unsigned column {c}"
                     )
-        df = self.catalog.read(db, name)
+        # keep_residue: the read-modify-write must carry the sub-µs residue
+        # (_ns_res) through the rewrite — dropping it would merge ns-distinct
+        # rows on the next read (reference keys points on raw i64 ns,
+        # tskv_table_schema.rs:409-415; transform_update.rs:41-120 rewrites
+        # the full storage row)
+        df = self.catalog.read(db, name, keep_residue=True)
         # Materialize the condition (and every SET rhs) against the ORIGINAL
         # row before any assignment mutates columns: `SET f0=0 WHERE f0>5`
         # must match on the old f0, and a second assignment must not see the
@@ -2125,7 +2130,9 @@ class Engine:
                     lambda mm: f"{mm.group(1)}'{mm.group(2)}'",
                     where,
                 )
-        df = self.catalog.read(db, name).persist()
+        # keep_residue: same rewrite-fidelity rule as UPDATE — surviving
+        # ns-distinct rows must keep their residue through the rewrite
+        df = self.catalog.read(db, name, keep_residue=True).persist()
         try:
             if where:
                 cond = F.expr(where)

@@ -158,3 +158,37 @@ def test_ns_decomposition_consistent_across_ingest_paths(spark, tmp_path):
     # same merge key → LWW keeps only the later write
     assert len(rows) == 1
     assert rows[0]["f0"] == 2
+
+
+def test_update_delete_preserve_ns_residue(spark, tmp_path):
+    """UPDATE/DELETE rewrite the table read-modify-write style; the sub-µs
+    residue must ride through the rewrite or ns-distinct rows (same µs,
+    1 ns apart) silently merge on the next read (SURVEY §7.4.6 residual;
+    reference transform_update.rs:41-120 rewrites full storage rows keyed
+    on raw i64 ns, tskv_table_schema.rs:409-415)."""
+    from cnosdb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE mres(f0 BIGINT, TAGS(t0))")
+    ns1 = 1_700_000_000_000_000_001  # same µs, 1 ns apart → distinct rows
+    ns2 = 1_700_000_000_000_000_002
+    eng.sql(
+        f"INSERT INTO mres(time, t0, f0) VALUES ({ns1}, 'a', 1), "
+        f"({ns2}, 'a', 2), ({ns1}, 'b', 3)"
+    )
+    assert eng.sql("SELECT f0 FROM mres").count() == 3
+
+    # field UPDATE rewrites every matched partition — both ns-twins survive
+    eng.sql("UPDATE mres SET f0 = f0 + 10 WHERE f0 <= 2")
+    got = sorted(r["f0"] for r in eng.sql("SELECT f0 FROM mres").collect())
+    assert got == [3, 11, 12]
+
+    # a second update through the rewritten files still sees distinct rows
+    eng.sql("UPDATE mres SET f0 = f0 * 100 WHERE f0 >= 11")
+    got = sorted(r["f0"] for r in eng.sql("SELECT f0 FROM mres").collect())
+    assert got == [3, 1100, 1200]
+
+    # DELETE of another series rewrites the bucket; twins stay distinct
+    eng.sql("DELETE FROM mres WHERE t0 = 'b'")
+    got = sorted(r["f0"] for r in eng.sql("SELECT f0 FROM mres").collect())
+    assert got == [1100, 1200]
