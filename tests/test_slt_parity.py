@@ -99,9 +99,9 @@ CURATED = [
     # folds, divide_opt NULL, Int64 left/right counts) — 777/786 and
     # 301/312. The residue is string-vs-number comparison coercion inside
     # BETWEEN/IN and cast-'false'-to-int permissiveness, fuzzer-only
-    ("sqlancer/select.slt", 0.985),
+    ("sqlancer/select.slt", 0.985),  # + exact ledger: LEDGERED_DIVERGENCES
     ("sqlancer/repeat_write.slt", 1.0),
-    ("sqlancer/function.slt", 0.964),
+    ("sqlancer/function.slt", 0.964),  # + exact ledger: LEDGERED_DIVERGENCES
     ("function/common/math_function/acos.slt", 1.0),
     ("function/common/math_function/acosh.slt", 1.0),
     ("function/common/math_function/asin.slt", 1.0),
@@ -298,10 +298,52 @@ def eng(spark, tmp_path_factory):
     return Engine(spark, str(tmp_path_factory.mktemp("slt_wh")))
 
 
+# Exact divergence ledger for the files deliberately held below 1.0: a
+# floor silently tolerates ANY failure up to its budget; the ledger
+# tolerates ONLY the statements listed here (by .slt line). Every entry is
+# a SQLancer fuzzer-only expression shape where Spark's ANSI semantics and
+# DataFusion-27's permissive kernels legitimately disagree — adopting the
+# DataFusion behavior was declined as a mis-generalization risk (the same
+# coercions power the 22 green TPC-H value-level queries). Categories:
+#   - string-vs-number comparison coercion inside BETWEEN / IN
+#     (DF27 compares 'false'/'{e' to doubles permissively)
+#   - CAST('false' AS BIGINT) / CAST('Infinity') permissiveness
+#   - %/0 and /0 inside boolean towers (DF27 folds to NULL pre-ANSI-check)
+#   - LIKE pattern with a trailing escape (DF27 accepts, Spark rejects)
+#   - bit_and over a division DF27 type-erases to BIGINT
+#   - to_timestamp(i64::MAX) overflow DF27 reports as error, Spark folds
+# A fix that lands must REMOVE its line from the ledger (the test fails on
+# vanished divergences too, so entries can't go stale silently).
+LEDGERED_DIVERGENCES: dict[str, set[int]] = {
+    "sqlancer/select.slt": {71, 962, 1177, 1944, 3157, 3289, 3986, 4096, 4439},
+    "sqlancer/function.slt": {319, 437, 638, 809, 1654, 1748, 2038, 2202, 2430, 2480, 2532},
+}
+
+
+def _failure_lines(res) -> set[int]:
+    out = set()
+    for f in res.failures:
+        # entries are "<path>:<line>: <detail>"
+        try:
+            out.add(int(f.split(":", 2)[1]))
+        except (IndexError, ValueError):
+            out.add(-1)  # unparsable entry → never matches a ledger
+    return out
+
+
 @pytest.mark.parametrize("rel,floor", CURATED)
 def test_slt_file(eng, rel, floor):
     res = run_slt(eng, os.path.join(CASES, rel))
     assert res.total > 0
+    if rel in LEDGERED_DIVERGENCES:
+        got = _failure_lines(res)
+        assert got == LEDGERED_DIVERGENCES[rel], (
+            f"{rel}: divergence set changed — new: "
+            f"{sorted(got - LEDGERED_DIVERGENCES[rel])}, fixed (remove from "
+            f"ledger): {sorted(LEDGERED_DIVERGENCES[rel] - got)}\n"
+            + "\n".join(res.failures[:10])
+        )
+        return
     assert res.rate >= floor, (
         f"{rel}: {res.passed}/{res.total} (floor {floor})\n"
         + "\n".join(res.failures[:10])
@@ -353,7 +395,7 @@ VALUE_CHECKED = [
     # 42/43: the one residual is concat_ws(TIME,TIME,TIME) over ns-literal
     # rows (concat_ws.slt:226) — the documented small-int-literal µs
     # interpretation renders .000001 where the reference renders
-    # .000000001 (SURVEY §7.4 risk 6)
+    # .000000001 (SURVEY §7.4 risk 6); exact-ledgered below
     ("function/string_func/concat_ws.slt", 0.97),
     ("function/common/math_function/round.slt", 1.0),
     ("function/common/math_function/gcd.slt", 1.0),
@@ -514,11 +556,31 @@ def veng(spark, tmp_path_factory):
     return Engine(spark, str(tmp_path_factory.mktemp("slt_values_wh")))
 
 
+# value-tier divergence ledger (same discipline as LEDGERED_DIVERGENCES):
+# concat_ws.slt:226 is concat_ws(TIME,TIME,TIME) over ns-literal rows —
+# the engine's documented small-int-literal µs interpretation renders
+# .000001 where the reference renders .000000001 (SURVEY §7.4 risk 6;
+# reinterpreting small int TIME literals as ns was declined: it would risk
+# the 251 green floors that depend on µs interpretation)
+LEDGERED_VALUE_DIVERGENCES: dict[str, set[int]] = {
+    "function/string_func/concat_ws.slt": {226},
+}
+
+
 @pytest.mark.parametrize("rel,floor", VALUE_CHECKED)
 def test_slt_values(veng, rel, floor):
     res = run_slt(veng, os.path.join(CASES, rel), check_values=True)
     assert res.total > 0
     assert res.values_checked > 0, f"{rel}: no query was value-comparable"
+    if rel in LEDGERED_VALUE_DIVERGENCES:
+        got = _failure_lines(res)
+        assert got == LEDGERED_VALUE_DIVERGENCES[rel], (
+            f"{rel}: divergence set changed — new: "
+            f"{sorted(got - LEDGERED_VALUE_DIVERGENCES[rel])}, fixed (remove "
+            f"from ledger): {sorted(LEDGERED_VALUE_DIVERGENCES[rel] - got)}\n"
+            + "\n".join(res.failures[:8])
+        )
+        return
     assert res.rate >= floor, (
         f"{rel}: {res.passed}/{res.total} values_checked={res.values_checked} "
         f"(floor {floor})\n" + "\n".join(res.failures[:8])
