@@ -495,3 +495,145 @@ def resolve_duplicate_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    keep_first: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    find maximal token spans of length >= ``k`` whose content appears at
+    least ``min_count`` times across the corpus — the within/cross-document
+    boilerplate exact-document dedup misses (licence blocks, templated
+    headers, copied passages).
+
+    Method, Spark-first (the paper builds a suffix array; an inverted
+    index over rolling k-token windows finds the identical span set for a
+    fixed minimum length): tokenize once, explode every k-token window
+    with stride 1, md5 the window, count occurrences per hash (map-side
+    partial aggregation collapses in-partition repeats before the ONE
+    vocabulary shuffle), join duplicated hashes back, and merge
+    overlapping/adjacent duplicate windows per document into maximal
+    spans with the sessionization cumsum trick.  ``keep_first`` excludes
+    the globally first occurrence (min (id, pos)) of each window from
+    removal, so one canonical copy of every duplicated passage survives.
+
+    Output: (``id_col``, span_start, span_end, n_windows) — token
+    positions, span = [span_start, span_end).
+
+    Scale: the window table is O(total corpus tokens) rows — inherent to
+    the algorithm (the paper's suffix array is the same magnitude); it
+    shuffles twice (hash count + join-back), both keyed on the window
+    hash, so it distributes evenly unless one span dominates the corpus,
+    which the count ceiling of the join-back join's build side (only
+    hashes with count >= min_count, a tiny fraction) keeps cheap.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+    )
+    # window table: materialized _toks (slice re-evaluates nested inputs
+    # per element — see word_ngrams) → one row per window position
+    w = t.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.size("_toks") - k)).alias("pos"),
+        F.col("_toks"),
+    ).select(
+        "_id",
+        "pos",
+        # \x1f unit separator: cannot appear inside a whitespace token
+        F.md5(F.concat_ws("\x1f", F.slice("_toks", F.col("pos") + 1, k))).alias("_h"),
+    )
+    dup = (
+        w.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct("_id", "pos")).alias("_first"),
+        )
+        .where(F.col("_c") >= min_count)
+    )
+    hits = w.join(dup, "_h")
+    if keep_first:
+        hits = hits.where(
+            (F.col("_id") != F.col("_first._id")) | (F.col("pos") != F.col("_first.pos"))
+        )
+    from pyspark.sql import Window as _W
+
+    win = _W.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        win.rowsBetween(_W.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).over(win)
+    return (
+        hits.select("_id", "pos", grp.alias("_grp"))
+        .groupBy("_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    keep_first: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rewrite documents with their duplicate spans (``duplicate_spans``)
+    cut out: tokens covered by any span are dropped, the rest re-join on
+    single spaces.  Documents without duplicate spans pass through with
+    their whitespace normalized (same token join), so output text is
+    uniformly single-spaced.
+
+    Output: all input columns with ``text_col`` replaced by the cleaned
+    text, plus n_tokens_removed / n_spans_removed counters.
+
+    Scale: one extra shuffle beyond duplicate_spans (the spans fold back
+    per document); the rewrite itself is a narrow per-row array filter —
+    NOT exists(span covering index i) via the index-aware ``F.filter``.
+    """
+    spans = duplicate_spans(df, text_col, id_col, k, keep_first, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("n_tokens_removed"),
+        F.count(F.lit(1)).alias("n_spans_removed"),
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.join(per_doc, id_col, "left").withColumn("_toks", toks)
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.coalesce(F.col("_spans"), F.array()),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return (
+        out.withColumn(text_col, F.concat_ws(" ", kept))
+        .withColumn(
+            "n_tokens_removed", F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "n_spans_removed", F.coalesce("n_spans_removed", F.lit(0)).cast("long")
+        )
+        .drop("_toks", "_spans")
+    )

@@ -438,3 +438,121 @@ def test_redact_pii_no_cross_category_double_count(spark):
     r = redact_pii(df).collect()[0]
     assert r["n_ip"] == 1 and r["n_phone"] == 0 and r["n_email"] == 0
     assert r["text_redacted"] == "host <IP> only"
+
+
+# ---------------------------------------------------------------------
+# duplicate-span (exact-substring) dedup — Lee et al. 2022 style
+# ---------------------------------------------------------------------
+
+def _span_docs(spark):
+    boiler = "this code is licensed under the apache license version two"
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} unrelated middle text here okay fine then {boiler}"),
+        (3, "totally unique document with no duplicated span at all right"),
+        (4, f"prefix words {boiler} suffix words"),
+        (5, "alpha beta gamma"),  # shorter than k → never windowed
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_spans_matches_duckdb(spark):
+    """Span table vs an independent DuckDB evaluation of the same
+    window-hash → count → keep-first → interval-merge pipeline."""
+    import duckdb
+
+    from .oracle import compare
+
+    k = 6
+    docs = _span_docs(spark)
+    got = dedup.duplicate_spans(docs, "text", "doc_id", k=k).select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = con.execute(
+        f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM docs WHERE len(string_split_regex(trim(text), '\\s+')) >= {k}),
+        w0 AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks) - {k} + 2)) AS i FROM t),
+        w AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i+{k}-1], chr(31))) AS h
+          FROM w0),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                 count(*) OVER (PARTITION BY h) AS c
+          FROM w),
+        hits AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          FROM (SELECT doc_id, pos,
+                       max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                FROM hits))
+        SELECT doc_id, min(pos) AS span_start,
+               CAST(max(pos) + {k} AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM grp GROUP BY doc_id, g
+        """
+    ).df()
+    errs = compare(got, want, "duplicate_spans")
+    assert not errs, "\n".join(errs)
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    k = 6
+    docs = _span_docs(spark)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(docs, "text", "doc_id", k=k).collect()
+    }
+    boiler = "this code is licensed under the apache license version two"
+    # doc 1 holds the globally-first occurrence (min (doc_id, pos)) → kept
+    assert boiler in out[1]["text"] and out[1]["n_tokens_removed"] == 0
+    # doc 2 loses BOTH its copies (two disjoint spans), doc 4 loses its one
+    assert boiler not in out[2]["text"] and out[2]["n_spans_removed"] == 2
+    assert out[2]["text"].startswith("unrelated middle text")
+    assert out[4]["text"] == "prefix words suffix words"
+    assert out[4]["n_tokens_removed"] == len(boiler.split())
+    # untouched docs pass through whole
+    assert out[3]["n_tokens_removed"] == 0 and "unique document" in out[3]["text"]
+    assert out[5]["text"] == "alpha beta gamma"
+    # removal is conservative: total tokens removed == sum of span widths
+    spans = dedup.duplicate_spans(docs, "text", "doc_id", k=k).collect()
+    assert sum(r["n_tokens_removed"] for r in out.values()) == sum(
+        r["span_end"] - r["span_start"] for r in spans
+    )
+
+
+def test_duplicate_spans_keep_first_false_and_min_count(spark):
+    docs = _span_docs(spark)
+    # keep_first=False marks EVERY occurrence, including the first
+    all_spans = dedup.duplicate_spans(
+        docs, "text", "doc_id", k=6, keep_first=False
+    ).collect()
+    assert {r["doc_id"] for r in all_spans} == {1, 2, 4}
+    # min_count above the actual multiplicity → nothing flagged
+    none = dedup.duplicate_spans(
+        docs, "text", "doc_id", k=6, min_count=5
+    ).count()
+    assert none == 0
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """One vocabulary shuffle with map-side partial aggregation; no
+    nested-loop join anywhere (the join-back is keyed on the hash)."""
+    docs = _span_docs(spark)
+    p = (
+        dedup.duplicate_spans(docs, "text", "doc_id", k=6)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
