@@ -181,3 +181,51 @@ def enrich_stream(
         raise ValueError("enrich_stream: the dimension side must be a static DataFrame")
     dim = F.broadcast(dim_df) if broadcast_dim else dim_df
     return stream_df.join(dim, on, how)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join — a Spark-first EXTENSION
+    past the reference's stream restrictions (same opt-out contract as
+    ``enrich_stream``; stream_checker.rs rejects every join), for the
+    canonical attribution shape: match each right event to left events of
+    the same ``key`` with ``right_time`` in
+    ``[left_time + lower, left_time + upper]`` (impression→click,
+    order→fill, request→response).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the time range on BOTH ends, so Structured Streaming can size and
+    EVICT the join state (an unbounded condition would grow state
+    forever — the number-one production failure of stream-stream joins).
+    State per key is O(events inside the interval + watermark slack).
+    Outer variants ("leftOuter"/"rightOuter") emit NULL-padded rows only
+    once the watermark proves no match can arrive.
+
+    Column names must be disjoint apart from ``key`` (standard Spark
+    join hygiene); the output keeps ONE ``key`` column (the left side's —
+    NULL-padded right rows under "rightOuter" would otherwise carry a
+    second; sinks reject duplicate names).
+    """
+    if not (left.isStreaming and right.isStreaming):
+        raise ValueError(
+            "interval_join_streams: both sides must be streaming DataFrames "
+            "(use enrich_stream for stream-static joins)"
+        )
+    l = left.withWatermark(left_time, left_watermark).alias("l")
+    r = right.withWatermark(right_time, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how).drop(F.col(f"r.{key}"))

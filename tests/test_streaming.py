@@ -398,3 +398,78 @@ def test_enrich_stream_static_join(spark, source, tmp_path):
     assert got == expect
     with pytest.raises(ValueError, match="static"):
         enrich_stream(sdf, sdf, on="name")
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (extension): impressions
+    joined to clicks within [0s, 30min] per user — the streamed result
+    must equal the equivalent batch range join, and outputs only appear
+    through the writeStream path (availableNow)."""
+    from cnosdb_spark.streaming.stream_table import interval_join_streams
+
+    base = datetime(2024, 1, 1)
+    imp_path, clk_path = str(tmp_path / "imp"), str(tmp_path / "clk")
+    impressions = [
+        (base + timedelta(minutes=5 * i), f"u{i % 3}", f"ad{i}") for i in range(12)
+    ]
+    clicks = [
+        # u0 clicks 10 min after its first impression; u1 clicks 29 min
+        # after one of its; one click outside every window (joins nothing)
+        (base + timedelta(minutes=10), "u0", "c0"),
+        (base + timedelta(minutes=34), "u1", "c1"),
+        (base + timedelta(hours=12), "u2", "c_late"),
+    ]
+    spark.createDataFrame(impressions, ["imp_time", "user", "ad_id"]).write.parquet(imp_path)
+    spark.createDataFrame(clicks, ["click_time", "user", "click_id"]).write.parquet(clk_path)
+
+    imp_s = spark.readStream.schema(
+        spark.read.parquet(imp_path).schema
+    ).parquet(imp_path)
+    clk_s = spark.readStream.schema(
+        spark.read.parquet(clk_path).schema
+    ).parquet(clk_path)
+
+    joined = interval_join_streams(
+        imp_s, clk_s, key="user",
+        left_time="imp_time", right_time="click_time",
+        lower="0 seconds", upper="30 minutes",
+    )
+    out = str(tmp_path / "attributed")
+    q = (
+        joined.writeStream.option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["ad_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    imp_b = spark.read.parquet(imp_path)
+    clk_b = spark.read.parquet(clk_path)
+    expect = {
+        (r["ad_id"], r["click_id"])
+        for r in imp_b.join(
+            clk_b,
+            (imp_b.user == clk_b.user)
+            & (clk_b.click_time >= imp_b.imp_time)
+            & (clk_b.click_time <= imp_b.imp_time + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+    # the out-of-window click attributed to nothing
+    assert not any(c == "c_late" for _, c in got)
+
+
+def test_interval_join_streams_rejects_static_side(spark, tmp_path):
+    from cnosdb_spark.streaming.stream_table import interval_join_streams
+
+    path = str(tmp_path / "one")
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1), "u0")], ["t", "user"]
+    ).write.parquet(path)
+    s = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    b = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="both sides must be streaming"):
+        interval_join_streams(s, b, key="user", left_time="t", right_time="t")
