@@ -315,3 +315,186 @@ def semantic_dedup(
             F.col("dup_of"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (IVF-PQ style) — the memory-compression scale path
+# ---------------------------------------------------------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    sample: int = 2048,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the vector into ``m``
+    subspaces and pick ``k`` centroids per subspace from a DETERMINISTIC
+    md5-ordered corpus sample refined with one distributed Lloyd step —
+    the same discipline as ``ivf_centroids`` (reproducible across runs,
+    no RNG state, corpus never collected beyond ``sample`` rows).
+
+    Returns ``codebooks[m][k][sub_dim]`` (driver-side: m*k*sub_dim = k*dim
+    floats — kilobytes, broadcastable as literals).
+
+    At 100 TB: PQ codes compress float32 embeddings ~``4*dim/m``× (a
+    768-dim vector becomes m bytes + the shared codebook), which is what
+    lets a billion-vector index live in executor memory for ADC scans.
+
+    Vectors are L2-normalized before quantization (here, in pq_encode,
+    and in pq_topk's query tables): on unit vectors squared-L2 is
+    monotone with cosine (||a-b||² = 2-2cos), so ADC ranking approximates
+    the cosine ranking the rest of the similarity family uses.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
+    vecs = np.array([r["_v"] for r in rows])
+    vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    dim = vecs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for i in range(m):
+        block = vecs[:, i * sub : (i + 1) * sub]
+        cents = block[:k].copy()  # md5-ordered sample = pseudo-random draw
+        # one Lloyd step, numpy over the (tiny) sample
+        d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = block[mask].mean(0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _codebook_lit(book: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``m`` small ints (nearest codebook entry per
+    subspace, squared-L2).  Pure column expressions — a narrow map that
+    parallelizes over input splits; the codebooks ride as literals.
+    Output: input columns + ``out_col`` array<int> of length m."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    raw = F.col(vec_col).cast("array<double>")
+    nrm = F.greatest(norm_expr(raw), F.lit(1e-12))
+    v = F.transform(raw, lambda x: x / nrm)
+    codes = []
+    for i, book in enumerate(codebooks):
+        s = F.slice(v, i * sub + 1, sub)
+        d2 = F.transform(
+            _codebook_lit(book),
+            lambda c: F.aggregate(
+                F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    refine: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    distance table d[m][k] = ||q_sub - codebook[m][k]||² is computed
+    DRIVER-side (m*k floats per query — the query set is small by
+    contract, same as brute_force_topk) and broadcast as literals; each
+    corpus code row scores as Σ_m d[m][code_m] — one corpus scan for all
+    queries, per-query top-k via window rank.
+
+    ``refine=N`` enables the production two-stage pattern: ADC shortlists
+    the top N per query, then EXACT cosine (``vec_col`` must be present
+    on ``codes``) re-ranks the shortlist to the final k.  The exact pass
+    touches only Q*N rows, so the corpus-wide work stays in the compressed
+    ADC domain — this is what recovers exact-search recall from the lossy
+    codes.
+
+    Output: (query_id, vec_id, adc_dist, rank) — rank 1..k by ascending
+    ADC distance (or descending exact cosine when refining), ties broken
+    by corpus id.
+    """
+    m = len(codebooks)
+    books = np.array(codebooks)  # [m][k][sub]
+    q_rows = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    ).collect()
+    sub = books.shape[2]
+    dtab_rows = []
+    for r in q_rows:
+        qv = np.array(r["_qv"])
+        qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        dt = [
+            [float(((qv[i * sub : (i + 1) * sub] - c) ** 2).sum()) for c in books[i]]
+            for i in range(m)
+        ]
+        dtab_rows.append((r["_qid"], dt, [float(x) for x in qv]))
+    spark = codes.sparkSession
+    qdf = spark.createDataFrame(
+        dtab_rows,
+        f"{query_id_col} long, _dtab array<array<double>>, _qv array<double>",
+    )
+    code = F.col(code_col)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_dtab"), code, lambda d, c: F.element_at(d, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
+    scored = (
+        codes.select(F.col(id_col).alias("_cid"), code_col, *keep_vec)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            query_id_col,
+            "_cid",
+            adc.alias("adc_dist"),
+            *(["_cv", "_qv"] if refine else []),
+        )
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("_cid").asc()
+    )
+    if refine:
+        short = scored.withColumn("_r", F.row_number().over(w_adc)).filter(
+            F.col("_r") <= refine
+        )
+        w_exact = Window.partitionBy(query_id_col).orderBy(
+            cosine_expr(F.col("_cv"), F.col("_qv")).desc(), F.col("_cid").asc()
+        )
+        ranked = short.withColumn("rank", F.row_number().over(w_exact))
+    else:
+        ranked = scored.withColumn("rank", F.row_number().over(w_adc))
+    return ranked.filter(F.col("rank") <= k).select(
+        query_id_col,
+        F.col("_cid").alias(id_col),
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )

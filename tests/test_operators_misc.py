@@ -556,3 +556,83 @@ def test_duplicate_spans_plan_shape(spark):
     )
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
+
+
+# ---------------------------------------------------------------------
+# product quantization (ADC search)
+# ---------------------------------------------------------------------
+
+def test_pq_roundtrip_and_recall(spark):
+    """PQ codes + ADC top-k must be deterministic and agree with exact
+    brute-force cosine on most neighbors (recall@10 on the synthetic
+    embeddings; PQ is approximate — the bar is usefulness, not equality)."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    books = similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16
+    # deterministic: retraining yields identical codebooks
+    assert books == similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+
+    codes = similarity.pq_encode(emb, "embedding", books)
+    row = codes.select("pq_code").first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_code"])
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    # raw ADC: near-random 64-dim synthetic vectors have tightly bunched
+    # pairwise distances, so lossy codes keep only partial neighbor sets —
+    # but the true nearest (self) must always surface first
+    got = similarity.pq_topk(codes, queries, books, k=10)
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    raw_recall = len(g & e) / len(e)
+    assert raw_recall >= 0.15, f"raw ADC recall collapsed: {raw_recall}"
+    firsts = {r["query_id"]: r["vec_id"] for r in got.filter(F.col("rank") == 1).collect()}
+    assert all(q == v for q, v in firsts.items())
+
+    # production two-stage: ADC shortlist of 150 + exact re-rank → the
+    # final top-10 recovers most of the exact neighbor set
+    refined = similarity.pq_topk(codes, queries, books, k=10, refine=150)
+    rg = {(r["query_id"], r["vec_id"]) for r in refined.collect()}
+    refined_recall = len(rg & e) / len(e)
+    assert refined_recall >= 0.8, f"refined recall@10 too low: {refined_recall}"
+    assert refined_recall > raw_recall
+
+
+def test_pq_topk_plan_one_scan_broadcast(spark):
+    """ADC search must be one corpus scan against a broadcast query-side
+    distance table — the only join is the broadcast nested loop over the
+    tiny query set (same contract as brute_force_topk)."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    books = similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+    codes = similarity.pq_encode(emb, "embedding", books)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p = (
+        similarity.pq_topk(codes, queries, books, k=5)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    )
+    assert "BroadcastExchange" in p
+    assert p.count("Scan parquet") <= 2  # corpus once + query-side seed
+
+
+def test_pq_dim_guard(spark):
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(emb, "embedding", m=7)
