@@ -16,7 +16,7 @@ from .conftest import SF_SMOKE
 from .oracle import compare
 
 # DuckDB mirror of operators.text normalize+tokens (lockstep with the
-# registered text_token_fingerprint oracle).
+# text_quality_stats fingerprint/BPE oracle arms).
 _TOKS = "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 _DT = f"""
     doc_terms AS (
