@@ -456,9 +456,18 @@ def pq_topk(
         ]
         dtab_rows.append((r["_qid"], dt, [float(x) for x in qv]))
     spark = codes.sparkSession
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id_col].dataType
     qdf = spark.createDataFrame(
         dtab_rows,
-        f"{query_id_col} long, _dtab array<array<double>>, _qv array<double>",
+        T.StructType(
+            [
+                T.StructField(query_id_col, qid_type),
+                T.StructField("_dtab", T.ArrayType(T.ArrayType(T.DoubleType()))),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
     code = F.col(code_col)
     adc = F.aggregate(

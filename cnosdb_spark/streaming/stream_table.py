@@ -212,9 +212,10 @@ def interval_join_streams(
     once the watermark proves no match can arrive.
 
     Column names must be disjoint apart from ``key`` (standard Spark
-    join hygiene); the output keeps ONE ``key`` column (the left side's —
-    NULL-padded right rows under "rightOuter" would otherwise carry a
-    second; sinks reject duplicate names).
+    join hygiene); the output keeps ONE ``key`` column — the left side's,
+    except under "rightOuter" where unmatched right rows carry the only
+    non-NULL key, so the right side's survives instead (sinks reject
+    duplicate names either way).
     """
     if not (left.isStreaming and right.isStreaming):
         raise ValueError(
@@ -228,4 +229,5 @@ def interval_join_streams(
         & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {lower}"))
         & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
+    drop_side = "l" if how.lower().replace("_", "") in ("right", "rightouter") else "r"
+    return l.join(r, cond, how).drop(F.col(f"{drop_side}.{key}"))
