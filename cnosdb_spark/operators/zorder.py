@@ -1,0 +1,98 @@
+"""Z-order (Morton-curve) data clustering for multi-column file pruning.
+
+The Delta/Iceberg ``OPTIMIZE ZORDER BY`` pattern, as a plain-parquet
+operator: map each clustering column to a bounded integer bucket,
+interleave the bucket bits into one Morton value, range-partition + sort
+the data by it, and write.  Files then cover small HYPER-RECTANGLES of
+the key space instead of thin slices of one column, so parquet
+min/max footer stats prune scans on ANY of the clustered columns — the
+single-column sort gives perfect pruning on one column and none on the
+rest; Z-ordering trades a little of the first for usable pruning on all.
+
+At 100 TB this is the difference between "point lookups on (tenant,
+time) read 3 files" and "read the whole day": layout, not compute.
+Everything here is column expressions + one repartitionByRange (a range
+shuffle with a sampled boundary pass — exactly what a sorted write costs
+anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_value(
+    cols: list[Column],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 8,
+) -> Column:
+    """Morton value for up to 4 columns: linear-bucket each column to
+    ``2^bits`` cells over [min, max] (driver-supplied bounds — one agg),
+    then interleave the bits.  NULLs bucket to cell 0 (they cluster
+    together at the curve origin, matching NULLs-first sort layouts)."""
+    n = len(cols)
+    if not 2 <= n <= 4:
+        raise ValueError("zorder_value wants 2-4 columns")
+    if n * bits > 62:
+        raise ValueError("n_cols * bits must stay under 63 (long Morton value)")
+    cells = (1 << bits) - 1
+    bucketed = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        frac = (c.cast("double") - float(lo)) / span if span > 0 else F.lit(0.0)
+        b = F.least(
+            F.greatest((frac * cells).cast("long"), F.lit(0)), F.lit(cells)
+        )
+        bucketed.append(F.coalesce(b, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bucketed):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)).cast("long"),
+                bit * n + i,
+            )
+    return z
+
+
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    n_partitions: int = 8,
+    bits: int = 8,
+) -> DataFrame:
+    """Return ``df`` range-partitioned and sorted by the Morton value of
+    ``cols`` (bounds from one min/max aggregate over the input) — write
+    the result with any sink and each output file covers a compact
+    hyper-rectangle of the clustered key space."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    ).first()
+    mins = [bounds[f"_lo_{c}"] for c in cols]
+    maxs = [bounds[f"_hi_{c}"] for c in cols]
+    z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+def file_pruning_stats(
+    spark, path: str, col: str, lo: float, hi: float
+) -> tuple[int, int]:
+    """Diagnostic: (files whose [min,max] of ``col`` overlaps [lo,hi],
+    total files) for a parquet directory — the fraction a min/max-stat
+    scan planner would have to read."""
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+    )
+    total = per_file.count()
+    overlapping = per_file.filter(
+        (F.col("_hi") >= lo) & (F.col("_lo") <= hi)
+    ).count()
+    return overlapping, total
