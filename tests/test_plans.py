@@ -182,3 +182,20 @@ def test_chunk_documents_is_narrow(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "Exchange" not in p
+
+
+def test_asof_range_join_row_no_cartesian(spark):
+    """The driver row composes asof_join (union+window, no join node) and
+    the bucketized range join (equi-join) — no nested loop anywhere."""
+    p = _plan(spark, "asof_range_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scoring_sampling_row_plan(spark):
+    """TF-IDF arm: corpus-count scalar broadcasts (the only permissible
+    nested-loop is that 1-row join); stratified arm: a pure filter."""
+    p = _plan(spark, "scoring_sampling")
+    assert "BroadcastExchange" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "partial_count" in p  # map-side combine on the (doc,term) agg
