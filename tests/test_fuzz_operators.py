@@ -1,0 +1,116 @@
+"""Property-based tests for the round-5 operators: invariants that must
+hold on ARBITRARY inputs, not just the curated fixtures — duplicate-span
+geometry, salted-join equivalence, z-order row preservation, packing
+conservation."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cnosdb_spark.operators import curation, dedup, skew, zorder
+
+
+_FUZZ = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# small token alphabet → collisions and duplicated spans are common
+_word = st.sampled_from(["a", "b", "c", "dd", "eee", "f0"])
+_doc = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+
+
+@settings(**_FUZZ)
+@given(texts=_corpus, k=st.integers(2, 4))
+def test_duplicate_spans_geometry(spark, texts, k):
+    """Spans lie inside their documents, never overlap after merging, are
+    at least k wide, and keep_first leaves >= 1 occurrence of every
+    duplicated window somewhere in the corpus."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    spans = dedup.duplicate_spans(docs, "text", "doc_id", k=k).collect()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.when(F.trim("text") == "", 0)
+            .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+            .alias("n"),
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        assert 0 <= r["span_start"] < r["span_end"] <= n_toks[r["doc_id"]]
+        assert r["span_end"] - r["span_start"] >= k
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc_spans in by_doc.values():
+        doc_spans.sort()
+        for (s1, e1), (s2, e2) in zip(doc_spans, doc_spans[1:]):
+            assert s2 > e1  # merged spans are disjoint AND non-adjacent
+
+    # removal conserves tokens: removed + kept == original
+    out = dedup.remove_duplicate_spans(docs, "text", "doc_id", k=k).collect()
+    for r in out:
+        kept = len(r["text"].split()) if r["text"].strip() else 0
+        assert kept + r["n_tokens_removed"] == n_toks[r["doc_id"]]
+
+
+@settings(**_FUZZ)
+@given(
+    keys=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+    n_salts=st.integers(2, 8),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equivalence(spark, keys, n_salts, how):
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], ["k", "payload"]
+    )
+    dim = spark.createDataFrame([(0, "x"), (2, "y")], ["k", "attr"])
+    got = sorted(
+        (r["k"], r["payload"], r["attr"])
+        for r in skew.salted_join(big, dim, "k", n_salts=n_salts, how=how).collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["attr"]) for r in big.join(dim, "k", how).collect()
+    )
+    assert got == want
+
+
+@settings(**_FUZZ)
+@given(
+    xs=st.lists(st.integers(-1000, 1000), min_size=2, max_size=60),
+    bits=st.integers(2, 8),
+)
+def test_zorder_preserves_multiset(spark, xs, bits):
+    df = spark.createDataFrame(
+        [(x, i % 7, i) for i, x in enumerate(xs)], ["x", "y", "payload"]
+    )
+    out = zorder.zorder_frame(df, ["x", "y"], n_partitions=3, bits=bits)
+    assert sorted(r["payload"] for r in out.collect()) == sorted(range(len(xs)))
+
+
+@settings(**_FUZZ)
+@given(
+    lens=st.lists(st.integers(1, 50), min_size=1, max_size=25),
+    capacity=st.integers(8, 64),
+)
+def test_pack_chunks_conserves_tokens(spark, lens, capacity):
+    """Every document's token mass lands in bins exactly once: the sum of
+    slice_len over the manifest equals the corpus token total, and no
+    bin exceeds capacity."""
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], ["doc_id", "n_tok"]
+    )
+    manifest = curation.pack_chunks(df, "n_tok", capacity, shards=2)
+    rows = manifest.collect()
+    assert sum(r["slice_len"] for r in rows) == sum(lens)
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        assert 0 < r["slice_len"] <= capacity
+        fills[(r["shard"], r["bin"])] = fills.get((r["shard"], r["bin"]), 0) + r["slice_len"]
+    assert all(v <= capacity for v in fills.values())
