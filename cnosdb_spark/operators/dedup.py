@@ -637,3 +637,83 @@ def remove_duplicate_spans(
         )
         .drop("_toks", "_spans")
     )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The PERSISTABLE dedup index: (id, band bucket key) rows — the
+    banded form of the MinHash signature, one row per (doc, band).
+
+    Write this table once per corpus snapshot (ideally bucketed on
+    ``_bucket``, operators/bucketing.py); ``dedup_against_index`` then
+    checks any NEW batch against it without recomputing or rescanning the
+    existing corpus — the production incremental-ingest shape at 100 TB,
+    where re-dedupping the whole corpus per arriving shard is impossible.
+    Keys are deterministic (Carter-Wegman over md5, minhash_signatures),
+    so index rows built last month match signatures computed today.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.lit(f"{b}:")] + [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select("_id", *band_cols)
+    return banded.select(
+        F.col("_id").alias(id_col),
+        F.explode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("_bucket"),
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup check: candidates between a NEW batch and an
+    existing corpus represented ONLY by its ``minhash_band_table`` index
+    (the corpus text is never touched), plus near-dup pairs WITHIN the
+    new batch.
+
+    The new batch's band table joins the index on the bucket key — a
+    shuffle (or, with a bucketed index, co-located) hash join whose left
+    side is just the new batch.  Output:
+    (id_new, id_match, source — 'index' for new-vs-corpus matches,
+    'batch' for new-vs-new; id_new < id_match within 'batch' rows).
+
+    Parameters must match the ones the index was built with — bucket
+    keys are parameter-dependent.
+    """
+    nb = minhash_band_table(new_docs, text_col, id_col, n, num_hashes, bands)
+    ix = index.select(F.col(id_col).alias("_ix_id"), "_bucket")
+    vs_index = (
+        nb.join(ix, "_bucket")
+        .select(
+            F.col(id_col).alias("id_new"),
+            F.col("_ix_id").alias("id_match"),
+            F.lit("index").alias("source"),
+        )
+        .distinct()
+    )
+    within = minhash_lsh_pairs(
+        new_docs, text_col, id_col, n, num_hashes, bands
+    ).select(
+        F.col("id_a").alias("id_new"),
+        F.col("id_b").alias("id_match"),
+        F.lit("batch").alias("source"),
+    )
+    return vs_index.unionByName(within)

@@ -636,3 +636,57 @@ def test_pq_dim_guard(spark):
     emb = read_table(spark, SF_DIR, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_codebooks(emb, "embedding", m=7)
+
+
+# ---------------------------------------------------------------------
+# incremental dedup against a persisted band index
+# ---------------------------------------------------------------------
+
+def test_incremental_dedup_against_index(spark, tmp_path):
+    """The persisted band table must catch a new batch's near-dups of
+    EXISTING corpus docs without touching corpus text, agree with the
+    full-recompute answer, and also surface new-vs-new pairs."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "completely different content about query engines here")],
+        ["doc_id", "text"],
+    )
+    index_path = str(tmp_path / "band_index")
+    dedup.minhash_band_table(corpus, "text", "doc_id").write.parquet(index_path)
+    index = spark.read.parquet(index_path)
+
+    new_batch = spark.createDataFrame(
+        [
+            (100, base.replace("today", "tomorrow")),   # near-dup of corpus doc 0
+            (101, base.replace("today", "tomorrow")),   # exact dup of doc 100
+            (102, "fresh unrelated text about benchmarks and parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = dedup.dedup_against_index(new_batch, index, "text", "doc_id").collect()
+    vs_index = {(r["id_new"], r["id_match"]) for r in got if r["source"] == "index"}
+    within = {(r["id_new"], r["id_match"]) for r in got if r["source"] == "batch"}
+    assert (100, 0) in vs_index and (101, 0) in vs_index
+    assert all(m != 1 for _, m in vs_index)  # the unrelated corpus doc never matches
+    assert (100, 101) in within
+    assert not any(102 in p for p in vs_index | within)
+
+    # parity with the monolithic recompute: union corpus+batch, full LSH
+    full = dedup.minhash_lsh_pairs(
+        corpus.unionByName(new_batch), "text", "doc_id"
+    ).collect()
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full}
+    cross_full = {(b, a) for a, b in full_pairs if a < 100 <= b}
+    assert cross_full == vs_index
+
+
+def test_band_index_parameter_stability(spark):
+    """Index keys are deterministic: rebuilding the band table yields the
+    identical row set (what makes last month's index joinable today)."""
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared shingles here") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    a = {(r["doc_id"], r["_bucket"]) for r in dedup.minhash_band_table(docs, "text", "doc_id").collect()}
+    b = {(r["doc_id"], r["_bucket"]) for r in dedup.minhash_band_table(docs, "text", "doc_id").collect()}
+    assert a == b and len(a) == 40  # 10 docs x 4 bands
