@@ -57,7 +57,10 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    tries = int(os.environ.get("SPARK_GRAFT_BENCH_TRIES", "2"))
+    # min-of-3 (the ClickBench/TSBS artifacts' methodology): this VM's
+    # wall-clock drifts ±20-50% across a day (BENCH_SUITE_DIFF.md), and a
+    # third try materially tightens the minimum for ~7s extra runtime
+    tries = int(os.environ.get("SPARK_GRAFT_BENCH_TRIES", "3"))
     for name in HEADLINE:
         fn = qs[name]
         # min of N tries, the reference's own methodology
