@@ -41,3 +41,10 @@ def test_rows_only_runs(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_registry_is_exactly_fifty():
+    """The driver reports only the FIRST 50 registrations — more would
+    silently drop rows from CORRECTNESS_r*, fewer wastes driver-verified
+    coverage. Keep the registry at the cap by FOLDING, not appending."""
+    assert len(QUERIES) == 50, f"registry has {len(QUERIES)} entries, expected 50"
