@@ -507,3 +507,114 @@ def pq_topk(
         F.round("adc_dist", 6).alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cluster_col: str = "_cluster",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    refine: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the billion-vector architecture — coarse IVF clusters prune
+    the corpus (only ``n_probe`` clusters per query are touched), PQ/ADC
+    scores the survivors from compressed codes, optional exact re-rank.
+
+    ``codes`` must carry both the PQ code (``pq_encode``) and the IVF
+    cluster id (``ivf_assign``) — at scale, store it PARTITIONED by the
+    cluster so probing prunes whole files.
+
+    Plan shape: per-query probed-cluster ids are found driver-side
+    (|centroids| rows of math), exploded into a (query, cluster) table
+    and broadcast; the corpus joins it with a broadcast HASH join on the
+    cluster id — candidate generation is an equi-join, never a scan of
+    unprobed clusters' rows past the join. ADC + top-k as in pq_topk.
+
+    Output: (query_id, vec_id, adc_dist, rank).
+    """
+    import numpy as _np
+
+    books = np.array(codebooks)
+    cents = np.array(centroids, dtype="float64")
+    cents_n = cents / _np.maximum(
+        _np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    m, _, sub = books.shape
+    q_rows = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    ).collect()
+    rows = []
+    for r in q_rows:
+        qv = _np.array(r["_qv"])
+        qv = qv / max(float(_np.linalg.norm(qv)), 1e-12)
+        probes = _np.argsort(-(cents_n @ qv))[:n_probe]
+        dt = [
+            [float(((qv[i * sub : (i + 1) * sub] - c) ** 2).sum()) for c in books[i]]
+            for i in range(m)
+        ]
+        for p in probes:
+            rows.append((r["_qid"], int(p), dt, [float(x) for x in qv]))
+    spark = codes.sparkSession
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id_col].dataType
+    qdf = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField(query_id_col, qid_type),
+                T.StructField(cluster_col, T.IntegerType()),
+                T.StructField("_dtab", T.ArrayType(T.ArrayType(T.DoubleType()))),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("_dtab"), F.col(code_col), lambda d, c: F.element_at(d, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
+    scored = (
+        codes.select(
+            F.col(id_col).alias("_cid"),
+            F.col(cluster_col).cast("int").alias(cluster_col),
+            code_col,
+            *keep_vec,
+        )
+        .join(F.broadcast(qdf), cluster_col)
+        .select(
+            query_id_col,
+            "_cid",
+            adc.alias("adc_dist"),
+            *(["_cv", "_qv"] if refine else []),
+        )
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("_cid").asc()
+    )
+    if refine:
+        short = scored.withColumn("_r", F.row_number().over(w_adc)).filter(
+            F.col("_r") <= refine
+        )
+        w_exact = Window.partitionBy(query_id_col).orderBy(
+            cosine_expr(F.col("_cv"), F.col("_qv")).desc(), F.col("_cid").asc()
+        )
+        ranked = short.withColumn("rank", F.row_number().over(w_exact))
+    else:
+        ranked = scored.withColumn("rank", F.row_number().over(w_adc))
+    return ranked.filter(F.col("rank") <= k).select(
+        query_id_col,
+        F.col("_cid").alias(id_col),
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )

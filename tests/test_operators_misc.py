@@ -690,3 +690,45 @@ def test_band_index_parameter_stability(spark):
     a = {(r["doc_id"], r["_bucket"]) for r in dedup.minhash_band_table(docs, "text", "doc_id").collect()}
     b = {(r["doc_id"], r["_bucket"]) for r in dedup.minhash_band_table(docs, "text", "doc_id").collect()}
     assert a == b and len(a) == 40  # 10 docs x 4 bands
+
+
+def test_ivf_pq_topk_prunes_and_recalls(spark):
+    """IVF-PQ: candidates come only from probed clusters (equi-join on the
+    cluster id — pruning is visible as a candidate-count drop), self is
+    always rank 1, and with exact re-rank the top-10 tracks brute force
+    within the probed clusters' ceiling."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=8)
+    books = similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+    codes = similarity.ivf_assign(
+        similarity.pq_encode(emb, "embedding", books), "embedding", cents
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.ivf_pq_topk(
+        codes, queries, cents, books, k=10, n_probe=3, refine=100
+    )
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    firsts = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert all(q == v for q, v in firsts.items())  # self in its own cluster
+
+    # the IVF-PQ result can only contain ids from the probed clusters —
+    # compare against full-corpus PQ: probing must PRUNE, so the candidate
+    # universe is a strict subset of the corpus
+    full = similarity.pq_topk(codes, queries, books, k=10, refine=100)
+    g = {(r["query_id"], r["vec_id"]) for r in rows}
+    f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    overlap = len(g & f) / len(f)
+    assert overlap >= 0.5, f"probed search diverged too far: {overlap}"
+
+    # plan: candidate generation is a broadcast HASH join on the cluster
+    p = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
