@@ -49,6 +49,7 @@ def _check_names(
     fields: list[str],
     tags: list[str] | None,
     distinct_fields: list[str] | None = None,
+    histograms: HistSpec | None = None,
 ) -> None:
     """The rollup store generates ``bucket`` (time key), ``batch``
     (segment partition) and per-field ``<f>_cnt/_sum/_min/_max/_hll``
@@ -61,9 +62,12 @@ def _check_names(
         generated |= {f"{f}_cnt", f"{f}_sum", f"{f}_min", f"{f}_max"}
     for f in distinct_fields or []:
         generated.add(f"{f}_hll")
+    for f in histograms or {}:
+        generated.add(f"{f}_hist")
     bad = [
         c
         for c in list(tags or []) + list(fields) + list(distinct_fields or [])
+        + list(histograms or {})
         if c in reserved
     ] + [t for t in (tags or []) if t in generated]
     if bad:
@@ -89,7 +93,27 @@ def _to_dt(ts):
     return datetime.fromisoformat(ts) if isinstance(ts, str) else ts
 
 
-def _segment_aggs(fields: list[str], distinct_fields: list[str] | None = None) -> list:
+#: histogram spec: field -> (lo, hi, n_bins). Bounds are part of the
+#: STORE's contract — every refresh must use the same spec or the bin
+#: arrays stop being mergeable (same reason HLL needs one sketch config).
+HistSpec = dict[str, tuple[float, float, int]]
+
+
+def _bin_index(c, lo: float, hi: float, n_bins: int):
+    """0-based bin for a value: [lo, hi) split evenly; underflow clamps to
+    bin 0, overflow to the last bin (counts are never lost — the estimator
+    degrades at the edges instead of dropping data)."""
+    frac = (c.cast("double") - lo) / (hi - lo)
+    return F.least(
+        F.greatest((frac * n_bins).cast("int"), F.lit(0)), F.lit(n_bins - 1)
+    )
+
+
+def _segment_aggs(
+    fields: list[str],
+    distinct_fields: list[str] | None = None,
+    histograms: HistSpec | None = None,
+) -> list:
     out = []
     for f in fields:
         c = F.col(f)
@@ -109,10 +133,28 @@ def _segment_aggs(fields: list[str], distinct_fields: list[str] | None = None) -
         out.append(
             F.hll_sketch_agg(F.col(f).cast("string")).alias(f"{f}_hll")
         )
+    for f, (lo, hi, n_bins) in (histograms or {}).items():
+        # mergeable percentiles: a fixed-bin count histogram per segment —
+        # bin arrays merge by elementwise sum, so approximate quantiles
+        # (p95/p99 dashboards) survive the partial-segment design the way
+        # exact percentiles cannot
+        b = _bin_index(F.col(f), lo, hi, n_bins)
+        out.append(
+            F.array(
+                *[
+                    F.count(F.when(b == i, F.lit(1)))
+                    for i in range(n_bins)
+                ]
+            ).alias(f"{f}_hist")
+        )
     return out
 
 
-def _merge_aggs(fields: list[str], distinct_fields: list[str] | None = None) -> list:
+def _merge_aggs(
+    fields: list[str],
+    distinct_fields: list[str] | None = None,
+    histograms: HistSpec | None = None,
+) -> list:
     out = []
     for f in fields:
         out += [
@@ -123,7 +165,52 @@ def _merge_aggs(fields: list[str], distinct_fields: list[str] | None = None) -> 
         ]
     for f in distinct_fields or []:
         out.append(F.hll_union_agg(f"{f}_hll").alias(f"{f}_hll"))
+    for f, (_, _, n_bins) in (histograms or {}).items():
+        zeros = F.array_repeat(F.lit(0).cast("long"), n_bins)
+        out.append(
+            F.aggregate(
+                F.collect_list(f"{f}_hist"),
+                zeros,
+                lambda acc, h: F.zip_with(acc, h, lambda a, x: a + x),
+            ).alias(f"{f}_hist")
+        )
     return out
+
+
+def histogram_quantile(hist, lo: float, hi: float, q: float):
+    """Approximate quantile from a merged fixed-bin histogram column:
+    find the bin where the cumulative count crosses q*total and
+    interpolate linearly inside it (Prometheus histogram_quantile
+    semantics). Error is bounded by one bin width. NULL on empty."""
+    total = F.aggregate(hist, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = total.cast("double") * q
+    # cumulative sums per bin: running fold carrying (cum, answer)
+    width = (F.lit(hi) - F.lit(lo)) / F.size(hist)
+    crossed = F.aggregate(
+        F.zip_with(
+            hist,
+            F.sequence(F.lit(0), F.size(hist) - 1),
+            lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+        ),
+        F.struct(
+            F.lit(0.0).alias("cum"), F.lit(None).cast("double").alias("ans")
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(acc["ans"].isNotNull(), acc["ans"])
+            .when(
+                (acc["cum"] + x["c"] >= target) & (x["c"] > 0),
+                F.lit(lo)
+                + (
+                    x["i"].cast("double")
+                    + (target - acc["cum"]) / x["c"].cast("double")
+                )
+                * width,
+            )
+            .alias("ans"),
+        ),
+    )
+    return F.when(total > 0, crossed["ans"])
 
 
 def refresh_rollup(
@@ -136,6 +223,7 @@ def refresh_rollup(
     tags: list[str] | None = None,
     time_col: str = "time",
     distinct_fields: list[str] | None = None,
+    histograms: HistSpec | None = None,
 ) -> None:
     """Incremental refresh: aggregate the raw files added since the last
     refresh into partial segments and append them to the rollup store.
@@ -153,7 +241,7 @@ def refresh_rollup(
     """
     from cnosdb_spark.session import normalize_timestamps
 
-    _check_names(fields, tags, distinct_fields)
+    _check_names(fields, tags, distinct_fields, histograms)
     schema = spark.read.parquet(source_path).schema
     raw = spark.readStream.schema(schema).parquet(source_path)
     raw = normalize_timestamps(raw, ts_nanos_long_cols=(time_col,))
@@ -166,7 +254,7 @@ def refresh_rollup(
     # segments never double-count and merge is purely algebraic
     def _write_segment(batch_df, batch_id):
         batch_df.groupBy(*keys).agg(
-            *_segment_aggs(fields, distinct_fields)
+            *_segment_aggs(fields, distinct_fields, histograms)
         ).write.mode("overwrite").parquet(
             f"{rollup_path.rstrip('/')}/batch={batch_id}"
         )
@@ -186,14 +274,17 @@ def read_rollup(
     fields: list[str],
     tags: list[str] | None = None,
     distinct_fields: list[str] | None = None,
+    histograms: HistSpec | None = None,
 ) -> DataFrame:
     """Merge partial segments into the final rollup: one row per
     (bucket, tags) with count/sum/min/max/avg per field, plus an
-    HLL-estimated ``_dcount`` per distinct field."""
-    _check_names(fields, tags, distinct_fields)
+    HLL-estimated ``_dcount`` per distinct field and a merged fixed-bin
+    ``_hist`` count array per histogram field (feed it to
+    ``histogram_quantile`` for p95/p99-style reads)."""
+    _check_names(fields, tags, distinct_fields, histograms)
     seg = spark.read.parquet(rollup_path)
     out = seg.groupBy("bucket", *(tags or [])).agg(
-        *_merge_aggs(fields, distinct_fields)
+        *_merge_aggs(fields, distinct_fields, histograms)
     )
     for f in fields:
         out = out.withColumn(
@@ -216,6 +307,7 @@ def compact_rollup(
     tags: list[str] | None = None,
     distinct_fields: list[str] | None = None,
     checkpoint: str | None = None,
+    histograms: HistSpec | None = None,
 ) -> None:
     """Rewrite accumulated segments as one merged segment per (bucket,
     tags) — same merge as read_rollup minus the derived columns (avg,
@@ -240,7 +332,7 @@ def compact_rollup(
     (On rename-less object stores, put the rollup store behind a table
     format with atomic commits instead.)
     """
-    _check_names(fields, tags, distinct_fields)
+    _check_names(fields, tags, distinct_fields, histograms)
     if checkpoint is not None:
         ck = _local_path(checkpoint)
         offsets = {f for f in os.listdir(os.path.join(ck, "offsets")) if f.isdigit()} if os.path.isdir(os.path.join(ck, "offsets")) else set()
@@ -264,7 +356,7 @@ def compact_rollup(
             )
     seg = spark.read.parquet(rollup_path)
     compacted = seg.groupBy("bucket", *(tags or [])).agg(
-        *_merge_aggs(fields, distinct_fields)
+        *_merge_aggs(fields, distinct_fields, histograms)
     )
     # compacted segments live in the reserved batch=-1 partition so the
     # store keeps a uniform batch=<n> layout for partition discovery

@@ -246,3 +246,61 @@ def test_two_tier_split_validation(spark, tmp_path):
     }
     expect = {(r[0], r[1], r[2], r[3], r[6]) for r in _batch_expect(spark, src)}
     assert got == expect
+
+
+def test_histogram_rollup_quantiles(spark, tmp_path):
+    """Fixed-bin histogram segments merge across refreshes and survive
+    compaction; histogram_quantile estimates match exact percentiles to
+    within one bin width."""
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    hspec = {"v": (0.0, 100.0, 50)}  # bin width 2.0
+    _mk_raw(spark, src, 0, 60)
+    rollup.refresh_rollup(
+        spark, src, rp, ck, "1 hour", ["v"], ["tag"], histograms=hspec
+    )
+    _mk_raw(spark, src, 60, 100)  # second refresh: bins must SUM
+    rollup.refresh_rollup(
+        spark, src, rp, ck, "1 hour", ["v"], ["tag"], histograms=hspec
+    )
+
+    def check():
+        merged = rollup.read_rollup(spark, rp, ["v"], ["tag"], histograms=hspec)
+        got = {
+            (r["bucket"], r["tag"]): (r["p50"], r["p95"], sum(r["v_hist"]))
+            for r in merged.select(
+                "bucket", "tag", "v_hist",
+                rollup.histogram_quantile(F.col("v_hist"), 0.0, 100.0, 0.5).alias("p50"),
+                rollup.histogram_quantile(F.col("v_hist"), 0.0, 100.0, 0.95).alias("p95"),
+            ).collect()
+        }
+        exact = {
+            (r["bucket"], r["tag"]): (r["p50"], r["p95"], r["n"])
+            for r in spark.read.parquet(src)
+            .groupBy(F.window("time", "1 hour").start.alias("bucket"), "tag")
+            .agg(
+                F.percentile("v", F.lit(0.5)).alias("p50"),
+                F.percentile("v", F.lit(0.95)).alias("p95"),
+                F.count("v").alias("n"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for key, (g50, g95, gn) in got.items():
+            e50, e95, en = exact[key]
+            assert gn == en  # bin mass conserved across merges
+            # bound: one bin width vs the empirical CDF, plus up to half a
+            # bin of divergence from the ORACLE's own interpolation between
+            # order statistics on small per-bucket counts
+            assert abs(g50 - e50) <= 3.0 + 1e-9, (key, g50, e50)
+            assert abs(g95 - e95) <= 3.0 + 1e-9, (key, g95, e95)
+
+    check()
+    rollup.compact_rollup(spark, rp, ["v"], ["tag"], histograms=hspec)
+    check()  # identical through compaction
+
+
+def test_histogram_name_collision(spark, tmp_path):
+    with pytest.raises(ValueError, match="collision"):
+        rollup.read_rollup(
+            spark, str(tmp_path), ["v"], ["v_hist"], histograms={"v": (0, 1, 4)}
+        )
