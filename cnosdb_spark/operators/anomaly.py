@@ -55,8 +55,11 @@ def zscore_anomalies(
         (n >= min_points) & std.isNotNull() & (std > 0),
         (F.col(value_col) - mean) / std,
     )
+    # flag from the UNROUNDED score (rounding first would flip the flag
+    # for true scores within 5e-7 of the threshold); round only the
+    # emitted column
     return df.withColumn("zscore", F.round(z, 6)).withColumn(
-        "is_anomaly", F.coalesce(F.abs(F.col("zscore")) >= threshold, F.lit(False))
+        "is_anomaly", F.coalesce(F.abs(z) >= threshold, F.lit(False))
     )
 
 
@@ -97,8 +100,7 @@ def mad_anomalies(
     )
     return (
         j2.withColumn("mad_score", F.round(score, 6))
-        .withColumn(
-            "is_anomaly", F.coalesce(F.col("mad_score") >= threshold, F.lit(False))
-        )
+        # flag from the UNROUNDED score, not the rounded emitted column
+        .withColumn("is_anomaly", F.coalesce(score >= threshold, F.lit(False)))
         .drop("_med", "_mad", "_dev")
     )

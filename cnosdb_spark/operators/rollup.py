@@ -213,6 +213,51 @@ def histogram_quantile(hist, lo: float, hi: float, q: float):
     return F.when(total > 0, crossed["ans"])
 
 
+def _guard_checkpoint_store_pairing(rollup_path: str, checkpoint: str) -> None:
+    """Refuse a refresh whose checkpoint doesn't account for the segments
+    already in the store.  ``refresh_rollup`` writes each micro-batch to
+    ``batch=<id>`` with overwrite; if the checkpoint is deleted/reset while
+    the store is kept, batch ids restart at 0 and silently CLOBBER existing
+    segments (an undercount — worse than a loud double-count), and even
+    non-colliding ids would re-ingest raw files the store already rolled.
+    A store batch id the checkpoint has never offset-logged is exactly
+    that state, so fail fast and name the mismatch."""
+    rp = _local_path(rollup_path.rstrip("/"))
+    if not os.path.isdir(rp):
+        return  # fresh store: any checkpoint state is fine
+    store_ids = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(rp)
+        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+    }
+    store_ids.discard(_COMPACTED_BATCH)
+    ck = _local_path(checkpoint)
+    off_dir = os.path.join(ck, "offsets")
+    known = (
+        {int(f) for f in os.listdir(off_dir) if f.isdigit()}
+        if os.path.isdir(off_dir)
+        else set()
+    )
+    orphans = store_ids - known
+    has_compacted = os.path.isdir(os.path.join(rp, f"batch={_COMPACTED_BATCH}"))
+    if orphans:
+        raise RuntimeError(
+            f"rollup store {rollup_path!r} has segment batch dirs "
+            f"{sorted(orphans)} that checkpoint {checkpoint!r} never logged — "
+            "the checkpoint was reset/deleted while the store was kept; a "
+            "refresh would restart batch ids at 0 and silently overwrite "
+            "existing segments. Use the original checkpoint, or rebuild the "
+            "store from raw with this one"
+        )
+    if has_compacted and not known:
+        raise RuntimeError(
+            f"rollup store {rollup_path!r} holds compacted segments but "
+            f"checkpoint {checkpoint!r} is fresh — a refresh would re-ingest "
+            "ALL raw files and double-count everything the compacted segment "
+            "already rolled. Use the original checkpoint, or rebuild the store"
+        )
+
+
 def refresh_rollup(
     spark: SparkSession,
     source_path: str,
@@ -242,6 +287,7 @@ def refresh_rollup(
     from cnosdb_spark.session import normalize_timestamps
 
     _check_names(fields, tags, distinct_fields, histograms)
+    _guard_checkpoint_store_pairing(rollup_path, checkpoint)
     schema = spark.read.parquet(source_path).schema
     raw = spark.readStream.schema(schema).parquet(source_path)
     raw = normalize_timestamps(raw, ts_nanos_long_cols=(time_col,))

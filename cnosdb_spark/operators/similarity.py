@@ -355,6 +355,13 @@ def pq_codebooks(
         .collect()
     )
     vecs = np.array([r["_v"] for r in rows])
+    if len(vecs) < k:
+        # silently training fewer than k centroids would narrow the code
+        # range under callers (and persisted codes) keyed to k entries
+        raise ValueError(
+            f"pq_codebooks: corpus sample has {len(vecs)} rows < k={k} "
+            "centroids per subspace — lower k or raise sample"
+        )
     vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
     dim = vecs.shape[1]
     if dim % m:

@@ -44,8 +44,17 @@ def salted_join(
     keys = [on] if isinstance(on, str) else list(on)
     # deterministic per-row spread: hash of ALL skewed columns (not just
     # the key — hashing only the key would put every hot-key row in the
-    # same salt bucket and defeat the point), folded to [0, n_salts)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    # same salt bucket and defeat the point) MIXED with a per-row ordinal
+    # (monotonically_increasing_id) so even fully-duplicated rows — the
+    # sentinel/default-row case where every column is identical — still
+    # spread across salts.  The ordinal is deterministic for a given
+    # input partitioning; the join RESULT is salt-value-independent (the
+    # other side is replicated for every salt), so reproducibility of the
+    # output multiset holds regardless.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
     s = skewed.withColumn("_salt", salt.cast("int"))
     o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -71,6 +71,13 @@ def zorder_frame(
     ).first()
     mins = [bounds[f"_lo_{c}"] for c in cols]
     maxs = [bounds[f"_hi_{c}"] for c in cols]
+    for c, lo, hi in zip(cols, mins, maxs):
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder_frame: clustering column {c!r} has no non-NULL "
+                "values (min/max bounds are NULL) — drop it from the "
+                "clustering key or filter the input"
+            )
     z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
     return (
         df.withColumn("_z", z)

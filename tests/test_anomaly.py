@@ -44,7 +44,7 @@ def test_zscore_matches_duckdb(spark, duck):
                round(CASE WHEN n >= 5 AND s IS NOT NULL AND s > 0
                           THEN (value - m) / s END, 6) AS zscore,
                coalesce(abs(CASE WHEN n >= 5 AND s IS NOT NULL AND s > 0
-                                 THEN round((value - m) / s, 6) END) >= 3.0,
+                                 THEN (value - m) / s END) >= 3.0,
                         false) AS is_anomaly
         FROM w
         """
@@ -68,8 +68,8 @@ def test_mad_matches_duckdb(spark, duck):
         SELECT e.event_id,
                round(CASE WHEN mad.d > 0
                           THEN abs(e.value - med.m) / (1.4826 * mad.d) END, 6) AS mad_score,
-               coalesce(round(CASE WHEN mad.d > 0
-                          THEN abs(e.value - med.m) / (1.4826 * mad.d) END, 6) >= 3.5,
+               coalesce(CASE WHEN mad.d > 0
+                          THEN abs(e.value - med.m) / (1.4826 * mad.d) END >= 3.5,
                         false) AS is_anomaly
         FROM events e JOIN med USING (user_id) JOIN mad USING (user_id)
         """
@@ -106,6 +106,30 @@ def test_constant_series_no_flags(spark):
     )
     assert anomaly.zscore_anomalies(df, "time", "value", ["tag"]).filter("is_anomaly").count() == 0
     assert anomaly.mad_anomalies(df, "value", ["tag"]).filter("is_anomaly").count() == 0
+
+
+def test_flag_uses_unrounded_score(spark):
+    """A true score a hair below threshold must NOT flag even though it
+    ROUNDS to the threshold (is_anomaly comes from the unrounded score)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    # 10 trailing points alternating ±1 around 0: mean 0, stddev_samp ~1.054
+    vals = [1.0, -1.0] * 5
+    rows = [(base + timedelta(minutes=i), "s", v) for i, v in enumerate(vals)]
+    # craft the 11th value so |z| is just below 3.0 but rounds to 3.0:
+    # z = x / s with s = stddev_samp of the 10 trailing points
+    import statistics
+
+    s = statistics.stdev(vals)
+    rows.append((base + timedelta(minutes=10), "s", (3.0 - 2e-7) * s))
+    df = spark.createDataFrame(rows, ["time", "tag", "value"])
+    out = anomaly.zscore_anomalies(
+        df, "time", "value", ["tag"], lookback=10, threshold=3.0, min_points=5
+    )
+    last = out.orderBy("time").collect()[-1]
+    assert last["zscore"] == 3.0  # rounds up to the threshold
+    assert last["is_anomaly"] is False  # but the true score is below it
 
 
 def test_zscore_single_shuffle_plan(spark):

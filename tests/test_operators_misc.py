@@ -638,6 +638,17 @@ def test_pq_dim_guard(spark):
         similarity.pq_codebooks(emb, "embedding", m=7)
 
 
+def test_pq_codebooks_sample_smaller_than_k_raises(spark):
+    """A corpus sample with fewer rows than k must raise, not silently
+    train a narrower code range (persisted codes assume k entries)."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(5)
+    with pytest.raises(ValueError, match="< k=16"):
+        similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+
+
 # ---------------------------------------------------------------------
 # incremental dedup against a persisted band index
 # ---------------------------------------------------------------------

@@ -178,6 +178,41 @@ def test_replayed_batch_does_not_double_count(spark, tmp_path):
     assert _rollup_rows(spark, rp) == _batch_expect(spark, src)
 
 
+def test_refresh_refuses_reset_checkpoint(spark, tmp_path):
+    """Checkpoint deleted while the store is kept: batch ids would restart
+    at 0 and silently overwrite existing segments — refresh must refuse."""
+    import shutil
+
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 30)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    shutil.rmtree(ck)  # the operator error the guard exists for
+    _mk_raw(spark, src, 30, 40)
+    with pytest.raises(RuntimeError, match="never logged"):
+        rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    # a DIFFERENT fresh checkpoint path is the same hazard
+    with pytest.raises(RuntimeError, match="never logged"):
+        rollup.refresh_rollup(
+            spark, src, rp, str(tmp_path / "ck2"), "15 minutes", ["v"], ["tag"]
+        )
+
+
+def test_refresh_refuses_fresh_checkpoint_on_compacted_store(spark, tmp_path):
+    """A compacted store (only batch=-1 left) with a fresh checkpoint would
+    re-ingest every raw file and double-count — refuse that too."""
+    import shutil
+
+    src, rp, ck = (str(tmp_path / p) for p in ("raw", "roll", "ck"))
+    _mk_raw(spark, src, 0, 30)
+    rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    rollup.compact_rollup(spark, rp, ["v"], ["tag"])
+    shutil.rmtree(ck)
+    with pytest.raises(RuntimeError, match="re-ingest"):
+        rollup.refresh_rollup(spark, src, rp, ck, "15 minutes", ["v"], ["tag"])
+    # the happy path still works: compacted store + ORIGINAL checkpoint
+    # (exercised by test_compaction_preserves_results + further refreshes)
+
+
 def test_compact_refuses_inflight_refresh(spark, tmp_path):
     import os
 

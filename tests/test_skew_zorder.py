@@ -51,6 +51,30 @@ def test_salted_join_spreads_hot_key(spark):
     assert max(r["count"] for r in per_salt) < 5000 * 0.3
 
 
+def test_salted_join_spreads_fully_duplicate_rows(spark):
+    """Hot-key rows whose EVERY column is identical (sentinel/default rows)
+    must still spread across salts — the salt mixes a per-row ordinal, not
+    just the column hash."""
+    dup = spark.range(0, 5000).select(
+        F.lit("k0").alias("k"), F.lit(0).alias("payload")  # 5000 identical rows
+    )
+    dim = spark.createDataFrame([("k0", "v0")], ["k", "attr"])
+    # result parity still holds
+    got = skew.salted_join(dup, dim, "k", n_salts=8).count()
+    assert got == 5000
+    # and the spread: re-derive the salt expression the helper uses
+    s = dup.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in dup.columns], F.monotonically_increasing_id()),
+            F.lit(8),
+        ).cast("int"),
+    )
+    per_salt = s.groupBy("_salt").count().collect()
+    assert len(per_salt) == 8
+    assert max(r["count"] for r in per_salt) < 5000 * 0.3
+
+
 def test_salted_join_rejects_outer(spark):
     big, dim = _skewed_data(spark)
     with pytest.raises(ValueError, match="inner/left"):
@@ -96,6 +120,14 @@ def test_zorder_preserves_rows(spark):
     assert out.columns == df.columns
     assert out.count() == 5000
     assert out.agg(F.sum("payload")).first()[0] == df.agg(F.sum("payload")).first()[0]
+
+
+def test_zorder_all_null_column_raises(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("x"), F.lit(None).cast("double").alias("y")
+    )
+    with pytest.raises(ValueError, match="'y' has no non-NULL"):
+        zorder.zorder_frame(df, ["x", "y"])
 
 
 def test_zorder_value_guards(spark):
