@@ -1004,57 +1004,58 @@ def topk_bottom_values(spark, sf_dir):
              (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
               - epoch_us(ts)) / 1e6 AS dur
       FROM events)
-    SELECT user_id, event_type, round(sum(coalesce(dur, 0)), 3) AS duration_s
+    SELECT 'state_agg' AS op, user_id, event_type AS s,
+           round(sum(coalesce(dur, 0)), 3) AS val
     FROM d GROUP BY user_id, event_type
+    UNION ALL
+    SELECT 'duration_in', user_id, NULL,
+           coalesce(round(sum(CASE WHEN event_type = 'error'
+                                   THEN coalesce(dur, 0) END), 3), 0.0)
+    FROM d GROUP BY user_id
+    UNION ALL
+    -- closed-period as-of: NULL when the as-of row is the series' last
+    -- point (state_at.rs zero-length final period)
+    SELECT 'state_at', user_id,
+           CASE WHEN max(ts) > TIMESTAMP '2024-01-15 00:00:00'
+                THEN arg_max(CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+                                  THEN event_type END,
+                             CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+                                  THEN ts END)
+           END, NULL
+    FROM events GROUP BY user_id
     """,
 )
 def state_agg_durations(spark, sf_dir):
-    """state_agg(time, state) → per-state duration (SURVEY §2.4; reference
-    aggregate_function/state_agg/)."""
-    e = _t(spark, sf_dir, "events")
-    out = state_durations(e, "ts", "event_type", ["user_id"])
-    return out.select(
-        "user_id", "event_type", F.round("duration_s", 3).alias("duration_s")
-    )
+    """state_agg family (SURVEY §2.4; reference aggregate_function/
+    state_agg/) — three arms (state_accessors folded in here to free a
+    registry slot; same machinery):
 
-
-@_q(
-    "state_accessors",
+    - state_agg: state_agg(time, state) → per-(series, state) duration;
+    - duration_in: duration_in(state_agg(...), 'error') per series
+      (duration_in.rs; 0.0 for series never in the state);
+    - state_at: state_at(state_agg(...), ts) as-of lookup (state_at.rs;
+      NULL when the as-of row is the series' final zero-length period).
     """
-    WITH d AS (
-      SELECT user_id, event_type,
-             (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
-              - epoch_us(ts)) / 1e6 AS dur
-      FROM events),
-    per AS (SELECT user_id, round(sum(coalesce(dur, 0)), 3) AS duration_s
-            FROM d WHERE event_type = 'error' GROUP BY user_id),
-    at_ts AS (
-      -- closed-period as-of: NULL when the as-of row is the series' last
-      -- point (state_at.rs zero-length final period)
-      SELECT user_id,
-             CASE WHEN max(ts) > TIMESTAMP '2024-01-15 00:00:00'
-                  THEN arg_max(CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
-                                    THEN event_type END,
-                               CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
-                                    THEN ts END)
-             END AS state
-      FROM events GROUP BY user_id)
-    SELECT u.user_id, coalesce(per.duration_s, 0.0) AS duration_s, at_ts.state
-    FROM (SELECT DISTINCT user_id FROM events) u
-    LEFT JOIN per ON per.user_id = u.user_id
-    LEFT JOIN at_ts ON at_ts.user_id = u.user_id
-    """,
-)
-def state_accessors(spark, sf_dir):
-    """state_agg accessors: duration_in(state_agg(...), 'error')
-    (reference duration_in.rs) and state_at(state_agg(...), ts) as-of
-    lookup (state_at.rs), joined per series."""
     e = _t(spark, sf_dir, "events")
-    dur = duration_in(e, "ts", "event_type", ["user_id"], "error").select(
-        "user_id", F.round("duration_s", 3).alias("duration_s")
+    dur = state_durations(e, "ts", "event_type", ["user_id"]).select(
+        F.lit("state_agg").alias("op"),
+        "user_id",
+        F.col("event_type").alias("s"),
+        F.round("duration_s", 3).alias("val"),
     )
-    at_ts = state_at(e, "ts", "event_type", ["user_id"], "2024-01-15 00:00:00")
-    return dur.join(at_ts, "user_id", "left")
+    din = duration_in(e, "ts", "event_type", ["user_id"], "error").select(
+        F.lit("duration_in").alias("op"),
+        "user_id",
+        F.lit(None).cast("string").alias("s"),
+        F.round("duration_s", 3).alias("val"),
+    )
+    at_ts = state_at(e, "ts", "event_type", ["user_id"], "2024-01-15 00:00:00").select(
+        F.lit("state_at").alias("op"),
+        "user_id",
+        F.col("state").alias("s"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return dur.unionAll(din).unionAll(at_ts)
 
 
 @_q(
@@ -1377,19 +1378,7 @@ def _near_dup_oracle(bands: int = 16, band_dims: int = 4, threshold: float = 0.4
     """
 
 
-@_q("embedding_near_dup", _near_dup_oracle())
-def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via sign-band LSH candidates + exact
-    verify (equi-join on band key — no all-pairs nested loop). 16 bands × 4
-    dims keeps recall high at the low 0.4 threshold this dataset needs;
-    production near-dup (≥0.9) uses the wider 8×8 default."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", threshold=0.4, bands=16, band_dims=4
-    )
-
-
-def _lsh_topk_oracle(n_planes: int = 4, k: int = 5) -> str:
+def _lsh_topk_oracle_arm(n_planes: int = 4, k: int = 5) -> str:
     signs = " || ".join(
         f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_planes)
     )
@@ -1403,24 +1392,138 @@ def _lsh_topk_oracle(n_planes: int = 4, k: int = 5) -> str:
     r AS (SELECT qid, cid, cos,
                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
           FROM s)
-    SELECT qid AS query_id, cid AS vec_id, round(cos, 6) AS cosine,
+    SELECT 'lsh_topk' AS op, qid AS a, cid AS b, round(cos, 6) AS cosine,
            CAST(rn AS INT) AS rank
     FROM r WHERE rn <= {k}
     """
 
 
-@_q("lsh_ann_topk", _lsh_topk_oracle())
-def lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (the 100 TB scale path): sign-LSH
-    buckets (axis-aligned hyperplanes — SQL-reproducible, so the oracle
-    replicates the bucketing exactly), exact cosine within bucket only."""
+@_q(
+    "sign_lsh_similarity",
+    "SELECT 'near_dup' AS op, id_a AS a, id_b AS b, cosine, CAST(NULL AS INT) AS rank FROM ("
+    + _near_dup_oracle()
+    + ") UNION ALL SELECT * FROM ("
+    + _lsh_topk_oracle_arm()
+    + ")",
+)
+def sign_lsh_similarity(spark, sf_dir):
+    """Sign-LSH similarity family (the 100 TB scale path) — two arms, one
+    registry slot (embedding_near_dup + lsh_ann_topk folded — both are the
+    same sign-hyperplane banding machinery over dedup.py/similarity.py):
+
+    - near_dup: embedding-cosine near-dup pairs via sign-band LSH
+      candidates + exact verify (equi-join on band key, no all-pairs
+      nested loop). 16 bands × 4 dims keeps recall high at the low 0.4
+      threshold this dataset needs; production near-dup (≥0.9) uses the
+      wider 8×8 default;
+    - lsh_topk: LSH-bucketed approximate top-k — sign-LSH buckets
+      (axis-aligned hyperplanes, SQL-reproducible so the oracle replicates
+      the bucketing exactly), exact cosine within bucket only.
+    """
     emb = _t(spark, sf_dir, "embeddings")
+    near = dedup.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, bands=16, band_dims=4
+    ).select(
+        F.lit("near_dup").alias("op"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        "cosine",
+        F.lit(None).cast("int").alias("rank"),
+    )
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.lsh_topk(
+    topk = similarity.lsh_topk(
         emb, queries, dim=64, k=5, n_planes=4, axis_aligned=True
+    ).select(
+        F.lit("lsh_topk").alias("op"),
+        F.col("query_id").alias("a"),
+        F.col("vec_id").alias("b"),
+        "cosine",
+        "rank",
     )
+    return near.unionAll(topk)
+
+
+_SPAN_K = 8
+
+_SPAN_CTE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= {_SPAN_K}),
+    w0 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS i FROM t),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{_SPAN_K}-1], chr(31))) AS h
+      FROM w0),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+      FROM w),
+    hits AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM (SELECT doc_id, pos,
+                   max(pos + {_SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM hits)),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             CAST(max(pos) + {_SPAN_K} AS BIGINT) AS span_end,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM grp GROUP BY doc_id, g)
+"""
+
+
+@_q(
+    "duplicate_spans",
+    _SPAN_CTE
+    + """
+    SELECT 'span' AS op, doc_id, span_start AS v1, span_end AS v2, n_windows AS v3
+    FROM spans
+    UNION ALL
+    SELECT 'remove', d.doc_id,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT),
+           CAST(coalesce(s.n_toks, 0) AS BIGINT),
+           NULL
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, count(*) AS n_spans,
+                      sum(span_end - span_start) AS n_toks
+               FROM spans GROUP BY doc_id) s ON s.doc_id = d.doc_id
+    """,
+)
+def duplicate_spans_row(spark, sf_dir):
+    """Exact duplicate-SPAN dedup (Lee et al. 2107.06499 — the
+    suffix-array workload as a rolling k-token inverted index:
+    operators/dedup.py duplicate_spans / remove_duplicate_spans) — two
+    arms vs a DuckDB unnest(range(...)) window-hash oracle:
+
+    - span: maximal duplicated token spans [span_start, span_end) with
+      the globally-first occurrence of each window kept (v1=start,
+      v2=end, v3=n_windows);
+    - remove: per-document rewrite counters from remove_duplicate_spans
+      (v1=n_spans_removed, v2=n_tokens_removed) — every document, 0 for
+      untouched ones.
+    """
+    d = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(d, "text", "doc_id", k=_SPAN_K).select(
+        F.lit("span").alias("op"),
+        "doc_id",
+        F.col("span_start").cast("long").alias("v1"),
+        F.col("span_end").alias("v2"),
+        F.col("n_windows").alias("v3"),
+    )
+    removed = dedup.remove_duplicate_spans(d, "text", "doc_id", k=_SPAN_K).select(
+        F.lit("remove").alias("op"),
+        "doc_id",
+        F.col("n_spans_removed").alias("v1"),
+        F.col("n_tokens_removed").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    return spans.unionAll(removed)
 
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"
@@ -1700,7 +1803,7 @@ def data_quality_scores(spark, sf_dir):
 
 
 @_q(
-    "ts_value_fill_linear",
+    "ts_value_fill_repair",
     """
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS t,
@@ -1721,29 +1824,83 @@ def data_quality_scores(spark, sf_dir):
                (PARTITION BY user_id ORDER BY t
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
       FROM e)
-    SELECT user_id, t AS ts_us,
+    SELECT 'fill' AS op, user_id, t AS ts_us,
            CAST(floor(CASE WHEN v IS NOT NULL THEN v
                            WHEN pv IS NULL THEN nv
                            WHEN nv IS NULL THEN pv
                            ELSE pv + (nv - pv) / (nt - pt) * (t - pt) END
                       * 1000000 + 0.5) AS BIGINT) AS value_e6
     FROM w
+    UNION ALL
+    SELECT 'repair', user_id, ts_us, value_e6 FROM (
+    WITH RECURSIVE pts AS (
+      SELECT user_id, epoch_us(ts) AS t, value AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events),
+    sp AS (
+      SELECT user_id,
+             (v - lag(v) OVER (PARTITION BY user_id ORDER BY rn))
+             / (t / 1000000.0 - lag(t) OVER (PARTITION BY user_id ORDER BY rn)
+                / 1000000.0) AS speed
+      FROM pts),
+    med AS (SELECT user_id, quantile_cont(speed, 0.5) AS med
+            FROM sp WHERE speed IS NOT NULL GROUP BY user_id),
+    bounds AS (
+      SELECT sp.user_id,
+             min(med.med) - 3 * (1.4826 * quantile_cont(abs(sp.speed - med.med), 0.5))
+               AS smin,
+             min(med.med) + 3 * (1.4826 * quantile_cont(abs(sp.speed - med.med), 0.5))
+               AS smax
+      FROM sp JOIN med USING (user_id) WHERE sp.speed IS NOT NULL
+      GROUP BY sp.user_id),
+    rec AS (
+      SELECT user_id, rn, t, v AS outv FROM pts WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.rn, q.t,
+             CASE WHEN q.v < r.outv + b.smin * (q.t / 1000000.0 - r.t / 1000000.0)
+                  THEN r.outv + b.smin * (q.t / 1000000.0 - r.t / 1000000.0)
+                  WHEN q.v > r.outv + b.smax * (q.t / 1000000.0 - r.t / 1000000.0)
+                  THEN r.outv + b.smax * (q.t / 1000000.0 - r.t / 1000000.0)
+                  ELSE q.v END
+      FROM rec r
+      JOIN pts q ON q.user_id = r.user_id AND q.rn = r.rn + 1
+      JOIN bounds b ON b.user_id = q.user_id)
+    SELECT user_id, t AS ts_us,
+           CAST(floor(outv * 1000000 + 0.5) AS BIGINT) AS value_e6
+    FROM rec)
     """,
 )
-def ts_value_fill(spark, sf_dir):
-    """ts_gen_func value_fill(method=linear) (SURVEY §2.6; reference
-    ts_gen_func/data_repair/value_fill.rs) — NaNs injected deterministically
-    then linearly interpolated per series (np.interp: slope-first float
-    order, edge clamping — the oracle mirrors both)."""
-    e = _t(spark, sf_dir, "events").withColumn(
+def ts_value_fill_repair(spark, sf_dir):
+    """ts_gen_func value_fill + value_repair (SURVEY §2.6) folded into one
+    two-arm row (freed a registry slot for the round-5 families):
+
+    - fill: NaNs injected deterministically then linearly interpolated per
+      series (reference ts_gen_func/data_repair/value_fill.rs; np.interp
+      slope-first float order + edge clamping — the oracle mirrors both);
+    - repair: clamp each point's rate-of-change to the series' MAD-based
+      speed bounds, sequentially against the already-repaired previous
+      point (value_repair.rs; the oracle replays the recurrence as a
+      recursive CTE, one iteration per series row index).
+    """
+    from cnosdb_spark.functions.repair import value_repair
+
+    e = _t(spark, sf_dir, "events")
+    fill_in = e.withColumn(
         "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
     )
-    out = value_fill(e, "ts", "value", ["user_id"], method="linear")
-    return out.select(
+    fill = value_fill(fill_in, "ts", "value", ["user_id"], method="linear").select(
+        F.lit("fill").alias("op"),
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
     )
+    rep = value_repair(e, "ts", "value", ["user_id"]).select(
+        F.lit("repair").alias("op"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
+    )
+    return fill.unionAll(rep)
 
 
 @_q(
@@ -1827,63 +1984,6 @@ def ts_timestamp_repair(spark, sf_dir):
     out = timestamp_repair(e, "ts", "value", ["user_id"])
     return out.select(
         "user_id", F.unix_micros("ts").alias("ts_us"), F.round("value", 6).alias("value")
-    )
-
-
-@_q(
-    "ts_value_repair",
-    """
-    WITH RECURSIVE pts AS (
-      SELECT user_id, epoch_us(ts) AS t, value AS v,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-      FROM events),
-    sp AS (
-      SELECT user_id,
-             (v - lag(v) OVER (PARTITION BY user_id ORDER BY rn))
-             / (t / 1000000.0 - lag(t) OVER (PARTITION BY user_id ORDER BY rn)
-                / 1000000.0) AS speed
-      FROM pts),
-    med AS (SELECT user_id, quantile_cont(speed, 0.5) AS med
-            FROM sp WHERE speed IS NOT NULL GROUP BY user_id),
-    bounds AS (
-      SELECT sp.user_id,
-             min(med.med) - 3 * (1.4826 * quantile_cont(abs(sp.speed - med.med), 0.5))
-               AS smin,
-             min(med.med) + 3 * (1.4826 * quantile_cont(abs(sp.speed - med.med), 0.5))
-               AS smax
-      FROM sp JOIN med USING (user_id) WHERE sp.speed IS NOT NULL
-      GROUP BY sp.user_id),
-    rec AS (
-      SELECT user_id, rn, t, v AS outv FROM pts WHERE rn = 1
-      UNION ALL
-      SELECT q.user_id, q.rn, q.t,
-             CASE WHEN q.v < r.outv + b.smin * (q.t / 1000000.0 - r.t / 1000000.0)
-                  THEN r.outv + b.smin * (q.t / 1000000.0 - r.t / 1000000.0)
-                  WHEN q.v > r.outv + b.smax * (q.t / 1000000.0 - r.t / 1000000.0)
-                  THEN r.outv + b.smax * (q.t / 1000000.0 - r.t / 1000000.0)
-                  ELSE q.v END
-      FROM rec r
-      JOIN pts q ON q.user_id = r.user_id AND q.rn = r.rn + 1
-      JOIN bounds b ON b.user_id = q.user_id)
-    SELECT user_id, t AS ts_us,
-           CAST(floor(outv * 1000000 + 0.5) AS BIGINT) AS value_e6
-    FROM rec
-    """,
-)
-def ts_value_repair(spark, sf_dir):
-    """ts_gen_func value_repair (reference value_repair.rs): clamp each
-    point's rate-of-change to the series' MAD-based speed bounds,
-    sequentially against the already-repaired previous point. The oracle
-    replays the same sequential recurrence as a recursive CTE (one
-    iteration per series row index, all series advancing in lockstep)."""
-    from cnosdb_spark.functions.repair import value_repair
-
-    e = _t(spark, sf_dir, "events")
-    out = value_repair(e, "ts", "value", ["user_id"])
-    return out.select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
     )
 
 
