@@ -930,21 +930,60 @@ def series_selector_aggs(spark, sf_dir):
              round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
                                      WHEN value - pv >= 0 THEN value - pv
                                      ELSE value END), 0), 4) AS increase
-      FROM d GROUP BY user_id)
-    SELECT m.user_id, m.mode, inc.increase
+      FROM d GROUP BY user_id),
+    zw AS (
+      SELECT event_id, user_id,
+             avg(value) OVER tw AS zm,
+             stddev_samp(value) OVER tw AS zs,
+             count(value) OVER tw AS zn,
+             value
+      FROM events
+      WINDOW tw AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT 'mode_inc' AS op, m.user_id, CAST(NULL AS BIGINT) AS k2,
+           m.mode AS s, inc.increase AS val
     FROM m JOIN inc ON inc.user_id = m.user_id
+    UNION ALL
+    SELECT 'zscore', user_id, event_id, NULL, round((value - zm) / zs, 6)
+    FROM zw
+    WHERE zn >= 5 AND zs IS NOT NULL AND zs > 0
+      AND abs((value - zm) / zs) >= 3.0
     """,
 )
 def mode_increase_per_series(spark, sf_dir):
-    """mode(x) with deterministic tie-break (SURVEY §2.4; reference
-    aggregate_function/mode.rs) + increase(time, value) with counter-reset
-    handling (aggregate_function/increase.rs), joined per series."""
+    """Per-series monitoring family — three operators, one row:
+
+    - mode_inc: mode(x) with deterministic tie-break (SURVEY §2.4;
+      reference aggregate_function/mode.rs) + increase(time, value) with
+      counter-reset handling (increase.rs), joined per series;
+    - zscore: rolling z-score anomaly detection (operators/anomaly.py) —
+      trailing-20-rows window EXCLUDING the current row, flagged rows
+      (|z| >= 3 on the unrounded score) only.
+    """
     e = _t(spark, sf_dir, "events")
     m = mode_df(e, ["user_id"], "event_type")
     inc = increase(e, "ts", "value", ["user_id"]).select(
         "user_id", F.round("increase", 4).alias("increase")
     )
-    return m.join(inc, "user_id")
+    mode_inc = m.join(inc, "user_id").select(
+        F.lit("mode_inc").alias("op"),
+        "user_id",
+        F.lit(None).cast("long").alias("k2"),
+        F.col("mode").alias("s"),
+        F.col("increase").alias("val"),
+    )
+    from cnosdb_spark.operators.anomaly import zscore_anomalies
+
+    z = zscore_anomalies(
+        e, "ts", "value", ["user_id"], lookback=20, threshold=3.0
+    ).filter("is_anomaly").select(
+        F.lit("zscore").alias("op"),
+        "user_id",
+        F.col("event_id").alias("k2"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("zscore").alias("val"),
+    )
+    return mode_inc.unionAll(z)
 
 
 @_q(
@@ -1445,6 +1484,144 @@ def sign_lsh_similarity(spark, sf_dir):
     return near.unionAll(topk)
 
 
+_PQ_M, _PQ_K, _PQ_NQ = 8, 16, 10
+_PQ_ADC_K, _PQ_SHORTLIST, _PQ_FINAL_K = 5, 150, 10
+_IVF_NC = 8
+
+
+def _pq_oracle() -> str | None:
+    """Differential oracle for the PQ/ADC pipeline: train the IDENTICAL
+    codebooks from the identical md5-ordered sample (pure numpy —
+    similarity._train_codebooks, the same function the Spark path calls),
+    embed them as literals, and replay normalize → encode (argmin per
+    subspace) → ADC scoring → shortlist → exact re-rank entirely in
+    DuckDB SQL.  Emits ranks only (no ADC floats), so 1e-16 float-order
+    differences between engines cannot flip the hash.  Returns None when
+    the sf0.01 corpus isn't readable at import (row degrades to the
+    rows-only check)."""
+    try:
+        import duckdb
+        import numpy as np
+
+        # the driver evaluates oracles at sf0.01; local sweeps at another
+        # SF set SPARK_GRAFT_ORACLE_SF_DIR so the literal codebooks train
+        # on the same corpus the Spark side will see
+        corpus = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding::DOUBLE[] FROM '{corpus}/embeddings.parquet' "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 2048"
+        ).fetchall()
+        con.close()
+        books = similarity._train_codebooks(
+            np.array([r[0] for r in rows]), _PQ_M, _PQ_K
+        )
+    except Exception:
+        return None
+    blit = "[" + ", ".join(
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in sub)
+        + "]"
+        for sub in books
+    ) + "]"
+    sub = 64 // _PQ_M
+    adc_sum = " + ".join(
+        f"q.dt[{i + 1}][e.code[{i + 1}] + 1]" for i in range(_PQ_M)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+    n AS (SELECT vec_id, raw,
+          greatest(sqrt(list_sum(list_transform(raw, e -> e * e))), 1e-12) AS nrm
+          FROM v),
+    u AS (SELECT vec_id, raw, list_transform(raw, e -> e / nrm) AS x FROM n),
+    dist AS (SELECT vec_id, raw,
+      list_transform(range(1, {_PQ_M + 1}), i ->
+        list_transform(({blit})[i], c ->
+          list_sum(list_transform(range(1, {sub + 1}), j ->
+            (x[(i-1)*{sub} + j] - c[j]) * (x[(i-1)*{sub} + j] - c[j]))))) AS dt
+      FROM u),
+    enc AS (SELECT vec_id, raw AS cv,
+            list_transform(dt, d -> list_position(d, list_min(d)) - 1) AS code
+            FROM dist),
+    qd AS (SELECT vec_id AS qid, raw AS qv, dt FROM dist
+           WHERE vec_id < {_PQ_NQ}),
+    pairs AS (
+      SELECT q.qid, e.vec_id AS cid, e.cv, q.qv, {adc_sum} AS adc
+      FROM enc e CROSS JOIN qd q),
+    adc_rank AS (
+      SELECT qid, cid, cv, qv,
+             row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+      FROM pairs),
+    refined AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_cosine_similarity(cv, qv) DESC, cid) AS rr
+      FROM adc_rank WHERE rn <= {_PQ_SHORTLIST}),
+    exact AS (
+      SELECT q.qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(e.raw, q.qv) DESC, e.vec_id) AS re
+      FROM v e CROSS JOIN (SELECT vec_id AS qid, raw AS qv FROM v
+                           WHERE vec_id < {_PQ_NQ}) q)
+    SELECT 'adc' AS op, qid AS query_id, cid AS vec_id, CAST(rn AS INT) AS rank
+    FROM adc_rank WHERE rn <= {_PQ_ADC_K}
+    UNION ALL
+    SELECT 'refine', qid, cid, CAST(rr AS INT) FROM refined
+    WHERE rr <= {_PQ_FINAL_K}
+    UNION ALL
+    SELECT 'ivfpq', qid, cid, CAST(re AS INT) FROM exact
+    WHERE re <= {_PQ_FINAL_K}
+    """
+
+
+@_q("pq_ivf_ann", _pq_oracle())
+def pq_ivf_ann(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py — Jégou et al.
+    PQ/ADC and the IVF-PQ composition) — three arms, ranks only:
+
+    - adc: raw asymmetric-distance top-5 from the compressed codes. The
+      oracle retrains the IDENTICAL codebooks (same md5-ordered sample,
+      same numpy) and replays normalize/encode/ADC in SQL — a full
+      differential of the quantization arithmetic, not a recall bound;
+    - refine: the production two-stage pattern — ADC shortlist of 150,
+      exact-cosine re-rank to the final 10;
+    - ivfpq: ivf_pq_topk probing ALL clusters with a corpus-sized refine
+      must degrade to EXACT brute-force top-10 (the prune-less
+      equivalence invariant; pruned-recall behavior is pytest-pinned in
+      test_operators_misc.py).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks(emb, "embedding", m=_PQ_M, k=_PQ_K)
+    codes = similarity.pq_encode(emb, "embedding", books)
+    queries = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def arm(df, op):
+        return df.select(
+            F.lit(op).alias("op"), "query_id", "vec_id", F.col("rank")
+        )
+
+    adc = arm(similarity.pq_topk(codes, queries, books, k=_PQ_ADC_K), "adc")
+    refined = arm(
+        similarity.pq_topk(
+            codes, queries, books, k=_PQ_FINAL_K, refine=_PQ_SHORTLIST
+        ),
+        "refine",
+    )
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=_IVF_NC)
+    ccodes = similarity.ivf_assign(codes, "embedding", cents)
+    ivfpq = arm(
+        similarity.ivf_pq_topk(
+            ccodes, queries, cents, books,
+            k=_PQ_FINAL_K, n_probe=_IVF_NC, refine=1_000_000_000,
+        ),
+        "ivfpq",
+    )
+    return adc.unionAll(refined).unionAll(ivfpq)
+
+
 _SPAN_K = 8
 
 _SPAN_CTE = f"""
@@ -1524,6 +1701,115 @@ def duplicate_spans_row(spark, sf_dir):
         F.lit(None).cast("long").alias("v3"),
     )
     return spans.unionAll(removed)
+
+
+_DAY_US = 86_400_000_000
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 50
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_BINS
+
+
+def _hist_quantile_sql(q: float, alias: str) -> str:
+    """First bin (ascending) whose cumulative count crosses q*total,
+    linearly interpolated — the exact arithmetic of
+    rollup.histogram_quantile, so the doubles match bit-for-bit."""
+    return f"""
+      (SELECT round({_HIST_LO} + (b + (total * {q} - (cum - c)) / c) * {_HIST_W}, 6)
+       FROM (SELECT b, c, cum, total,
+                    row_number() OVER (ORDER BY b) AS rn
+             FROM cum WHERE cum.bucket_us = d.bucket_us AND cum >= total * {q})
+       WHERE rn = 1) AS {alias}"""
+
+
+@_q(
+    "rollup_two_tier",
+    f"""
+    WITH e AS (
+      SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) * {_DAY_US} AS bucket_us,
+             value
+      FROM events),
+    onep AS (
+      SELECT bucket_us, CAST(count(value) AS BIGINT) AS v_cnt,
+             round(sum(value), 4) AS v1, round(min(value), 6) AS v2,
+             round(max(value), 6) AS v3,
+             round(sum(value) / count(value), 6) AS v4
+      FROM e GROUP BY bucket_us),
+    binned AS (
+      SELECT bucket_us,
+             least(greatest(CAST(floor((value - {_HIST_LO}) / ({_HIST_HI} - {_HIST_LO})
+                                        * {_HIST_BINS}) AS INT), 0),
+                   {_HIST_BINS - 1}) AS b
+      FROM e WHERE value IS NOT NULL),
+    binc AS (SELECT bucket_us, b, CAST(count(*) AS DOUBLE) AS c
+             FROM binned GROUP BY bucket_us, b),
+    cum AS (SELECT bucket_us, b, c,
+                   sum(c) OVER (PARTITION BY bucket_us ORDER BY b) AS cum,
+                   sum(c) OVER (PARTITION BY bucket_us) AS total
+            FROM binc),
+    hq AS (
+      SELECT d.bucket_us, {_hist_quantile_sql(0.5, "p50")},
+                          {_hist_quantile_sql(0.95, "p95")}
+      FROM (SELECT DISTINCT bucket_us FROM e) d)
+    SELECT 'two_tier' AS op, bucket_us, v_cnt, v1, v2, v3, v4 FROM onep
+    UNION ALL
+    SELECT 'hist_quantile', bucket_us, NULL, p50, p95, NULL, NULL FROM hq
+    """,
+)
+def rollup_two_tier(spark, sf_dir):
+    """Continuous-aggregate rollup READ path (operators/rollup.py — the
+    hypertable-style materialized downsample): builds a real store in a
+    temp dir (one availableNow refresh over the raw events parquet with a
+    50-bin value histogram), then verifies the two read surfaces a
+    dashboard depends on against a one-shot DuckDB aggregation of the
+    same raw data:
+
+    - two_tier: query_two_tier stitches rolled buckets (< high-water
+      mark) with the raw tail (>= hwm) — per day-bucket cnt/sum/min/
+      max/avg must equal the one-shot aggregation exactly;
+    - hist_quantile: p50/p95 per bucket from the MERGED fixed-bin
+      histogram segments via histogram_quantile — the oracle replays the
+      same bin/interpolate arithmetic (approximation error is in the
+      binning, not the engine, so the doubles match exactly).
+    """
+    import shutil
+    import tempfile
+
+    from cnosdb_spark.operators import rollup as R
+
+    base = tempfile.mkdtemp(prefix="cnos_rollup_row_")
+    # the file stream source wants a DIRECTORY — stage the raw file into one
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    rp, ck = os.path.join(base, "store"), os.path.join(base, "ck")
+    R.refresh_rollup(
+        spark, src, rp, ck, "1 day", ["value"], time_col="ts",
+        histograms={"value": (_HIST_LO, _HIST_HI, _HIST_BINS)},
+    )
+    two = R.query_two_tier(spark, src, rp, "1 day", ["value"], time_col="ts").select(
+        F.lit("two_tier").alias("op"),
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.col("value_cnt").cast("long").alias("v_cnt"),
+        F.round("value_sum", 4).alias("v1"),
+        F.round("value_min", 6).alias("v2"),
+        F.round("value_max", 6).alias("v3"),
+        F.round("value_avg", 6).alias("v4"),
+    )
+    hist = R.read_rollup(
+        spark, rp, ["value"], histograms={"value": (_HIST_LO, _HIST_HI, _HIST_BINS)}
+    ).select(
+        F.lit("hist_quantile").alias("op"),
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.lit(None).cast("long").alias("v_cnt"),
+        F.round(
+            R.histogram_quantile(F.col("value_hist"), _HIST_LO, _HIST_HI, 0.5), 6
+        ).alias("v1"),
+        F.round(
+            R.histogram_quantile(F.col("value_hist"), _HIST_LO, _HIST_HI, 0.95), 6
+        ).alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+    )
+    return two.unionAll(hist)
 
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"

@@ -354,7 +354,15 @@ def pq_codebooks(
         .limit(sample)
         .collect()
     )
-    vecs = np.array([r["_v"] for r in rows])
+    return _train_codebooks(np.array([r["_v"] for r in rows]), m, k)
+
+
+def _train_codebooks(vecs, m: int, k: int) -> list[list[list[float]]]:
+    """The pure-numpy half of ``pq_codebooks``: train on an ALREADY
+    md5-order-sampled [n, dim] float64 array.  Split out so differential
+    oracles can train the identical codebooks from the identical sample
+    without a SparkSession (the numpy arithmetic is the determinism
+    contract — any change here changes persisted codes)."""
     if len(vecs) < k:
         # silently training fewer than k centroids would narrow the code
         # range under callers (and persisted codes) keyed to k entries

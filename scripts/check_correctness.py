@@ -73,6 +73,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # data-derived oracles (pq_ivf_ann codebook literals) must train on
+    # the SAME corpus the Spark side reads — resolve before import
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     import __spark_entry__ as entry
 
     qs = entry.queries()

@@ -74,10 +74,11 @@ def test_scan_reads_only_needed_columns(spark):
     assert m and len(m.group(1).split(",")) == 2
 
 
-def test_embedding_near_dup_no_nested_loop(spark):
-    """Near-dup candidates must come from the LSH band equi-join, never an
-    all-pairs BroadcastNestedLoopJoin (the O(n²) plan at 100 TB)."""
-    p = _plan(spark, "embedding_near_dup")
+def test_sign_lsh_similarity_no_nested_loop(spark):
+    """Both sign-LSH arms (near-dup candidates AND bucketed top-k) must
+    come from band/bucket equi-joins, never an all-pairs
+    BroadcastNestedLoopJoin (the O(n²) plan at 100 TB)."""
+    p = _plan(spark, "sign_lsh_similarity")
     assert "BroadcastNestedLoopJoin" not in p
 
 
