@@ -524,6 +524,129 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk_distributed(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cluster_col: str = "_cluster",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    refine: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ for CORPUS-SIZED query tables — the batch-scoring job
+    ("embed a new crawl and find neighbors for every doc") that
+    ``pq_topk``/``ivf_pq_topk`` cannot serve: those collect the query
+    table driver-side (fine for a serving-style handful of queries,
+    serializing for millions).  Here NOTHING reaches the driver:
+
+    - the per-query ADC distance table d[m][k] is a pure column
+      expression over the codebook LITERALS (the same fold/zip_with
+      shapes ``pq_encode`` uses) — computed executor-side, in parallel
+      over the query table's own partitions;
+    - probed clusters per query come from the centroid-literal argsort
+      expression (as in ``ivf_topk``), exploded into (query, cluster)
+      rows;
+    - candidates are an equi-JOIN of queries and codes on the cluster id
+      — both sides can be arbitrarily large; Spark picks shuffle-hash /
+      sort-merge from runtime stats (pre-partition the code table by
+      cluster to make this co-located).  ADC then scores each candidate
+      from the query row's own distance-table column.
+
+    Skew note: cluster populations are rarely uniform — at scale feed
+    the join through AQE skew splitting (on in session.py) or
+    ``skew.salted_join`` if one cluster dominates.
+
+    Output: (query_id, vec_id, adc_dist, rank) — identical semantics to
+    ``ivf_pq_topk`` (result-parity is pytest-pinned).
+    """
+    m, sub = len(codebooks), len(codebooks[0][0])
+    raw = F.col(query_vec_col).cast("array<double>")
+    nrm = F.greatest(norm_expr(raw), F.lit(1e-12))
+    qv = F.transform(raw, lambda x: x / nrm)
+    # per-subspace distance tables, executor-side from codebook literals
+    dtabs = []
+    for i, book in enumerate(codebooks):
+        s = F.slice(qv, i * sub + 1, sub)
+        dtabs.append(
+            F.transform(
+                _codebook_lit(book),
+                lambda c: F.aggregate(
+                    F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+    # probed clusters from centroid literals (argsort by cosine desc)
+    cents_n = np.array(centroids, dtype="float64")
+    cents_n = cents_n / np.maximum(
+        np.linalg.norm(cents_n, axis=1, keepdims=True), 1e-12
+    )
+    sims = [
+        dot_expr(qv, F.array(*[F.lit(float(x)) for x in cc])) for cc in cents_n
+    ]
+    ranked = F.array_sort(
+        F.array(
+            *[F.struct((-s).alias("d"), F.lit(i).alias("i")) for i, s in enumerate(sims)]
+        )
+    )
+    probes = F.slice(F.transform(ranked, lambda p: p["i"]), 1, n_probe)
+    # explode first, cast in a second step (a generator cannot nest
+    # inside another expression)
+    q = queries.select(
+        F.col(query_id_col),
+        *([qv.alias("_qv")] if refine else []),
+        F.array(*dtabs).alias("_dtab"),
+        F.explode(probes).alias(cluster_col),
+    ).withColumn(cluster_col, F.col(cluster_col).cast("int"))
+    adc = F.aggregate(
+        F.zip_with(F.col("_dtab"), F.col(code_col), lambda d, c: F.element_at(d, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
+    scored = (
+        codes.select(
+            F.col(id_col).alias("_cid"),
+            F.col(cluster_col).cast("int").alias(cluster_col),
+            code_col,
+            *keep_vec,
+        )
+        .join(q, cluster_col)
+        .select(
+            query_id_col,
+            "_cid",
+            adc.alias("adc_dist"),
+            *(["_cv", "_qv"] if refine else []),
+        )
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("_cid").asc()
+    )
+    if refine:
+        short = scored.withColumn("_r", F.row_number().over(w_adc)).filter(
+            F.col("_r") <= refine
+        )
+        w_exact = Window.partitionBy(query_id_col).orderBy(
+            cosine_expr(F.col("_cv"), F.col("_qv")).desc(), F.col("_cid").asc()
+        )
+        ranked_out = short.withColumn("rank", F.row_number().over(w_exact))
+    else:
+        ranked_out = scored.withColumn("rank", F.row_number().over(w_adc))
+    return ranked_out.filter(F.col("rank") <= k).select(
+        query_id_col,
+        F.col("_cid").alias(id_col),
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def ivf_pq_topk(
     codes: DataFrame,
     queries: DataFrame,

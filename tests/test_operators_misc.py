@@ -743,3 +743,40 @@ def test_ivf_pq_topk_prunes_and_recalls(spark):
     )
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_pq_topk_distributed_parity_and_plan(spark):
+    """The batch-scoring variant (query table never collected) must return
+    EXACTLY what the driver-side ivf_pq_topk returns, for both raw-ADC and
+    refined searches — and its plan must read the query side from the
+    parquet scan, not a driver-materialized LocalTableScan."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=8)
+    books = similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+    codes = similarity.ivf_assign(
+        similarity.pq_encode(emb, "embedding", books), "embedding", cents
+    )
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for kwargs in ({"n_probe": 3}, {"n_probe": 3, "refine": 60}):
+        want = similarity.ivf_pq_topk(codes, queries, cents, books, k=10, **kwargs)
+        got = similarity.ivf_pq_topk_distributed(
+            codes, queries, cents, books, k=10, **kwargs
+        )
+        w = {tuple(r) for r in want.collect()}
+        g = {tuple(r) for r in got.collect()}
+        assert g == w, f"distributed != driver-side for {kwargs}"
+
+    dist = similarity.ivf_pq_topk_distributed(
+        codes, queries, cents, books, k=10, n_probe=3
+    )
+    p = dist._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # no query row reaches the driver: the query side stays a parquet scan
+    assert "LocalTableScan" not in p and "Scan ExistingRDD" not in p
+    assert "BroadcastNestedLoopJoin" not in p
