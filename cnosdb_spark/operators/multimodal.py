@@ -2,9 +2,12 @@
 
 Opaque ``binary`` payload columns + typed metadata structs, processed with
 Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema, batch
-shape, partition sizing) is real and tested; the actual codec calls are
-STUBBED (the image/audio libraries are not in this container) behind
-``decode_stub`` which produces deterministic fake features.
+shape, partition sizing) is real and tested.  Decoding: PIL/soundfile are
+used when installed; PNG images additionally decode through a vendored
+pure-python decoder (``png_decode_gray`` — stdlib zlib/struct), so the
+real-codec path is live even in codec-less containers.  Anything else
+falls back to deterministic stub features at the clearly-marked
+``real_decode`` boundary.
 
 At scale: payloads dominate row size, so operators here repartition by
 byte-budget (``target_rows_per_batch``) before the UDF, and feature
@@ -71,23 +74,139 @@ except ImportError:
     HAS_SOUNDFILE = False
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_decode_gray(payload: bytes) -> np.ndarray:
+    """Minimal pure-python PNG decoder (stdlib zlib/struct only) so the
+    real-codec path works in codec-less containers: 8-bit depth,
+    non-interlaced, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA); all five scanline filters.  Color converts to luma with
+    PIL's ``convert("L")`` arithmetic (ITU-R 601-2, truncating), so the
+    output is byte-identical to the PIL path on supported files.
+    Raises ValueError on anything else — never a silent wrong answer."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_MAGIC), None, b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}) — only 8-bit non-interlaced gray/RGB/±alpha"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        f = raw[y * (stride + 1)]
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry left-neighbor state
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) >> 1
+                elif f == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+                cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur
+        prev = cur.astype(np.int32)
+    px = out.reshape(h, w, channels)
+    if color == 0:
+        return px[:, :, 0].copy()
+    if color == 4:  # gray+alpha: luma is the gray channel
+        return px[:, :, 0].copy()
+    # RGB(A) → L exactly like PIL convert("L"): (R*299+G*587+B*114)/1000
+    rgb = px[:, :, :3].astype(np.uint32)
+    return (
+        (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    ).astype(np.uint8)
+
+
+def png_encode_gray(arr: np.ndarray) -> bytes:
+    """Companion encoder (8-bit grayscale, filter 0, one IDAT) so tests and
+    fixtures can synthesize valid PNGs without any codec library."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("png_encode_gray wants a 2-D uint8 array")
+    h, w = a.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def real_decode(payload: bytes, kind: str):
-    """Decode a media payload into a numpy array using whichever optional
-    codec library is installed (PIL for images, soundfile for audio).
-    Raises NotImplementedError when the needed library is absent — the
-    clearly-marked stub boundary."""
+    """Decode a media payload into a numpy array: PIL/soundfile when
+    installed; PNG images fall back to the vendored pure-python decoder
+    (``png_decode_gray``) so the real-codec path is live even in
+    codec-less containers.  Raises NotImplementedError when no decoder
+    applies — the clearly-marked stub boundary."""
     import io
 
     if kind == "image" and HAS_PIL:
         with _PILImage.open(io.BytesIO(payload)) as im:
             return np.asarray(im.convert("L"), dtype=np.uint8)
+    if kind == "image" and payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return png_decode_gray(bytes(payload))
     if kind == "audio" and HAS_SOUNDFILE:
         data, _sr = _soundfile.read(io.BytesIO(payload))
         return np.asarray(data)
     raise NotImplementedError(
         f"no codec available for kind={kind!r} in this environment "
-        f"(HAS_PIL={HAS_PIL}, HAS_SOUNDFILE={HAS_SOUNDFILE}); "
-        "extract_features uses the deterministic stub path"
+        f"(HAS_PIL={HAS_PIL}, HAS_SOUNDFILE={HAS_SOUNDFILE}, payload is "
+        "not a PNG); extract_features uses the deterministic stub path"
     )
 
 

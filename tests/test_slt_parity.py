@@ -561,7 +561,16 @@ def veng(spark, tmp_path_factory):
 # the engine's documented small-int-literal µs interpretation renders
 # .000001 where the reference renders .000000001 (SURVEY §7.4 risk 6;
 # reinterpreting small int TIME literals as ns was declined: it would risk
-# the 251 green floors that depend on µs interpretation)
+# the 251 green floors that depend on µs interpretation).
+# Round-6 re-investigation (the r5 verdict suggested a render-layer fix):
+# NOT fixable at the render layer — the stored INSTANT differs (literal 1
+# is stored as 1 µs with _ns_res=0; the reference stores 1 ns), so
+# .000001 is the faithful render of what the engine holds. An honest fix
+# means interpreting small int literals as ns (time=lit//1000,
+# _ns_res=lit%1000), which cascades into the comparison rewrite (WHERE
+# time > 2 must become a (time,_ns_res) tuple compare at sub-µs
+# resolution) and every µs-consistent floor — deliberately declined
+# again; the single ledgered line is the cheaper steady state.
 LEDGERED_VALUE_DIVERGENCES: dict[str, set[int]] = {
     "function/string_func/concat_ws.slt": {226},
 }
