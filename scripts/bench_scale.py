@@ -1,0 +1,148 @@
+"""Scale rehearsal: run the headline queries + the dedup/ANN family at a
+derived ~sf1 dataset (10x sf0.1 — scripts/make_scale_data.py) and at
+sf0.1, and record per-query wall times, scaling ratios, and the FINAL
+(post-AQE) join strategies of the join-heavy queries.
+
+This is the cheapest available test of the repo's "at 100x" claims:
+(a) q3/q5 plans must stay sane when AQE sees real 6M-row stats (no
+    broadcast of an O(SF) side),
+(b) the dedup family must scale ~linearly in input size,
+(c) nothing may OOM or collect anything data-sized.
+
+Writes BENCH_SCALE.json. Usage:
+  python scripts/make_scale_data.py            # once, ~1 min
+  python scripts/bench_scale.py                # ~5-10 min
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from bench import HEADLINE
+from cnosdb_spark.session import get_spark
+
+EXTRA = [
+    "duplicate_spans",
+    "ngram_jaccard_pairs",
+    "sign_lsh_similarity",
+    "pq_ivf_ann",
+]
+
+
+def _near_dup_scale_cfg(spark, sf_dir):
+    """embedding near-dup with the PRODUCTION banding (8 bands x 8 dims =
+    256 buckets/band).  The registry row's 16x4 demo config (16 buckets)
+    is recall-tuned for the tiny sf0.01 corpus and its in-bucket pair
+    expansion is quadratic in corpus/buckets — measured 72x wall at 10x
+    data (BENCH_SCALE round 6).  Band selectivity is the knob that keeps
+    LSH linear: at scale you grow band dims with the corpus."""
+    from cnosdb_spark.operators import dedup
+    from cnosdb_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.9, bands=8, band_dims=8
+    )
+
+
+CUSTOM = {"near_dup_prod_cfg": _near_dup_scale_cfg}
+
+PLAN_QUERIES = ["tpch_q3_shipping_priority", "tpch_q5_local_supplier"]
+
+
+def run_set(spark, sf_dir: str, tries: int) -> dict[str, float]:
+    qs = dict(entry_mod.queries(), **CUSTOM)
+    out: dict[str, float] = {}
+    for name in HEADLINE + EXTRA + list(CUSTOM):
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+        print(f"  {sf_dir.rsplit('/', 1)[-1]:10s} {name}: {out[name]}s", flush=True)
+    return out
+
+
+def final_plan_joins(spark, sf_dir: str, name: str) -> dict:
+    """Execute the query, then read the FINAL adaptive plan (the join
+    strategies AQE actually chose from runtime stats, not the static
+    guess)."""
+    df = entry_mod.queries()[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)",
+        plan,
+    )
+    # an O(SF) fact side must never sit under a BroadcastExchange: check
+    # each broadcast subtree (indentation-scoped) for the lineitem scan
+    fact_broadcast = False
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip())
+        for sub in lines[i + 1 :]:
+            d = len(sub) - len(sub.lstrip())
+            if sub.strip() and d <= depth:
+                break
+            if "lineitem" in sub:
+                fact_broadcast = True
+    return {
+        "is_final_plan": "isFinalPlan=true" in plan,
+        "join_nodes": {j: joins.count(j) for j in set(joins)},
+        "lineitem_broadcast": fact_broadcast,
+    }
+
+
+def main() -> None:
+    scale_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale1"
+    base_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    if not os.path.isdir(scale_dir):
+        sys.exit(f"{scale_dir} missing — run scripts/make_scale_data.py first")
+    spark = get_spark(app_name="bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    print("sf0.1 baseline:", flush=True)
+    base = run_set(spark, base_dir, tries=2)
+    print("sf1 (10x derived):", flush=True)
+    scale = run_set(spark, scale_dir, tries=2)
+
+    plans = {
+        name: final_plan_joins(spark, scale_dir, name) for name in PLAN_QUERIES
+    }
+    for name, p in plans.items():
+        assert not p["lineitem_broadcast"], f"{name}: lineitem broadcast at sf1!"
+
+    ratios = {
+        k: round(scale[k] / base[k], 2) if base[k] > 0 else None for k in base
+    }
+    result = {
+        "metric": "scale_rehearsal_10x",
+        "unit": "sec",
+        "base_sf": 0.1,
+        "scale_copies": 10,
+        "base_total": round(sum(base.values()), 4),
+        "scale_total": round(sum(scale.values()), 4),
+        "base_queries": base,
+        "scale_queries": scale,
+        "time_ratio_10x_data": ratios,
+        "final_plans_at_scale": plans,
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALE.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if "queries" not in k}))
+
+
+if __name__ == "__main__":
+    main()
