@@ -365,6 +365,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     bands: int = 8,
     band_dims: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-banded (the 100 TB shape).
 
@@ -381,6 +382,16 @@ def embedding_near_dup_pairs(
     true near-dups (cosine ≥ 0.9, per-dim sign agreement ≈ 0.9 →
     recall ≈ 1-(1-0.9^8)^8 ≈ 0.99). For lower thresholds use narrower
     bands. Pairs never sharing a band are missed — standard LSH semantics.
+
+    ``max_bucket_size`` (default None = unbounded) drops band buckets
+    holding more than that many vectors BEFORE pair expansion — the same
+    ceiling discipline as ``ngram_jaccard_pairs``'s stop-shingle filter.
+    In-bucket expansion is quadratic in bucket size, so one hot bucket (a
+    band whose sign pattern a large corpus fraction shares — measured 72×
+    wall at 10× corpus for a 16-bucket demo config, BENCH_SCALE round 6)
+    dominates the whole job; a bucket that crowded carries ~no dedup
+    signal for the band anyway, and true near-dups still meet in their
+    other, more selective bands.  Set it to a few thousand at 100 TB.
     Output: (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
     """
     from .similarity import cosine_expr
@@ -419,11 +430,13 @@ def embedding_near_dup_pairs(
             ),
         )
     )
+    buckets = keyed.groupBy("_bucket").agg(ids.alias("_ids")).where(
+        F.size("_ids") >= 2
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
     cand = (
-        keyed.groupBy("_bucket")
-        .agg(ids.alias("_ids"))
-        .where(F.size("_ids") >= 2)
-        .select(F.explode(pair_expr).alias("_p"))
+        buckets.select(F.explode(pair_expr).alias("_p"))
         .select("_p.id_a", "_p.id_b")
         .distinct()
     )

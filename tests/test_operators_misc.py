@@ -67,6 +67,36 @@ def test_embedding_near_dup_and_topk(spark):
     assert approx[0]["vec_id"] == 0  # self always shares its own bucket
 
 
+def test_near_dup_bucket_ceiling(spark):
+    """max_bucket_size drops oversized band buckets before the quadratic
+    pair expansion: a pair that meets ONLY in the hot bucket is lost (the
+    documented recall trade), pairs meeting in small buckets survive, and
+    a generous ceiling changes nothing."""
+    # vec 0/1: cosine ~0.9, same signs in band 0, DIFFERENT in band 1 →
+    # they meet only in band-0's bucket. 50 fillers crowd that bucket.
+    rows = [(0, [1.0, 1.0, 1.0, 1.0]), (1, [1.0, 1.0, -0.1, -0.1])]
+    rows += [
+        (i, [1.0, 1.0 + i * 0.01, (-1.0) ** i * (1 + i), (-1.0) ** (i + 1) * (1 + i)])
+        for i in range(2, 52)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup_pairs(
+                emb, "embedding", "vec_id", threshold=0.5, bands=2, band_dims=2, **kw
+            ).collect()
+        }
+
+    base = pairs()
+    assert (0, 1) in base
+    capped = pairs(max_bucket_size=10)  # band-0 bucket holds all 52 → dropped
+    assert capped <= base               # ceiling only ever drops candidates
+    assert (0, 1) not in capped         # the hot-bucket-only pair is the cost
+    assert pairs(max_bucket_size=10_000) == base  # generous ceiling = no-op
+
+
 def test_lang_id(spark):
     rows = [
         (0, "the cat and the dog of the house is that"),
