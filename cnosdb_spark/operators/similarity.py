@@ -524,6 +524,56 @@ def pq_topk(
     )
 
 
+def save_ann_index(
+    path: str,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    params: dict | None = None,
+) -> None:
+    """Persist the driver-side half of an ANN index (IVF centroids, PQ
+    codebooks, build parameters) as JSON next to the (caller-written)
+    codes parquet.  PQ codes are meaningless without the exact codebook
+    that produced them — persisting both together is what makes an
+    encode-once / search-many index durable across jobs.  Floats
+    round-trip exactly (json repr preserves doubles)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "format": "cnosdb_spark.ann_index",
+                "version": 1,
+                "centroids": centroids,
+                "codebooks": codebooks,
+                "params": params or {},
+            },
+            f,
+        )
+
+
+def load_ann_index(path: str) -> dict:
+    """Load a ``save_ann_index`` file; validates the format marker and
+    codebook shape consistency so a stale or foreign file fails loudly
+    instead of silently mis-decoding codes."""
+    import json
+
+    with open(path) as f:
+        idx = json.load(f)
+    if idx.get("format") != "cnosdb_spark.ann_index":
+        raise ValueError(f"{path!r} is not a cnosdb_spark ANN index file")
+    books = idx.get("codebooks")
+    if books is not None:
+        k0, sub0 = len(books[0]), len(books[0][0])
+        if any(len(b) != k0 or any(len(c) != sub0 for c in b) for b in books):
+            raise ValueError(f"{path!r}: ragged codebooks (corrupt index)")
+    cents = idx.get("centroids")
+    if cents is not None and len({len(c) for c in cents}) > 1:
+        raise ValueError(f"{path!r}: ragged centroids (corrupt index)")
+    return idx
+
+
 def ivf_pq_topk_distributed(
     codes: DataFrame,
     queries: DataFrame,

@@ -883,6 +883,40 @@ def test_ivf_pq_topk_prunes_and_recalls(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_ann_index_persistence(spark, tmp_path):
+    """save/load round-trips centroids + codebooks EXACTLY (float-exact:
+    re-encoding with the loaded books yields identical codes), and a
+    foreign/corrupt file fails loudly."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=4)
+    books = similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+    p = str(tmp_path / "idx" / "ann.json")
+    similarity.save_ann_index(p, cents, books, {"m": 8, "k": 16})
+    idx = similarity.load_ann_index(p)
+    assert idx["centroids"] == cents and idx["codebooks"] == books
+    assert idx["params"] == {"m": 8, "k": 16}
+
+    small = emb.limit(20)
+    a = [tuple(r) for r in similarity.pq_encode(small, "embedding", books)
+         .select("vec_id", "pq_code").collect()]
+    b = [tuple(r) for r in similarity.pq_encode(small, "embedding", idx["codebooks"])
+         .select("vec_id", "pq_code").collect()]
+    assert a == b
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        f.write('{"something": "else"}')
+    with pytest.raises(ValueError, match="not a cnosdb_spark ANN index"):
+        similarity.load_ann_index(bad)
+    ragged = str(tmp_path / "ragged.json")
+    similarity.save_ann_index(ragged, None, [[[1.0, 2.0]], [[1.0]]])
+    with pytest.raises(ValueError, match="ragged codebooks"):
+        similarity.load_ann_index(ragged)
+
+
 def test_ivf_pq_topk_distributed_parity_and_plan(spark):
     """The batch-scoring variant (query table never collected) must return
     EXACTLY what the driver-side ivf_pq_topk returns, for both raw-ADC and
