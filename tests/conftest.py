@@ -12,6 +12,11 @@ from cnosdb_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# data-derived oracles (pq_ivf_ann codebook literals in __spark_entry__)
+# must train on the same corpus the tests read — align before any test
+# module imports the entry module
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():
