@@ -119,6 +119,23 @@ def score_quality(
     )
 
 
+def save_quality_model(model, path: str) -> None:
+    """Persist a fitted quality PipelineModel (MLlib's native parquet
+    layout — executor-readable, no driver pickling).  Train once on the
+    curated seed, score every future crawl batch from the saved model:
+    retraining per batch would silently drift the quality bar between
+    batches of the same corpus."""
+    model.write().overwrite().save(path)
+
+
+def load_quality_model(path: str):
+    """Load a ``save_quality_model`` artifact; scoring through a loaded
+    model is byte-identical to the in-session one (pinned by test)."""
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
+
+
 def filter_by_quality(
     df: DataFrame,
     model,

@@ -74,6 +74,32 @@ def test_scan_reads_only_needed_columns(spark):
     assert m and len(m.group(1).split(",")) == 2
 
 
+def test_count_pushdown_reaches_parquet_scan(spark):
+    """SURVEY §2 row 2 (AggregateFilterTskvExec count pushdown): with the
+    session's parquet.aggregatePushdown on, a bare COUNT(*) must be
+    answered from parquet footer statistics, not a row scan.  Aggregate
+    pushdown exists only on the DSv2 reader, so the test pins BOTH halves:
+    the v2 plan carries PushedAggregation, and the result matches the
+    v1-path count."""
+    from .conftest import SF_DIR
+
+    path = f"{SF_DIR}/lineitem.parquet"
+    want = spark.read.parquet(path).count()
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(path).groupBy().count()
+        p = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "PushedAggregation: [COUNT(*)]" in p, p
+        assert df.first()[0] == want
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
 def test_sign_lsh_similarity_no_nested_loop(spark):
     """Both sign-LSH arms (near-dup candidates AND bucketed top-k) must
     come from band/bucket equi-joins, never an all-pairs

@@ -102,3 +102,27 @@ def test_scoring_plan_is_narrow(spark, model):
         )
     )
     assert "Exchange" not in p
+
+
+def test_model_save_load_roundtrip(spark, model, tmp_path):
+    """A loaded model scores byte-identically to the in-session one —
+    the train-once / score-every-batch contract."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the museum opened a new exhibit about the history of navigation"),
+            (2, "zz!! 11 @@ 22 ## 33 qq $$ 44 %% 55"),
+        ],
+        ["doc_id", "text"],
+    )
+    before = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_model.score_quality(docs, model).collect()
+    }
+    path = str(tmp_path / "qmodel")
+    quality_model.save_quality_model(model, path)
+    loaded = quality_model.load_quality_model(path)
+    after = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_model.score_quality(docs, loaded).collect()
+    }
+    assert before == after
