@@ -192,3 +192,88 @@ def test_interval_range_join_matches_python(spark, pts, iv):
         if s <= t < s + d
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# vendored PNG codec (multimodal.py): encode→decode identity over random
+# images, and filtered scanlines (all 5 filter types, random per row)
+# must reconstruct exactly for every supported color type
+# ---------------------------------------------------------------------
+
+@settings(**_FUZZ)
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    color=st.sampled_from([0, 2, 4, 6]),
+)
+def test_png_codec_roundtrip_fuzz(data, w, h, color):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        ),
+        dtype=np.uint8,
+    ).reshape(h, w, ch)
+    filters = data.draw(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=h, max_size=h)
+    )
+
+    # independently implemented filter pass (same as the spec's encoder)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        line = px[y].reshape(-1).astype(np.int32)
+        raw.append(f)
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append(int((line[x] - pred) % 256))
+        prev = line
+
+    def chunk(ctype, d):
+        return (
+            struct.pack(">I", len(d)) + ctype + d
+            + struct.pack(">I", zlib.crc32(ctype + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = mm.png_decode_gray(png)
+    if color in (0, 4):
+        want = px[:, :, 0]
+    else:
+        rgb = px[:, :, :3].astype(np.uint32)
+        want = ((rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000).astype(np.uint8)
+    assert np.array_equal(got, want)
+    # grayscale also round-trips through our own encoder
+    if color == 0:
+        assert np.array_equal(mm.png_decode_gray(mm.png_encode_gray(px[:, :, 0])), px[:, :, 0])
