@@ -231,3 +231,65 @@ def interval_join_streams(
     )
     drop_side = "l" if how.lower().replace("_", "") in ("right", "rightouter") else "r"
     return l.join(r, cond, how).drop(F.col(f"{drop_side}.{key}"))
+
+
+def asof_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_id: str,
+    value_cols: list[str],
+    lookback: str = "1 hour",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream AS-OF enrichment: for each left event, the LATEST
+    same-``key`` right event with ``right_time`` in
+    ``[left_time - lookback, left_time]`` — the streaming counterpart of
+    ``temporal.asof_join(tolerance=lookback)`` (batch parity is
+    pytest-pinned), for the "enrich each trade with the freshest quote"
+    shape.
+
+    Built as two chained stateful operators (Structured Streaming
+    supports this in append mode since 3.5): the watermarked interval
+    join generates every candidate within the lookback, then a
+    watermarked aggregation keyed on (``left_id``, event time) keeps the
+    ``max_by(right_time)`` candidate.  The bounded lookback is what makes
+    BOTH state stores evictable — an unbounded as-of would grow right
+    state forever, which is why the batch operator's tolerance becomes
+    mandatory here.
+
+    INNER semantics: left rows with no right match inside the lookback
+    are dropped (a streaming left-outer would hold every result until
+    the watermark proves no late quote can arrive — compose
+    ``interval_join_streams(how="leftOuter")`` yourself if you want
+    that).  ``left_id`` must be unique per left row; right-time ties
+    break arbitrarily (same as max_by).  Results emit once the watermark
+    passes the row's event time.
+
+    Output: (``left_id``, ``key``, ``left_time``, <value>_right ...).
+    """
+    joined = interval_join_streams(
+        left,
+        right,
+        key,
+        left_time,
+        right_time,
+        lower=f"-{lookback}",
+        upper="0 seconds",
+        left_watermark=left_watermark,
+        right_watermark=right_watermark,
+        how="inner",
+    )
+    picked = F.max_by(
+        F.struct(*[F.col(c) for c in value_cols]), F.col(right_time)
+    ).alias("_best")
+    out = joined.groupBy(left_id, key, left_time).agg(picked)
+    return out.select(
+        left_id,
+        key,
+        left_time,
+        *[F.col(f"_best.{c}").alias(f"{c}_right") for c in value_cols],
+    )

@@ -462,6 +462,72 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
     assert not any(c == "c_late" for _, c in got)
 
 
+def test_asof_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream AS-OF enrichment (join → max_by agg, two chained
+    stateful operators): each trade picks the latest same-key quote
+    within the lookback; the streamed result must equal the batch
+    temporal.asof_join with the same tolerance (inner-filtered)."""
+    from cnosdb_spark.operators import temporal
+    from cnosdb_spark.streaming.stream_table import asof_join_streams
+
+    base = datetime(2024, 1, 1)
+    q_path, t_path = str(tmp_path / "quotes"), str(tmp_path / "trades")
+    quotes = [
+        (base + timedelta(minutes=0), "u0", 1.0),
+        (base + timedelta(minutes=20), "u0", 2.0),
+        (base + timedelta(minutes=5), "u1", 3.0),
+        # far-future sentinel pushes the final watermark past all real rows
+        (base + timedelta(days=2), "u8", 9.9),
+    ]
+    trades = [
+        ("t1", base + timedelta(minutes=25), "u0"),   # → 20min quote (2.0)
+        ("t2", base + timedelta(minutes=10), "u0"),   # → 0min quote (1.0)
+        ("t3", base + timedelta(minutes=4), "u1"),    # quote @5min is LATER → drop
+        ("t4", base + timedelta(minutes=6), "u1"),    # → 3.0
+        ("t5", base + timedelta(minutes=10), "u2"),   # no quotes → drop
+        ("t_s", base + timedelta(days=2, hours=3), "u9"),  # sentinel, no match
+    ]
+    spark.createDataFrame(quotes, ["q_time", "user", "price"]).write.parquet(q_path)
+    spark.createDataFrame(trades, ["trade_id", "t_time", "user"]).write.parquet(t_path)
+
+    t_s = spark.readStream.schema(spark.read.parquet(t_path).schema).parquet(t_path)
+    q_s = spark.readStream.schema(spark.read.parquet(q_path).schema).parquet(q_path)
+    out_df = asof_join_streams(
+        t_s, q_s, key="user", left_time="t_time", right_time="q_time",
+        left_id="trade_id", value_cols=["price"], lookback="1 hour",
+    )
+    out = str(tmp_path / "enriched")
+    q = (
+        out_df.writeStream.option("checkpointLocation", str(tmp_path / "ck_asof"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["trade_id"], r["price_right"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("t1", 2.0), ("t2", 1.0), ("t4", 3.0)}
+
+    # parity with the batch as-of join at the same tolerance (inner rows)
+    batch = temporal.asof_join(
+        spark.read.parquet(t_path),
+        spark.read.parquet(q_path).withColumnRenamed("q_time", "t_time"),
+        key="user",
+        left_time="t_time",
+        right_time="t_time",
+        value_cols=["price"],
+        tolerance="1 HOUR",
+    )
+    expect = {
+        (r["trade_id"], r["price_right"])
+        for r in batch.collect()
+        if r["price_right"] is not None and not r["trade_id"].endswith("_s")
+    }
+    assert got == expect
+
+
 def test_interval_join_streams_rejects_static_side(spark, tmp_path):
     from cnosdb_spark.streaming.stream_table import interval_join_streams
 
