@@ -2154,11 +2154,25 @@ def data_quality_scores(spark, sf_dir):
     SELECT user_id, t AS ts_us,
            CAST(floor(outv * 1000000 + 0.5) AS BIGINT) AS value_e6
     FROM rec)
+    UNION ALL
+    SELECT 'ewma', user_id, ts_us, value_e6 FROM (
+    WITH RECURSIVE p AS (
+      SELECT user_id, epoch_us(ts) AS t, value AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, rn, t, v AS s FROM p WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.rn, q.t, 0.3 * q.v + 0.7 * r.s
+      FROM rec r JOIN p q ON q.user_id = r.user_id AND q.rn = r.rn + 1)
+    SELECT user_id, t AS ts_us,
+           CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS value_e6
+    FROM rec)
     """,
 )
 def ts_value_fill_repair(spark, sf_dir):
-    """ts_gen_func value_fill + value_repair (SURVEY §2.6) folded into one
-    two-arm row (freed a registry slot for the round-5 families):
+    """Per-series sequential value transforms (SURVEY §2.6 ts_gen_func
+    family + the downsample module) — three arms, one row:
 
     - fill: NaNs injected deterministically then linearly interpolated per
       series (reference ts_gen_func/data_repair/value_fill.rs; np.interp
@@ -2166,9 +2180,14 @@ def ts_value_fill_repair(spark, sf_dir):
     - repair: clamp each point's rate-of-change to the series' MAD-based
       speed bounds, sequentially against the already-repaired previous
       point (value_repair.rs; the oracle replays the recurrence as a
-      recursive CTE, one iteration per series row index).
+      recursive CTE, one iteration per series row index);
+    - ewma: operators/downsample.py exponential smoothing
+      (s_i = 0.3*x_i + 0.7*s_{i-1}, seeded with the first value) — pandas
+      ewm(adjust=False) is bit-exact with the literal recursion, so the
+      same recursive-CTE oracle pattern verifies it.
     """
     from cnosdb_spark.functions.repair import value_repair
+    from cnosdb_spark.operators.downsample import ewma
 
     e = _t(spark, sf_dir, "events")
     fill_in = e.withColumn(
@@ -2186,7 +2205,13 @@ def ts_value_fill_repair(spark, sf_dir):
         F.unix_micros("ts").alias("ts_us"),
         F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
     )
-    return fill.unionAll(rep)
+    smooth = ewma(e, "ts", "value", ["user_id"], alpha=0.3, round_decimals=None).select(
+        F.lit("ewma").alias("op"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("ewma") * 1000000 + 0.5).cast("long").alias("value_e6"),
+    )
+    return fill.unionAll(rep).unionAll(smooth)
 
 
 @_q(

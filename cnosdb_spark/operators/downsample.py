@@ -91,11 +91,16 @@ def ewma(
     tags: list[str] | None = None,
     alpha: float = 0.3,
     out_col: str = "ewma",
+    round_decimals: int | None = 6,
 ) -> DataFrame:
     """Exponentially weighted moving average per series (time-ordered,
     ``s_i = alpha*x_i + (1-alpha)*s_{i-1}``, seeded with the first
     value — pandas ``ewm(alpha, adjust=False)`` semantics, which is the
-    recursion monitoring systems use).
+    recursion monitoring systems use; bit-exact with the literal
+    recursion, so a recursive-CTE SQL oracle reproduces it exactly).
+    ``round_decimals=None`` emits the raw doubles (differential tests
+    need this: double-rounding through two engines' round() flavors
+    flips last digits).
     Output: (tags, time, value, ``out_col``) sorted within series."""
     keys = list(tags or [])
     base = df.select(*keys, time_col, value_col)
@@ -105,9 +110,8 @@ def ewma(
 
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col).reset_index(drop=True)
-        pdf[out_col] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
-        )
+        s = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        pdf[out_col] = s if round_decimals is None else s.round(round_decimals)
         return pdf[keys + [time_col, value_col, out_col]]
 
     grouped = base.groupBy(*keys) if keys else base.groupBy(F.lit(1).alias("_g"))
