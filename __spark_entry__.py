@@ -1396,9 +1396,18 @@ def embedding_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
-def _near_dup_oracle(bands: int = 16, band_dims: int = 4, threshold: float = 0.4) -> str:
+def _near_dup_oracle(
+    bands: int = 16,
+    band_dims: int = 4,
+    threshold: float = 0.4,
+    max_bucket_size: int = 40,
+) -> str:
     """Mirror of dedup.embedding_near_dup_pairs' sign-band LSH: DuckDB
-    arrays are 1-based, Spark getItem is 0-based."""
+    arrays are 1-based, Spark getItem is 0-based.  Replicates the
+    ``max_bucket_size`` hot-bucket ceiling (drop buckets holding more than
+    that many vectors BEFORE pair expansion) — the ceiling is a
+    deterministic function of the corpus, so both engines drop the exact
+    same buckets and the hash must still match."""
     band_exprs = []
     for b in range(bands):
         signs = " || ".join(
@@ -1409,8 +1418,11 @@ def _near_dup_oracle(bands: int = 16, band_dims: int = 4, threshold: float = 0.4
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     bk AS (SELECT vec_id, unnest([{", ".join(band_exprs)}]) AS bucket FROM v),
+    sz AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket),
+    bk2 AS (SELECT bk.vec_id, bk.bucket FROM bk JOIN sz USING (bucket)
+            WHERE sz.n <= {max_bucket_size}),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+             FROM bk2 a JOIN bk2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
     FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
     WHERE list_cosine_similarity(va.v, vb.v) >= {threshold}
@@ -1454,14 +1466,23 @@ def sign_lsh_similarity(spark, sf_dir):
       candidates + exact verify (equi-join on band key, no all-pairs
       nested loop). 16 bands × 4 dims keeps recall high at the low 0.4
       threshold this dataset needs; production near-dup (≥0.9) uses the
-      wider 8×8 default;
+      wider 8×8 default. ``max_bucket_size=40`` drops hot band buckets
+      before pair expansion — the scale knob that keeps in-bucket pair
+      expansion from going quadratic (round-6 BENCH_SCALE measured the
+      uncapped demo config at 77.9× wall for 10× data). The ceiling is
+      ACTIVE at sf0.01 (12 of 256 buckets exceed it) and the SQL oracle
+      replicates it, so the drop logic itself is differentially verified;
+      recall vs exact ground truth is unchanged (0.966 with or without the
+      ceiling — pairs in dropped buckets still meet in their other, more
+      selective bands);
     - lsh_topk: LSH-bucketed approximate top-k — sign-LSH buckets
       (axis-aligned hyperplanes, SQL-reproducible so the oracle replicates
       the bucketing exactly), exact cosine within bucket only.
     """
     emb = _t(spark, sf_dir, "embeddings")
     near = dedup.embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", threshold=0.4, bands=16, band_dims=4
+        emb, "embedding", "vec_id", threshold=0.4, bands=16, band_dims=4,
+        max_bucket_size=40,
     ).select(
         F.lit("near_dup").alias("op"),
         F.col("id_a").alias("a"),

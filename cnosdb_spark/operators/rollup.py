@@ -221,7 +221,30 @@ def _guard_checkpoint_store_pairing(rollup_path: str, checkpoint: str) -> None:
     segments (an undercount — worse than a loud double-count), and even
     non-colliding ids would re-ingest raw files the store already rolled.
     A store batch id the checkpoint has never offset-logged is exactly
-    that state, so fail fast and name the mismatch."""
+    that state, so fail fast and name the mismatch.
+
+    The listing is os.listdir-based, so the guard only protects LOCAL
+    (and ``file:``) stores/checkpoints; for a remote scheme (s3://,
+    hdfs://, ...) ``isdir`` is always False and the clobber hazard is
+    unguarded — warn loudly rather than silently pass, and route the
+    listing through Hadoop's FileSystem API if this ever ships against
+    object storage."""
+    remote = [
+        p for p in (rollup_path, checkpoint)
+        if "://" in p and not p.startswith("file:")
+    ]
+    if remote:
+        import warnings
+
+        warnings.warn(
+            f"rollup checkpoint/store pairing guard SKIPPED for non-local "
+            f"path(s) {remote}: the listing is local-filesystem only, so a "
+            "reset checkpoint over a kept remote store would NOT be caught "
+            "(silent segment clobber). Verify the pairing out-of-band.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return
     rp = _local_path(rollup_path.rstrip("/"))
     if not os.path.isdir(rp):
         return  # fresh store: any checkpoint state is fine

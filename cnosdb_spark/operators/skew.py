@@ -47,10 +47,11 @@ def salted_join(
     # same salt bucket and defeat the point) MIXED with a per-row ordinal
     # (monotonically_increasing_id) so even fully-duplicated rows — the
     # sentinel/default-row case where every column is identical — still
-    # spread across salts.  The ordinal is deterministic for a given
-    # input partitioning; the join RESULT is salt-value-independent (the
-    # other side is replicated for every salt), so reproducibility of the
-    # output multiset holds regardless.
+    # spread across salts.  The ordinal depends on partition layout and
+    # may change under stage retry/recomputation, so _salt itself is NOT
+    # stable across runs — never key anything durable off it.  The join
+    # RESULT is salt-value-independent (the other side is replicated for
+    # every salt), so the output multiset is reproducible regardless.
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns], F.monotonically_increasing_id()),
         F.lit(n_salts),

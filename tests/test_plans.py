@@ -226,3 +226,48 @@ def test_scoring_sampling_row_plan(spark):
     assert "BroadcastExchange" in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "partial_count" in p  # map-side combine on the (doc,term) agg
+
+
+def test_broadcast_subtree_scan_handles_left_branch_prefix():
+    """Regression (round-7 ADVICE): Spark tree strings prefix left-branch
+    children with ':' at a fixed column, so a leading-SPACE depth measure
+    saw the child at the same depth as its parent and broke the subtree
+    scan immediately — a lineitem under ':- BroadcastExchange' was missed
+    and the 'never broadcast the fact table' assert was vacuous."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_scale",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "bench_scale.py"),
+    )
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+
+    # left-branch broadcast whose child sits under the ':' column — the
+    # exact shape the old leading-space measure could not see into
+    plan = "\n".join([
+        "*(5) BroadcastHashJoin [o_orderkey], [l_orderkey], Inner",
+        ":- BroadcastExchange HashedRelationBroadcastMode",
+        ":  +- *(2) Filter isnotnull(l_orderkey)",
+        ":     +- FileScan parquet lineitem[l_orderkey]",
+        "+- *(4) Sort [o_orderkey ASC]",
+        "   +- FileScan parquet orders[o_orderkey]",
+    ])
+    assert bs.broadcast_subtree_contains(plan, "lineitem")
+    assert not bs.broadcast_subtree_contains(plan, "orders")
+
+    # sibling AFTER the broadcast subtree ends must not count
+    plan2 = "\n".join([
+        "*(5) BroadcastHashJoin [n_nationkey], [c_nationkey], Inner",
+        ":- BroadcastExchange HashedRelationBroadcastMode",
+        ":  +- FileScan parquet nation[n_nationkey]",
+        "+- FileScan parquet lineitem[l_orderkey]",
+    ])
+    assert not bs.broadcast_subtree_contains(plan2, "lineitem")
+
+    # a broadcast abandoned by AQE in the '== Initial Plan ==' section
+    # must not count against the final plan
+    plan3 = plan2 + "\n== Initial Plan ==\n" + plan
+    assert not bs.broadcast_subtree_contains(plan3, "lineitem")

@@ -339,3 +339,17 @@ def test_histogram_name_collision(spark, tmp_path):
         rollup.read_rollup(
             spark, str(tmp_path), ["v"], ["v_hist"], histograms={"v": (0, 1, 4)}
         )
+
+
+def test_pairing_guard_warns_on_remote_paths():
+    """Round-7 ADVICE: for s3://-style stores/checkpoints the os.listdir
+    guard cannot see anything — it must warn that it is skipped, never
+    silently pass."""
+    import warnings
+
+    from cnosdb_spark.operators.rollup import _guard_checkpoint_store_pairing
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _guard_checkpoint_store_pairing("s3://bucket/store", "s3://bucket/ck")
+    assert any("SKIPPED for non-local" in str(x.message) for x in w)
