@@ -1607,9 +1607,13 @@ def pq_ivf_ann(spark, sf_dir):
       differential of the quantization arithmetic, not a recall bound;
     - refine: the production two-stage pattern — ADC shortlist of 150,
       exact-cosine re-rank to the final 10;
-    - ivfpq: ivf_pq_topk probing ALL clusters with a corpus-sized refine
-      must degrade to EXACT brute-force top-10 (the prune-less
-      equivalence invariant; pruned-recall behavior is pytest-pinned in
+    - ivfpq: ivf_pq_topk_distributed — the ZERO-driver-collection batch
+      variant (per-query ADC distance tables are column expressions over
+      codebook literals, probed clusters an equi-join; the path a 100 TB
+      batch-scoring job runs) — probing ALL clusters with a corpus-sized
+      refine must degrade to EXACT brute-force top-10 (the prune-less
+      equivalence invariant; pruned-recall behavior and parity with the
+      serving-style ivf_pq_topk are pytest-pinned in
       test_operators_misc.py).
     """
     emb = _t(spark, sf_dir, "embeddings")
@@ -1634,7 +1638,7 @@ def pq_ivf_ann(spark, sf_dir):
     cents = similarity.ivf_centroids(emb, "embedding", n_centroids=_IVF_NC)
     ccodes = similarity.ivf_assign(codes, "embedding", cents)
     ivfpq = arm(
-        similarity.ivf_pq_topk(
+        similarity.ivf_pq_topk_distributed(
             ccodes, queries, cents, books,
             k=_PQ_FINAL_K, n_probe=_IVF_NC, refine=1_000_000_000,
         ),
@@ -1937,18 +1941,35 @@ def text_quality_stats(spark, sf_dir):
           FROM events GROUP BY user_id) iv
       ON e.user_id = iv.user_id AND e.ts >= iv.s AND e.ts < iv.e
     GROUP BY e.user_id
+    UNION ALL
+    SELECT 'asof_stream', j.event_id, j.val FROM (
+      SELECT t.event_id,
+             round(CASE WHEN q.ts >= t.ts - INTERVAL 6 HOUR
+                   THEN q.value END, 6) AS val
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') q
+        ON t.user_id = q.user_id AND q.ts <= t.ts) j
+    WHERE j.val IS NOT NULL
     """,
 )
 def asof_range_join(spark, sf_dir):
-    """Temporal joins (operators/temporal.py) vs DuckDB's NATIVE ASOF
-    LEFT JOIN / inequality join — three arms:
+    """Temporal joins (operators/temporal.py + streaming/stream_table.py)
+    vs DuckDB's NATIVE ASOF LEFT JOIN / inequality join — four arms:
 
     - asof: for each purchase, the most recent same-user click value
       (union + single-shuffle window carry, no join node);
     - asof_tol: same with a 1-hour tolerance (older matches → NULL);
     - range: events counted into per-user [first_ts, first_ts + 6h)
       intervals via the bucketized range join (equi-join on
-      (user, hour-bucket) + exact refinement — never a nested loop).
+      (user, hour-bucket) + exact refinement — never a nested loop);
+    - asof_stream: the STREAM-STREAM as-of enrichment
+      (stream_table.asof_join_streams: watermarked interval join chained
+      with a watermarked max_by aggregation, both state stores evictable
+      via the bounded 6-hour lookback) run for real through writeStream
+      availableNow over staged event files, with far-future sentinel rows
+      on both streams to push the final watermark past all real data —
+      inner semantics, verified against the same DuckDB ASOF oracle with
+      the tolerance as an inner filter.
     """
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
@@ -1986,7 +2007,61 @@ def asof_range_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("double").alias("val"))
         .select(F.lit("range").alias("op"), F.col("user_id").alias("k"), "val")
     )
-    return asof_arm("asof", None).unionAll(asof_arm("asof_tol", "1 HOUR")).unionAll(rng)
+    streamed = _asof_stream_arm(spark, purchases, clicks)
+    return (
+        asof_arm("asof", None)
+        .unionAll(asof_arm("asof_tol", "1 HOUR"))
+        .unionAll(rng)
+        .unionAll(streamed)
+    )
+
+
+def _asof_stream_arm(spark, purchases, clicks):
+    """Run asof_join_streams for real (availableNow over staged files) and
+    return the enriched rows as (op='asof_stream', k=event_id, val).
+    Far-future sentinel rows (user_id = -1/-2 — matching nothing) on BOTH
+    streams push each stream's watermark 60 days past the real data, so
+    the chained stateful operators (interval join → max_by agg, append
+    mode) emit every real group before the availableNow query drains."""
+    import tempfile
+    from datetime import timedelta
+
+    from cnosdb_spark.streaming import stream_table
+
+    base = tempfile.mkdtemp(prefix="asof_stream_row_")
+    t_path, q_path, out = f"{base}/trades", f"{base}/quotes", f"{base}/out"
+    max_ts = purchases.unionByName(
+        clicks.select(F.col("ts")), allowMissingColumns=True
+    ).agg(F.max("ts")).first()[0]
+    far = max_ts + timedelta(days=60)
+
+    left = purchases.select("event_id", "user_id", F.col("ts").alias("p_ts"))
+    left.unionByName(
+        spark.createDataFrame([(-1, -1, far)], schema=left.schema)
+    ).write.parquet(t_path)
+    right = clicks.select("user_id", F.col("ts").alias("c_ts"), "value")
+    right.unionByName(
+        spark.createDataFrame([(-2, far, 0.0)], schema=right.schema)
+    ).write.parquet(q_path)
+
+    t_s = spark.readStream.schema(left.schema).parquet(t_path)
+    q_s = spark.readStream.schema(right.schema).parquet(q_path)
+    enriched = stream_table.asof_join_streams(
+        t_s, q_s, key="user_id", left_time="p_ts", right_time="c_ts",
+        left_id="event_id", value_cols=["value"], lookback="6 hours",
+    )
+    q = (
+        enriched.writeStream.option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        F.lit("asof_stream").alias("op"),
+        F.col("event_id").alias("k"),
+        F.round("value_right", 6).alias("val"),
+    )
 
 
 _STRAT_FRACS = {"src0": 0.25, "src1": 1.0, "src2": 0.5, "src3": 0.75}
