@@ -36,7 +36,15 @@ from cnosdb_spark.functions import (
 )
 from cnosdb_spark.functions.quality import data_quality
 from cnosdb_spark.functions.repair import value_fill
-from cnosdb_spark.operators import curation, dedup, scoring, similarity, temporal, text
+from cnosdb_spark.operators import (
+    curation,
+    dedup,
+    multimodal,
+    scoring,
+    similarity,
+    temporal,
+    text,
+)
 from cnosdb_spark.operators.multimodal import extract_features, synthetic_media
 
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2394,17 +2402,51 @@ def ts_timestamp_repair(spark, sf_dir):
     )
 
 
+def _png_decode_oracle_values(n: int = 48, seed: int = 7) -> str:
+    """Expected features of the png_decode arm, recomputed at import from
+    the SAME seeded arrays synthetic_png_media encodes — ground truth that
+    never touches PNG bytes, so the arm differentially verifies
+    encode → decode losslessness + the decode path itself (a decoder bug,
+    or a silent fallback to the byte-stub, changes mean/std and breaks
+    the hash).  Scaled ints (floor(x*1e4+0.5)) dodge the Spark-vs-Python
+    round() half-way flavors."""
+    import math
+
+    import numpy as np
+
+    vals = []
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        h, w = 6 + (i % 7), 8 + (i % 5)
+        arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8).astype(np.float64)
+        vals.append(
+            f"({i}, {arr.size}, {math.floor(arr.mean() * 1e4 + 0.5)}.0, "
+            f"{math.floor(arr.std() * 1e4 + 0.5)}.0)"
+        )
+    return ",\n    ".join(vals)
+
+
 @_q(
     "multimodal_features",
-    """
-    -- pinned expected output: synthetic payloads are seeded (seed=42)
-    -- and the stub features are deterministic byte-histogram moments,
-    -- so the exact rows are reproducible run-to-run; the oracle pins
-    -- them as a literal table
-    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
-           CAST(n_bytes AS BIGINT) AS n_bytes,
-           CAST(f_mean AS DOUBLE) AS f_mean,
-           CAST(f_std AS DOUBLE) AS f_std
+    f"""
+    -- pinned expected output, two arms:
+    --  * stub: synthetic payloads are seeded (seed=42) and the stub
+    --    features are deterministic byte-histogram moments — literal table
+    --  * png_decode: REAL PNG decode (vendored pure-python codec /
+    --    operators/multimodal.py png_decode_gray) over synthetic_png_media;
+    --    expected rows recomputed at import from the same seeded arrays,
+    --    never via PNG — see _png_decode_oracle_values
+    SELECT 'png_decode' AS op, CAST(media_id AS BIGINT) AS media_id,
+           'image' AS kind, CAST(n_px AS BIGINT) AS n_units,
+           CAST(fm AS DOUBLE) AS f1, CAST(fs AS DOUBLE) AS f2
+    FROM (VALUES
+    {_png_decode_oracle_values()})
+    AS p(media_id, n_px, fm, fs)
+    UNION ALL
+    SELECT 'stub' AS op, CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(n_bytes AS BIGINT) AS n_units,
+           CAST(f_mean AS DOUBLE) AS f1,
+           CAST(f_std AS DOUBLE) AS f2
     FROM (VALUES
     (0, 'image', 64, 129.0313, 74.2094),
     (1, 'audio', 96, 124.3333, 72.026),
@@ -2474,17 +2516,44 @@ def ts_timestamp_repair(spark, sf_dir):
     """,
 )
 def multimodal_features(spark, sf_dir):
-    """Multimodal binary-column plumbing: mapInPandas feature extraction
-    over opaque payloads (decode stubbed — see operators/multimodal.py)."""
+    """Multimodal binary-column plumbing (operators/multimodal.py),
+    two mapInPandas arms:
+
+    - stub: deterministic byte-histogram features over opaque payloads —
+      the schema/batch-shape/partitioning plumbing a real CNN/audio
+      embedding kernel would use;
+    - png_decode: the REAL codec path — synthetic_png_media encodes
+      seeded grayscale arrays to valid PNGs (png_encode_gray), executors
+      decode them back (real_decode → PIL when present, else the vendored
+      pure-python png_decode_gray) and emit pixel-moment features; the
+      oracle recomputes expectations from the same seeded arrays without
+      ever touching PNG, so a decode bug or a silent stub fallback breaks
+      the hash.  n_units = decoded pixel count (width*height), features
+      scaled-int (floor(x*1e4+0.5)) to dodge round() flavor differences.
+    """
     media = synthetic_media(spark, n=64)
-    out = extract_features(media)
-    return out.select(
+    stub = extract_features(media).select(
+        F.lit("stub").alias("op"),
         "media_id",
         "kind",
-        "n_bytes",
-        F.round(F.element_at("feature", 1), 4).alias("f_mean"),
-        F.round(F.element_at("feature", 2), 4).alias("f_std"),
+        F.col("n_bytes").cast("long").alias("n_units"),
+        F.round(F.element_at("feature", 1), 4).alias("f1"),
+        F.round(F.element_at("feature", 2), 4).alias("f2"),
     )
+    pngs = multimodal.synthetic_png_media(spark, n=48)
+    png = extract_features(pngs, use_codec=True).select(
+        F.lit("png_decode").alias("op"),
+        "media_id",
+        "kind",
+        F.element_at("feature", 8).cast("long").alias("n_units"),
+        F.floor(F.element_at("feature", 1) * 1e4 + F.lit(0.5))
+        .cast("double")
+        .alias("f1"),
+        F.floor(F.element_at("feature", 2) * 1e4 + F.lit(0.5))
+        .cast("double")
+        .alias("f2"),
+    )
+    return stub.unionAll(png)
 
 
 # =====================================================================

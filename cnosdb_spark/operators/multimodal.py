@@ -309,6 +309,29 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_png_media(spark, n: int = 48, seed: int = 7) -> DataFrame:
+    """Deterministic REAL-image media table: seeded grayscale arrays of
+    varying shapes encoded to valid PNGs via ``png_encode_gray`` — so the
+    real decode path (``real_decode`` → PIL or the vendored
+    ``png_decode_gray``) is exercisable end-to-end with no codec library.
+    The generating arrays are reproducible from (n, seed) alone, letting
+    an oracle recompute expected features without touching PNG at all."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = 6 + (i % 7), 8 + (i % 5)
+        arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(png_encode_gray(arr)),
+                {"mime": "image/png", "width": w, "height": h, "duration_ms": None},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 _RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
