@@ -192,16 +192,22 @@ def main() -> None:
             spark.sql(sql).write.format("noop").mode("overwrite").save()
             result[i].append(round(time.perf_counter() - t, 4))
     timings = {f"q{i:02d}": min(r) for i, r in enumerate(result)}
+    from cnosdb_spark.calibration import run_calibration
+
+    cal = run_calibration(spark)
+    total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "clickbench_total_wall",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "result": result,
                 "rows": N_ROWS,
                 "load_time": load_time,
+                "calibration_sec": cal,
+                "total_over_calibration": round(total / cal, 3),
             }
         )
     )

@@ -261,15 +261,21 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             result[i].append(round(time.perf_counter() - t, 4))
     timings = {n: min(r) for n, r in zip(names, result)}
+    from cnosdb_spark.calibration import run_calibration
+
+    cal = run_calibration(spark)
+    total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "tsbs_iot13_total_wall",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "result": result,
                 "sf": sf_dir,
+                "calibration_sec": cal,
+                "total_over_calibration": round(total / cal, 3),
             }
         )
     )

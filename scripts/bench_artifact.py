@@ -40,6 +40,13 @@ def main() -> int:
         "total_min_wall": round(sum(min(r) for r in result), 4),
         "rc": 0,
     }
+    # host-speed calibration (cnosdb_spark/calibration.py): totals as a
+    # ratio to a fixed CPU-bound query compare across measurement windows
+    if raw.get("calibration_sec"):
+        art["calibration_sec"] = raw["calibration_sec"]
+        art["total_over_calibration"] = round(
+            art["total_min_wall"] / raw["calibration_sec"], 3
+        )
     if kind == "clickbench":
         art["rows"] = raw.get("rows")
     else:

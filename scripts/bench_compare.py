@@ -32,11 +32,24 @@ def main() -> int:
     curr = json.load(open(args.curr))
     p, c = prev.get("queries_min", {}), curr.get("queries_min", {})
 
+    # host-speed drift normalization: when BOTH artifacts carry a
+    # calibration time (cnosdb_spark/calibration.py — a fixed CPU-bound
+    # query measured in the same window), scale current timings by the
+    # calibration ratio so a uniformly slower/faster host doesn't read as
+    # a code regression/improvement (the round-6 ClickBench +24% episode)
+    cal_p, cal_c = prev.get("calibration_sec"), curr.get("calibration_sec")
+    scale = cal_p / cal_c if cal_p and cal_c else 1.0
+    if scale != 1.0:
+        print(
+            f"calibration: {cal_p}s -> {cal_c}s "
+            f"(host-drift scale applied to current: x{scale:.3f})"
+        )
+
     regressed, improved = [], []
     for q in sorted(set(p) & set(c)):
         if p[q] <= 0:
             continue
-        delta = c[q] - p[q]
+        delta = c[q] * scale - p[q]
         ratio = delta / p[q]
         if ratio > args.threshold and delta > args.min_abs:
             regressed.append((q, p[q], c[q], ratio))
@@ -46,6 +59,10 @@ def main() -> int:
     tp, tc = prev.get("total_min_wall"), curr.get("total_min_wall")
     print(f"total_min_wall: {tp} -> {tc}"
           + (f" ({(tc - tp) / tp:+.1%})" if tp and tc else ""))
+    rp, rc = prev.get("total_over_calibration"), curr.get("total_over_calibration")
+    if rp and rc:
+        print(f"total_over_calibration: {rp} -> {rc} ({(rc - rp) / rp:+.1%})"
+              " [drift-normalized — trust this one across windows]")
     for q, a, b, r in improved:
         print(f"  improved  {q}: {a:.3f} -> {b:.3f} ({r:+.1%})")
     for q, a, b, r in regressed:
