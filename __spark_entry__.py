@@ -2426,22 +2426,54 @@ def _png_decode_oracle_values(n: int = 48, seed: int = 7) -> str:
     return ",\n    ".join(vals)
 
 
+def _wav_decode_oracle_values(n: int = 32, seed: int = 11) -> str:
+    """Expected features of the wav_decode arm — same contract as
+    _png_decode_oracle_values: recomputed at import from the seeded int16
+    sample arrays synthetic_wav_media encodes, never via WAV bytes.
+    PCM16 encode → decode is exactly samples/32768, so ground truth is
+    the normalized-array moments; scale 1e6 (values live in [-1, 1))."""
+    import math
+
+    import numpy as np
+
+    vals = []
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        n_samp = 120 + (i % 9) * 41
+        a = rng.integers(-32768, 32768, size=n_samp, dtype=np.int16)
+        a = a.astype(np.float64) / 32768.0
+        vals.append(
+            f"({i}, {a.size}, {math.floor(a.mean() * 1e6 + 0.5)}.0, "
+            f"{math.floor(a.std() * 1e6 + 0.5)}.0)"
+        )
+    return ",\n    ".join(vals)
+
+
 @_q(
     "multimodal_features",
     f"""
-    -- pinned expected output, two arms:
+    -- pinned expected output, three arms:
     --  * stub: synthetic payloads are seeded (seed=42) and the stub
     --    features are deterministic byte-histogram moments — literal table
     --  * png_decode: REAL PNG decode (vendored pure-python codec /
     --    operators/multimodal.py png_decode_gray) over synthetic_png_media;
     --    expected rows recomputed at import from the same seeded arrays,
     --    never via PNG — see _png_decode_oracle_values
+    --  * wav_decode: REAL PCM WAV decode (stdlib wave / wav_decode_pcm)
+    --    over synthetic_wav_media; same ground-truth-from-arrays contract
     SELECT 'png_decode' AS op, CAST(media_id AS BIGINT) AS media_id,
            'image' AS kind, CAST(n_px AS BIGINT) AS n_units,
            CAST(fm AS DOUBLE) AS f1, CAST(fs AS DOUBLE) AS f2
     FROM (VALUES
     {_png_decode_oracle_values()})
     AS p(media_id, n_px, fm, fs)
+    UNION ALL
+    SELECT 'wav_decode' AS op, CAST(media_id AS BIGINT) AS media_id,
+           'audio' AS kind, CAST(n_samp AS BIGINT) AS n_units,
+           CAST(fm AS DOUBLE) AS f1, CAST(fs AS DOUBLE) AS f2
+    FROM (VALUES
+    {_wav_decode_oracle_values()})
+    AS wv(media_id, n_samp, fm, fs)
     UNION ALL
     SELECT 'stub' AS op, CAST(media_id AS BIGINT) AS media_id, kind,
            CAST(n_bytes AS BIGINT) AS n_units,
@@ -2517,19 +2549,24 @@ def _png_decode_oracle_values(n: int = 48, seed: int = 7) -> str:
 )
 def multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing (operators/multimodal.py),
-    two mapInPandas arms:
+    three mapInPandas arms:
 
     - stub: deterministic byte-histogram features over opaque payloads —
       the schema/batch-shape/partitioning plumbing a real CNN/audio
       embedding kernel would use;
-    - png_decode: the REAL codec path — synthetic_png_media encodes
+    - png_decode: the REAL image codec path — synthetic_png_media encodes
       seeded grayscale arrays to valid PNGs (png_encode_gray), executors
       decode them back (real_decode → PIL when present, else the vendored
-      pure-python png_decode_gray) and emit pixel-moment features; the
-      oracle recomputes expectations from the same seeded arrays without
-      ever touching PNG, so a decode bug or a silent stub fallback breaks
-      the hash.  n_units = decoded pixel count (width*height), features
-      scaled-int (floor(x*1e4+0.5)) to dodge round() flavor differences.
+      pure-python png_decode_gray) and emit pixel-moment features;
+    - wav_decode: the REAL audio codec path — synthetic_wav_media encodes
+      seeded int16 PCM noise to valid WAVs, executors decode through
+      soundfile when present, else the stdlib-wave wav_decode_pcm.
+
+    Both codec arms' oracles recompute expectations from the same seeded
+    arrays without ever touching PNG/WAV bytes, so a decoder bug or a
+    silent stub fallback breaks the hash.  n_units = decoded sample/pixel
+    count; features scaled-int (floor(x*scale+0.5)) to dodge round()
+    flavor differences between engines.
     """
     media = synthetic_media(spark, n=64)
     stub = extract_features(media).select(
@@ -2540,20 +2577,23 @@ def multimodal_features(spark, sf_dir):
         F.round(F.element_at("feature", 1), 4).alias("f1"),
         F.round(F.element_at("feature", 2), 4).alias("f2"),
     )
-    pngs = multimodal.synthetic_png_media(spark, n=48)
-    png = extract_features(pngs, use_codec=True).select(
-        F.lit("png_decode").alias("op"),
-        "media_id",
-        "kind",
-        F.element_at("feature", 8).cast("long").alias("n_units"),
-        F.floor(F.element_at("feature", 1) * 1e4 + F.lit(0.5))
-        .cast("double")
-        .alias("f1"),
-        F.floor(F.element_at("feature", 2) * 1e4 + F.lit(0.5))
-        .cast("double")
-        .alias("f2"),
-    )
-    return stub.unionAll(png)
+    def codec_arm(media_df, op, scale):
+        return extract_features(media_df, use_codec=True).select(
+            F.lit(op).alias("op"),
+            "media_id",
+            "kind",
+            F.element_at("feature", 8).cast("long").alias("n_units"),
+            F.floor(F.element_at("feature", 1) * scale + F.lit(0.5))
+            .cast("double")
+            .alias("f1"),
+            F.floor(F.element_at("feature", 2) * scale + F.lit(0.5))
+            .cast("double")
+            .alias("f2"),
+        )
+
+    png = codec_arm(multimodal.synthetic_png_media(spark, n=48), "png_decode", 1e4)
+    wav = codec_arm(multimodal.synthetic_wav_media(spark, n=32), "wav_decode", 1e6)
+    return stub.unionAll(png).unionAll(wav)
 
 
 # =====================================================================

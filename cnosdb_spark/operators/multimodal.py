@@ -187,12 +187,72 @@ def png_encode_gray(arr: np.ndarray) -> bytes:
     )
 
 
+_WAV_MAGIC = b"RIFF"
+
+
+def wav_decode_pcm(payload: bytes) -> np.ndarray:
+    """PCM WAV decoder on the stdlib ``wave`` module — no soundfile
+    needed, so the real audio-codec path is live in codec-less
+    containers (the same move as ``png_decode_gray`` for images).
+    Supports 16-bit and 8-bit PCM, any channel count.  Returns float64
+    samples normalized to [-1, 1) — soundfile's default convention
+    (int16/32768, (uint8-128)/128), so the two paths are value-identical
+    on PCM files (parity is test-gated on soundfile's presence); shape
+    (n,) mono, (n, ch) otherwise.  Raises ValueError on non-PCM — never
+    a silent wrong answer."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            ch, sw, n = w.getnchannels(), w.getsampwidth(), w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as e:  # truncated/non-PCM RIFF
+        raise ValueError(f"not a decodable PCM WAV payload: {e}") from e
+    if sw == 2:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned by spec
+        a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw} (want 1 or 2 bytes)")
+    return a.reshape(-1, ch) if ch > 1 else a
+
+
+def wav_encode_pcm(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Companion PCM16 encoder (stdlib ``wave``) for tests and fixtures.
+    Integer input (int16 range) is written verbatim — encode → decode is
+    then exactly ``samples / 32768``; float input is treated as
+    normalized [-1, 1) and quantized."""
+    import io
+    import wave
+
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError("wav_encode_pcm wants a 1-D or 2-D sample array")
+    if np.issubdtype(a.dtype, np.floating):
+        pcm = np.clip(np.floor(a * 32768.0 + 0.5), -32768, 32767).astype("<i2")
+    else:
+        if a.min() < -32768 or a.max() > 32767:
+            raise ValueError("integer samples out of int16 range")
+        pcm = a.astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(a.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def real_decode(payload: bytes, kind: str):
     """Decode a media payload into a numpy array: PIL/soundfile when
     installed; PNG images fall back to the vendored pure-python decoder
-    (``png_decode_gray``) so the real-codec path is live even in
-    codec-less containers.  Raises NotImplementedError when no decoder
-    applies — the clearly-marked stub boundary."""
+    (``png_decode_gray``) and PCM WAV audio to the stdlib ``wave``
+    decoder (``wav_decode_pcm``), so both real-codec paths are live even
+    in codec-less containers.  Raises NotImplementedError when no
+    decoder applies — the clearly-marked stub boundary."""
     import io
 
     if kind == "image" and HAS_PIL:
@@ -203,10 +263,12 @@ def real_decode(payload: bytes, kind: str):
     if kind == "audio" and HAS_SOUNDFILE:
         data, _sr = _soundfile.read(io.BytesIO(payload))
         return np.asarray(data)
+    if kind == "audio" and payload[: len(_WAV_MAGIC)] == _WAV_MAGIC:
+        return wav_decode_pcm(bytes(payload))
     raise NotImplementedError(
         f"no codec available for kind={kind!r} in this environment "
         f"(HAS_PIL={HAS_PIL}, HAS_SOUNDFILE={HAS_SOUNDFILE}, payload is "
-        "not a PNG); extract_features uses the deterministic stub path"
+        "not a PNG/WAV); extract_features uses the deterministic stub path"
     )
 
 
@@ -304,6 +366,34 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 kind,
                 bytearray(payload),
                 {"mime": f"{kind}/x-fake", "width": 64, "height": 64, "duration_ms": 1000},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_wav_media(spark, n: int = 32, seed: int = 11) -> DataFrame:
+    """Deterministic REAL-audio media table: seeded int16 PCM noise of
+    varying lengths encoded to valid WAVs via ``wav_encode_pcm`` — so the
+    real audio decode path (``real_decode`` → soundfile or the stdlib
+    ``wav_decode_pcm``) is exercisable end-to-end with no codec library.
+    The generating sample arrays are reproducible from (n, seed) alone,
+    letting an oracle recompute expected features without touching WAV."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        n_samp = 120 + (i % 9) * 41
+        pcm = rng.integers(-32768, 32768, size=n_samp, dtype=np.int16)
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(wav_encode_pcm(pcm)),
+                {
+                    "mime": "audio/wav",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": int(n_samp * 1000 / 16000),
+                },
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

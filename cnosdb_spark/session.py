@@ -48,7 +48,20 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast ONLY from measured sizes, never from static estimates:
+        # the STATIC threshold stays conservative (10 MB — static sizes are
+        # file-size × selectivity guesses, and a statically-committed
+        # broadcast is irreversible: AQE can upgrade SMJ→BHJ but never
+        # demote), while the ADAPTIVE threshold is generous (64 MB — AQE
+        # has exact post-shuffle sizes).  Round-7 scale rehearsal: a 64 MB
+        # STATIC threshold broadcast the filtered 4.2M-row lineitem side of
+        # q3 at 10x data from a bad estimate — 6.1 s vs 1.4 s with this
+        # split, and the misplan would only widen with scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

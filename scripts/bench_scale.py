@@ -219,15 +219,22 @@ def final_plan_joins(spark, sf_dir: str, name: str) -> dict:
     df = entry_mod.queries()[name](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    parts = plan.split("== Initial Plan ==")
+    final, initial = parts[0], (parts[1] if len(parts) > 1 else "")
     joins = re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)",
-        plan.split("== Initial Plan ==")[0],
+        final,
     )
     return {
         "is_final_plan": "isFinalPlan=true" in plan,
         "join_nodes": {j: joins.count(j) for j in set(joins)},
-        # an O(SF) fact side must never sit under a BroadcastExchange
-        "lineitem_broadcast": broadcast_subtree_contains(plan, "lineitem"),
+        # the O(SF) fact side must never sit under a BroadcastExchange in
+        # the final plan at 10x — and NEVER in the static (initial) plan at
+        # any scale: a statically-committed broadcast comes from a size
+        # GUESS and AQE cannot demote it (round 7 caught exactly this —
+        # a 64MB static threshold broadcast the 4.2M-row filtered lineitem)
+        "lineitem_broadcast": broadcast_subtree_contains(final, "lineitem"),
+        "lineitem_broadcast_static": broadcast_subtree_contains(initial, "lineitem"),
     }
 
 
@@ -250,6 +257,9 @@ def main() -> None:
     }
     for name, p in plans.items():
         assert not p["lineitem_broadcast"], f"{name}: lineitem broadcast at sf1!"
+        assert not p["lineitem_broadcast_static"], (
+            f"{name}: lineitem statically broadcast (size-guess pin) at sf1!"
+        )
 
     ratios = {
         k: round(scale[k] / base[k], 2)
@@ -261,10 +271,10 @@ def main() -> None:
         "metric": "scale_rehearsal_10x",
         "unit": "sec",
         "analysis": {
-            "summary": "all headline + dedup/ANN queries scale <=3x wall "
-            "for 10x data on fixed local[32], except the sign-LSH arms "
-            "whose in-bucket pair expansion is quadratic by construction "
-            "for a FIXED banding config",
+            "summary": "all headline + dedup/ANN queries scale ~linearly "
+            "(<=4x wall for 10x data on fixed local[32]); the previously "
+            "quadratic sign-LSH demo banding is linearized by the "
+            "max_bucket_size ceiling now on the registry row",
             "round6_fixes_proven_here": [
                 "gapfill interpolate was 117x (O(n^2) forward-unbounded "
                 "window frames) -> 2.4x after the running-frame rewrite",
@@ -272,6 +282,15 @@ def main() -> None:
                 "tokens degenerate shingle doc-frequencies) -> 1.6x with "
                 "word-prefix perturbation",
             ],
+            "round7_fix_proven_here": "the repaired broadcast-subtree scan "
+            "(left-branch ':' prefixes) exposed that a 64MB STATIC "
+            "autoBroadcastJoinThreshold let the planner broadcast q3's "
+            "filtered 4.2M-row lineitem side from a size GUESS (AQE cannot "
+            "demote a committed broadcast): 6.1s vs 1.4s at 10x. session.py "
+            "now keeps the static threshold at 10MB and grants 64MB only to "
+            "spark.sql.adaptive.autoBroadcastJoinThreshold, so broadcasts "
+            "come from MEASURED sizes only; lineitem_broadcast_static is "
+            "asserted false for q3/q5.",
             "sign_lsh_expected_quadratic": "the UNCAPPED 16x4 demo banding "
             "(16 buckets/band) is ~n^2/buckets in candidates: 77x at 10x "
             "corpus in round 6. Since round 7 the registry row runs with "

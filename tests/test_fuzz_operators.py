@@ -277,3 +277,35 @@ def test_png_codec_roundtrip_fuzz(data, w, h, color):
     # grayscale also round-trips through our own encoder
     if color == 0:
         assert np.array_equal(mm.png_decode_gray(mm.png_encode_gray(px[:, :, 0])), px[:, :, 0])
+
+
+@settings(**_FUZZ)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=300),
+    ch=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_codec_roundtrip_fuzz(data, n, ch, rate):
+    """Property: for every int16 sample array (any length, channel count,
+    rate), wav_encode_pcm → wav_decode_pcm returns exactly samples/32768
+    with the right shape."""
+    import numpy as np
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    samples = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=-32768, max_value=32767),
+                min_size=n * ch,
+                max_size=n * ch,
+            )
+        ),
+        dtype=np.int16,
+    ).reshape(n, ch)
+    if ch == 1:
+        samples = samples[:, 0]
+    got = mm.wav_decode_pcm(mm.wav_encode_pcm(samples, rate=rate))
+    assert got.shape == samples.shape
+    assert np.array_equal(got, samples.astype(np.float64) / 32768.0)

@@ -163,8 +163,12 @@ def test_multimodal_real_decode_stub_boundary():
         pytest.skip("PIL installed: real path active")
     with pytest.raises(NotImplementedError):
         mm.real_decode(b"\x89PNG", "image")  # magic truncated → not a PNG
+    with pytest.raises(NotImplementedError):
+        mm.real_decode(b"\x00not-audio", "audio")  # no RIFF magic
     if not mm.HAS_SOUNDFILE:
-        with pytest.raises(NotImplementedError):
+        # claims to be RIFF but is truncated garbage → loud ValueError
+        # from the stdlib-wave path, never a silent wrong answer
+        with pytest.raises(ValueError):
             mm.real_decode(b"RIFF....WAVE", "audio")
 
 
@@ -952,3 +956,63 @@ def test_ivf_pq_topk_distributed_parity_and_plan(spark):
     # no query row reaches the driver: the query side stays a parquet scan
     assert "LocalTableScan" not in p and "Scan ExistingRDD" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_wav_roundtrip_and_features(spark):
+    """The stdlib-wave PCM codec: int16 encode→decode is exactly
+    samples/32768, real_decode dispatches it with NO codec library, and
+    use_codec=True features reflect DECODED samples, not file bytes."""
+    import numpy as np
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32768, size=257, dtype=np.int16)
+    wav = mm.wav_encode_pcm(pcm)
+    got = mm.wav_decode_pcm(wav)
+    assert np.array_equal(got, pcm.astype(np.float64) / 32768.0)
+    if not mm.HAS_SOUNDFILE:
+        assert np.array_equal(mm.real_decode(wav, "audio"), got)
+
+    # stereo keeps shape (n, 2)
+    st2 = rng.integers(-32768, 32768, size=(40, 2), dtype=np.int16)
+    got2 = mm.wav_decode_pcm(mm.wav_encode_pcm(st2))
+    assert got2.shape == (40, 2)
+    assert np.array_equal(got2, st2.astype(np.float64) / 32768.0)
+
+    # float input quantizes to int16 grid
+    f = np.array([0.0, 0.5, -1.0, 0.999])
+    dec = mm.wav_decode_pcm(mm.wav_encode_pcm(f))
+    assert np.allclose(dec, f, atol=1.0 / 32768.0)
+
+    # constant signal through the Spark feature path: mean exact, std 0
+    const = mm.wav_encode_pcm(np.full(64, 1024, dtype=np.int16))
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(const), None)], mm.MEDIA_SCHEMA
+    )
+    row = extract_features(df, use_codec=True).collect()[0]
+    assert row["feature"][0] == 1024.0 / 32768.0 and row["feature"][1] == 0.0
+    assert row["feature"][7] == 64.0
+
+
+@pytest.mark.skipif(
+    "not __import__('cnosdb_spark.operators.multimodal', fromlist=['HAS_SOUNDFILE']).HAS_SOUNDFILE",
+    reason="soundfile not installed: value-parity vs libsndfile is env-gated",
+)
+def test_wav_decode_matches_soundfile():
+    """Value-identity between the stdlib-wave decoder and soundfile on
+    PCM16 — the audio analogue of the PNG/PIL byte-identity test."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    pcm = rng.integers(-32768, 32768, size=(333, 2), dtype=np.int16)
+    wav = mm.wav_encode_pcm(pcm, rate=8000)
+    ours = mm.wav_decode_pcm(wav)
+    theirs, rate = sf.read(io.BytesIO(wav))
+    assert rate == 8000
+    assert np.array_equal(ours, theirs)
