@@ -302,6 +302,18 @@ def main() -> None:
             "buckets once the corpus outgrows ceiling*buckets — the signal "
             "to widen the banding (more patterns/band), not raise the "
             "ceiling.",
+            "ceiling_recall_cost": "measured at sf0.01 (the correctness "
+            "corpus, where ground truth is computable): ceiling 40 drops "
+            "12 of 256 demo-banding buckets yet loses ZERO within-"
+            "threshold pairs (57 of 57 kept; recall vs exact all-pairs "
+            "0.966 capped AND uncapped — dropped-bucket pairs still meet "
+            "in their other, more selective bands). At sf0.1+ every demo "
+            "bucket exceeds 40 (2000 vectors / 256 buckets), so candidates "
+            "-> 0: wall collapses 77.9x -> 1.28x and output drops to 0 — "
+            "the fixed 16-pattern banding is outgrown, the documented cue "
+            "to widen bands. The 0.9-threshold prod rows emit 0 pairs at "
+            "every scale (the synthetic corpus has no true >=0.9 "
+            "near-dups), capped or not.",
         },
         "base_sf": 0.1,
         "scale_copies": 10,
