@@ -310,16 +310,24 @@ def agg_statistical(spark, sf_dir):
     """
     SELECT l_returnflag,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-           TRUE AS distinct_ok, TRUE AS median_ok, TRUE AS p90_ok
+           TRUE AS distinct_ok, TRUE AS median_ok, TRUE AS p90_ok,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           round(quantile_cont(l_quantity, 0.50), 4)      AS qty_median
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_approx(spark, sf_dir):
-    """approx_distinct / approx_percentile (SURVEY §2.4). Engine sketches
-    (HLL/KLL) can't be value-compared across engines, so the checked
-    contract is the accuracy guarantee itself: each approximate answer must
-    land within its documented error bound of the exact answer (computed in
-    the same query); the oracle supplies the exact values and TRUE bounds."""
+    """approx_distinct / approx_percentile + exact interpolated percentiles
+    (SURVEY §2.4; round-7 fold of the former agg_percentile_exact row).
+    Engine sketches (HLL/KLL) can't be value-compared across engines, so the
+    checked contract for the approximate columns is the accuracy guarantee
+    itself: each approximate answer must land within its documented error
+    bound of the exact answer (computed in the same query); the oracle
+    supplies the exact values and TRUE bounds. The exact percentile columns
+    are value-compared directly (Spark percentile() == DuckDB quantile_cont,
+    both linear interpolation)."""
     l = _t(spark, sf_dir, "lineitem")
     agg = l.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -328,6 +336,10 @@ def agg_approx(spark, sf_dir):
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_amed"),
         F.percentile("l_extendedprice", F.lit(0.9)).alias("_p90"),
         F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("_ap90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("qty_median"),
     )
     return agg.select(
         "l_returnflag",
@@ -337,6 +349,10 @@ def agg_approx(spark, sf_dir):
         ),
         (F.abs(F.col("_amed") - F.col("_med")) / F.col("_med") <= 0.01).alias("median_ok"),
         (F.abs(F.col("_ap90") - F.col("_p90")) / F.col("_p90") <= 0.01).alias("p90_ok"),
+        "p25",
+        "p50",
+        "p90",
+        "qty_median",
     )
 
 
@@ -1205,6 +1221,287 @@ def show_series_tag_values(spark, sf_dir):
         .distinct()
     )
     return series.unionAll(lang).unionAll(src).distinct()
+
+
+_INGEST_ARM_ORACLE = """
+    SELECT '{arm}' AS arm, event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 3) AS sum_value,
+           min({t}) AS t_min_us, max({t}) AS t_max_us
+    FROM events WHERE event_id < 600 GROUP BY event_type
+"""
+
+
+@_q(
+    "ingest_protocol_roundtrip",
+    " UNION ALL ".join(
+        _INGEST_ARM_ORACLE.format(arm=arm, t=t)
+        for arm, t in [
+            ("line_protocol", "epoch_us(ts)"),
+            ("opentsdb_telnet", "epoch_us(ts)"),
+            ("opentsdb_json", "epoch_us(ts)"),
+            ("es_bulk", "epoch_us(ts)"),
+            # prometheus remote-write sample timestamps are ms (prompb
+            # spec) — the only lossy wire format of the five
+            ("prometheus", "(epoch_us(ts) // 1000) * 1000"),
+        ]
+    ),
+)
+def ingest_protocol_roundtrip(spark, sf_dir):
+    """Wire-protocol ingest round-trip (SURVEY §2 rows 6-8): the same 600
+    events are formatted as (a) InfluxDB line protocol at ns precision, (b)
+    OpenTSDB telnet `put` lines, (c) OpenTSDB HTTP JSON, (d) ES-bulk JSON
+    pairs, (e) a snappy-compressed Prometheus remote-write protobuf — each
+    written through the engine's schemaless ingest path (auto-create +
+    Catalog.insert, reference main/src/http/http_service.rs write
+    endpoints), then queried back through engine SQL and aggregated. The
+    oracle computes the same aggregates straight from the source table, so
+    any parse/typing/time-precision bug in a protocol path breaks that
+    arm's hash. Wire payload assembly is driver-side by nature (these are
+    HTTP/TCP request bodies — the serving path, bounded per request); the
+    queried-back aggregation runs distributed."""
+    import json as _json
+    import tempfile
+
+    from cnosdb_spark.engine import Engine
+    from cnosdb_spark.sources.prometheus import encode_write_request, snappy_compress
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 600)
+        .select(
+            F.unix_micros("ts").alias("us"), "user_id", "event_type", "value"
+        )
+        .collect()
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ingest_rt_"))
+
+    lp = "\n".join(
+        f"ev_lp,user_id={r['user_id']},event_type={r['event_type']} "
+        f"value={r['value']!r} {r['us'] * 1000}"
+        for r in rows
+    )
+    eng.write_lines(lp, precision="ns")
+
+    # µs-magnitude timestamps ride the OpenTSDB heuristic losslessly
+    telnet = "\r\n".join(
+        f"put ev_tsdb {r['us']} {r['value']!r} "
+        f"user_id={r['user_id']} event_type={r['event_type']}"
+        for r in rows
+    )
+    eng.write_open_tsdb(telnet, tcp=True)
+
+    eng.write_open_tsdb_json(
+        _json.dumps(
+            [
+                {
+                    "metric": "ev_tsdbj",
+                    "timestamp": r["us"],
+                    "value": r["value"],
+                    "tags": {
+                        "user_id": str(r["user_id"]),
+                        "event_type": r["event_type"],
+                    },
+                }
+                for r in rows
+            ]
+        )
+    )
+
+    es = "\n".join(
+        '{"index": {"_index": "ev_es"}}\n'
+        + _json.dumps(
+            {
+                "time": r["us"] * 1000,  # integer json times are epoch ns
+                "user_id": str(r["user_id"]),
+                "event_type": r["event_type"],
+                "value": r["value"],
+            }
+        )
+        for r in rows
+    )
+    eng.write_es_log(es, tag_keys={"user_id", "event_type"})
+
+    series: dict[tuple, dict] = {}
+    for r in rows:
+        key = (str(r["user_id"]), r["event_type"])
+        s = series.setdefault(
+            key,
+            {
+                "labels": {
+                    "__name__": "ev_prom",
+                    "user_id": key[0],
+                    "event_type": key[1],
+                },
+                "samples": [],
+            },
+        )
+        s["samples"].append((r["value"], r["us"] // 1000))
+    eng.write_prometheus(
+        snappy_compress(encode_write_request(list(series.values()))),
+        compressed=True,
+    )
+
+    def _agg(arm: str, table: str) -> DataFrame:
+        df = eng.sql(f"SELECT time, event_type, value FROM {table}")
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.min(F.unix_micros("time")).alias("t_min_us"),
+            F.max(F.unix_micros("time")).alias("t_max_us"),
+        ).select(
+            F.lit(arm).alias("arm"), "event_type", "n", "sum_value",
+            "t_min_us", "t_max_us",
+        )
+
+    out = _agg("line_protocol", "ev_lp")
+    for arm, table in [
+        ("opentsdb_telnet", "ev_tsdb"),
+        ("opentsdb_json", "ev_tsdbj"),
+        ("es_bulk", "ev_es"),
+        ("prometheus", "ev_prom"),
+    ]:
+        out = out.unionAll(_agg(arm, table))
+    return out
+
+
+@_q(
+    "external_copy_insert",
+    """
+    WITH src AS (
+      SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_quantity), 3) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_orderkey < 400 GROUP BY l_returnflag),
+    aff AS (
+      SELECT '__affected__' AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(NULL AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS sum_price
+      FROM lineitem WHERE l_orderkey < 400)
+    SELECT 'ext_parquet' AS arm, * FROM src
+    UNION ALL SELECT 'copy_out_csv', * FROM src
+    UNION ALL SELECT 'copy_out_json', * FROM src
+    UNION ALL SELECT 'exact_count', grp, n,
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM src
+    UNION ALL SELECT 'insert_select', * FROM src
+    UNION ALL SELECT 'insert_select', * FROM aff
+    UNION ALL SELECT 'copy_in', * FROM src
+    UNION ALL SELECT 'copy_in', * FROM aff
+    """,
+)
+def external_copy_insert(spark, sf_dir):
+    """External tables + COPY + INSERT through the engine's SQL surface
+    (SURVEY §2 rows 5, 9-11, 23; reference sql/planner.rs:2346-2477 COPY,
+    CREATE EXTERNAL TABLE in datafusion's DDL, INSERT planner.rs). Arms:
+
+    - ext_parquet: CREATE EXTERNAL TABLE ... STORED AS PARQUET over the
+      source file, aggregate through engine SQL (scan stays distributed,
+      filter pushes into the parquet scan);
+    - copy_out_csv / copy_out_json: COPY INTO '<url>' FROM (query) exports
+      the slice, CREATE EXTERNAL TABLE reads it back (CSV header +
+      inferSchema; NDJSON), same aggregate — a full writer→reader
+      round-trip per format;
+    - exact_count: exact_count(x) → count(x) rewriter parity
+      (sql/rewriter.py:413; reference transform_exact_count rule) executed
+      through the engine path;
+    - insert_select: CREATE TABLE + INSERT INTO ... SELECT from the
+      external table (positional cast semantics), then aggregate the tskv
+      table; '__affected__' row pins the INSERT's affected-rows count;
+    - copy_in: COPY INTO <table> FROM '<url>' imports the CSV export into
+      a second tskv table (by-name column mapping), same aggregate +
+      affected-rows row.
+
+    The tskv tables key on (time=l_shipdate, tag rk=orderkey_linenumber),
+    unique in the slice, so the LWW merge on read is a no-op — the oracle
+    aggregates the raw slice."""
+    import tempfile
+
+    from cnosdb_spark.engine import Engine
+
+    work = tempfile.mkdtemp(prefix="ext_copy_")
+    eng = Engine(spark, f"{work}/wh")
+    eng.sql(
+        "CREATE EXTERNAL TABLE li_ext STORED AS PARQUET "
+        f"LOCATION '{sf_dir}/lineitem.parquet'"
+    )
+    slice_sql = (
+        "SELECT l_shipdate AS time, "
+        "concat('r', l_orderkey, '_', l_linenumber) AS rk, "
+        "l_returnflag, l_quantity, l_extendedprice "
+        "FROM li_ext WHERE l_orderkey < 400"
+    )
+    eng.sql(
+        f"COPY INTO '{work}/li_csv' FROM ({slice_sql}) "
+        "FILE_FORMAT = (TYPE = 'CSV')"
+    )
+    eng.sql(
+        f"COPY INTO '{work}/li_json' FROM ({slice_sql}) "
+        "FILE_FORMAT = (TYPE = 'JSON')"
+    )
+    eng.sql(
+        "CREATE EXTERNAL TABLE li_csv STORED AS CSV WITH HEADER ROW "
+        f"LOCATION '{work}/li_csv'"
+    )
+    eng.sql(
+        f"CREATE EXTERNAL TABLE li_json STORED AS JSON LOCATION '{work}/li_json'"
+    )
+
+    def _agg(arm: str, table: str, where: str = "") -> DataFrame:
+        df = eng.sql(
+            f"SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n, "
+            f"round(sum(l_quantity), 3) AS sum_qty, "
+            f"round(sum(l_extendedprice), 2) AS sum_price "
+            f"FROM {table} {where} GROUP BY l_returnflag"
+        )
+        return df.select(F.lit(arm).alias("arm"), "grp", "n", "sum_qty", "sum_price")
+
+    def _affected(arm: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(arm).alias("arm"),
+            F.lit("__affected__").alias("grp"),
+            F.col("rows").cast("long").alias("n"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.lit(None).cast("double").alias("sum_price"),
+        )
+
+    out = _agg("ext_parquet", "li_ext", "WHERE l_orderkey < 400")
+    out = out.unionAll(_agg("copy_out_csv", "li_csv"))
+    out = out.unionAll(_agg("copy_out_json", "li_json"))
+    out = out.unionAll(
+        eng.sql(
+            "SELECT l_returnflag AS grp, "
+            "CAST(exact_count(l_quantity) AS BIGINT) AS n "
+            "FROM li_ext WHERE l_orderkey < 400 GROUP BY l_returnflag"
+        ).select(
+            F.lit("exact_count").alias("arm"), "grp", "n",
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.lit(None).cast("double").alias("sum_price"),
+        )
+    )
+
+    eng.sql(
+        "CREATE TABLE li_ins(l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "TAGS(rk, l_returnflag))"
+    )
+    ins = eng.sql(
+        "INSERT INTO li_ins(time, rk, l_returnflag, l_quantity, l_extendedprice) "
+        "SELECT l_shipdate, concat('r', l_orderkey, '_', l_linenumber), "
+        "l_returnflag, l_quantity, l_extendedprice "
+        "FROM li_ext WHERE l_orderkey < 400"
+    )
+    out = out.unionAll(_agg("insert_select", "li_ins"))
+    out = out.unionAll(_affected("insert_select", ins))
+
+    eng.sql(
+        "CREATE TABLE li_cp(l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "TAGS(rk, l_returnflag))"
+    )
+    cp = eng.sql(
+        f"COPY INTO li_cp FROM '{work}/li_csv' "
+        "FILE_FORMAT = (TYPE = 'CSV' WITH HEADER ROW)"
+    )
+    out = out.unionAll(_agg("copy_in", "li_cp"))
+    out = out.unionAll(_affected("copy_in", cp))
+    return out
 
 
 @_q(
@@ -2272,6 +2569,31 @@ def data_quality_scores(spark, sf_dir):
     SELECT user_id, t AS ts_us,
            CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS value_e6
     FROM rec)
+    UNION ALL
+    SELECT 'tsrepair', user_id, ts_us, value_e6 FROM (
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS t, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             count(*)     OVER (PARTITION BY user_id) AS cnt,
+             min(epoch_us(ts)) OVER (PARTITION BY user_id) AS start
+      FROM events),
+    d AS (SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id ORDER BY rn) AS dt
+          FROM p),
+    iv AS (SELECT user_id, CAST(trunc(quantile_cont(dt, 0.5)) AS BIGINT) AS iv
+           FROM d WHERE dt > 0 GROUP BY user_id),
+    snap AS (
+      SELECT p.user_id, p.rn, p.value,
+             CASE WHEN p.cnt < 3 OR iv.iv IS NULL OR iv.iv <= 0 THEN p.t
+                  ELSE p.start
+                       + CAST(floor((p.t - p.start) / iv.iv + 0.5) AS BIGINT) * iv.iv
+             END AS nt
+      FROM p LEFT JOIN iv USING (user_id))
+    SELECT user_id, nt AS ts_us,
+           CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_e6
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, nt ORDER BY rn) AS r2
+          FROM snap)
+    WHERE r2 = 1)
     """,
 )
 def ts_value_fill_repair(spark, sf_dir):
@@ -2288,9 +2610,13 @@ def ts_value_fill_repair(spark, sf_dir):
     - ewma: operators/downsample.py exponential smoothing
       (s_i = 0.3*x_i + 0.7*s_{i-1}, seeded with the first value) — pandas
       ewm(adjust=False) is bit-exact with the literal recursion, so the
-      same recursive-CTE oracle pattern verifies it.
+      same recursive-CTE oracle pattern verifies it;
+    - tsrepair (round-7 fold of the former ts_timestamp_repair row):
+      ts_gen_func timestamp_repair (reference ts_gen_func/data_repair/
+      timestamp_repair.rs) — snap per-series timestamps to the modal
+      (median) interval from the series start, keep-first on collisions.
     """
-    from cnosdb_spark.functions.repair import value_repair
+    from cnosdb_spark.functions.repair import timestamp_repair, value_repair
     from cnosdb_spark.operators.downsample import ewma
 
     e = _t(spark, sf_dir, "events")
@@ -2315,7 +2641,13 @@ def ts_value_fill_repair(spark, sf_dir):
         F.unix_micros("ts").alias("ts_us"),
         F.floor(F.col("ewma") * 1000000 + 0.5).cast("long").alias("value_e6"),
     )
-    return fill.unionAll(rep).unionAll(smooth)
+    tsrep = timestamp_repair(e, "ts", "value", ["user_id"]).select(
+        F.lit("tsrepair").alias("op"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
+    )
+    return fill.unionAll(rep).unionAll(smooth).unionAll(tsrep)
 
 
 @_q(
@@ -2359,46 +2691,6 @@ def pipeline_curation(spark, sf_dir):
     return (
         sample_deterministic(kept.select("doc_id", "nt"), "doc_id", 100)
         .select("doc_id", F.col("nt").cast("long").alias("n_tokens"))
-    )
-
-
-@_q(
-    "ts_timestamp_repair",
-    """
-    WITH p AS (
-      SELECT user_id, epoch_us(ts) AS t, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
-             count(*)     OVER (PARTITION BY user_id) AS cnt,
-             min(epoch_us(ts)) OVER (PARTITION BY user_id) AS start
-      FROM events),
-    d AS (SELECT user_id,
-                 t - lag(t) OVER (PARTITION BY user_id ORDER BY rn) AS dt
-          FROM p),
-    iv AS (SELECT user_id, CAST(trunc(quantile_cont(dt, 0.5)) AS BIGINT) AS iv
-           FROM d WHERE dt > 0 GROUP BY user_id),
-    snap AS (
-      SELECT p.user_id, p.rn, p.value,
-             CASE WHEN p.cnt < 3 OR iv.iv IS NULL OR iv.iv <= 0 THEN p.t
-                  ELSE p.start
-                       + CAST(floor((p.t - p.start) / iv.iv + 0.5) AS BIGINT) * iv.iv
-             END AS nt
-      FROM p LEFT JOIN iv USING (user_id))
-    SELECT user_id, nt AS ts_us, round(value, 6) AS value
-    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, nt ORDER BY rn) AS r2
-          FROM snap)
-    WHERE r2 = 1
-    """,
-)
-def ts_timestamp_repair(spark, sf_dir):
-    """ts_gen_func timestamp_repair (reference ts_gen_func/data_repair/
-    timestamp_repair.rs): snap per-series timestamps to the modal (median)
-    interval from the series start, keep-first on collisions."""
-    from cnosdb_spark.functions.repair import timestamp_repair
-
-    e = _t(spark, sf_dir, "events")
-    out = timestamp_repair(e, "ts", "value", ["user_id"])
-    return out.select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), F.round("value", 6).alias("value")
     )
 
 
@@ -2599,29 +2891,6 @@ def multimodal_features(spark, sf_dir):
 # =====================================================================
 # Extended relational / window / function coverage
 # =====================================================================
-
-@_q(
-    "agg_percentile_exact",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
-           round(quantile_cont(l_quantity, 0.50), 4)      AS qty_median
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_percentile_exact(spark, sf_dir):
-    """Exact interpolated percentiles (Spark percentile() == DuckDB
-    quantile_cont, both linear interpolation)."""
-    l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
-        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("qty_median"),
-    )
-
 
 @_q(
     "sessionization",
