@@ -481,3 +481,99 @@ def cap_per_stratum(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ------------------------------------------------------- shuffled export
+def shuffle_export(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    shards: int = 32,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic globally-shuffled shard export — the final stage of a
+    training-data pipeline: lay the curated corpus out in the same
+    (shard, md5(salt|id), id) pseudo-random order pack_sequences uses and
+    write one parquet directory per shard, rows in-order within the shard.
+
+    Spark-first mechanics: ONE shuffle (repartition on the shard id — all
+    rows of a shard land in exactly one task), an in-task sort, and a
+    partitionBy('shard') write, so every shard directory is written by a
+    single task in deterministic order; re-running on the same input
+    (under ANY input partitioning) reproduces identical shard contents.
+    Shard count scales with the cluster, never with the driver.
+
+    A manifest (one row per shard: row count + order-insensitive
+    xxhash64 content hash) is written to ``<path>/_manifest`` and
+    returned, so downstream loaders can verify shards cheaply
+    (``verify_export``) without trusting the writer.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % shards
+    ).cast("int")
+    laid = (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .repartition(shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_h", id_col)
+    )
+    laid.drop("_h").write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    manifest = (
+        written.withColumn(
+            "_rh",
+            # bounded per-row hash so the order-insensitive sum can never
+            # overflow long (ANSI-safe) below ~2^31 rows per shard
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in sorted(written.columns) if c != "shard"]),
+                F.lit(1 << 32),
+            ),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_rh")).alias("content_hash"),
+        )
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return spark.read.parquet(f"{path}/_manifest")
+
+
+def verify_export(spark, path: str) -> DataFrame:
+    """Recompute each shard's count + content hash from the written files
+    and diff against the manifest. Returns the per-shard comparison
+    (ok = everything matches) — run it before pointing a trainer at the
+    export."""
+    written = spark.read.parquet(path)
+    actual = (
+        written.withColumn(
+            "_rh",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in sorted(written.columns) if c != "shard"]),
+                F.lit(1 << 32),
+            ),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_actual"),
+            F.sum(F.col("_rh")).alias("content_hash_actual"),
+        )
+    )
+    manifest = spark.read.parquet(f"{path}/_manifest")
+    return (
+        manifest.join(actual, "shard", "full_outer")
+        .select(
+            "shard",
+            "n_rows",
+            "n_rows_actual",
+            (
+                F.col("n_rows").eqNullSafe(F.col("n_rows_actual"))
+                & F.col("content_hash").eqNullSafe(F.col("content_hash_actual"))
+            ).alias("ok"),
+        )
+        .orderBy("shard")
+    )

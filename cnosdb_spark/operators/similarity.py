@@ -161,10 +161,11 @@ def ivf_centroids(
     vec_col: str,
     n_centroids: int = 16,
     id_col: str = "vec_id",
+    n_iter: int = 1,
 ) -> list[list[float]]:
     """Deterministic IVF centroid selection: md5-hash-ordered sample of
     corpus vectors (a uniform pseudo-random but reproducible draw), refined
-    with one Lloyd iteration computed distributed (groupBy assigned
+    with ``n_iter`` Lloyd iterations computed distributed (groupBy assigned
     centroid → mean). Centroid count stays driver-side tiny; the corpus is
     never collected."""
     seed_rows = (
@@ -175,20 +176,81 @@ def ivf_centroids(
         .collect()
     )
     cents = [r["_v"] for r in seed_rows]
-    assigned = ivf_assign(corpus, vec_col, cents, id_col).select("_cluster", F.col(vec_col).cast("array<double>").alias("_v"))
-    # one Lloyd refinement: per-cluster elementwise mean (posexplode + agg)
-    dim = len(cents[0])
-    refined = (
-        assigned.select("_cluster", F.posexplode("_v").alias("_pos", "_x"))
-        .groupBy("_cluster", "_pos")
-        .agg(F.avg("_x").alias("_m"))
-        .groupBy("_cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pairs"))
-        .select("_cluster", F.transform("_pairs", lambda p: p["_m"]).alias("_centroid"))
-        .collect()
-    )
-    by_cluster = {r["_cluster"]: r["_centroid"] for r in refined}
-    return [by_cluster.get(i, cents[i]) for i in range(len(cents))]
+    cents, _hist = refine_centroids(corpus, vec_col, cents, n_iter=n_iter, id_col=id_col)
+    return cents
+
+
+def refine_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    tol: float = 0.0,
+) -> tuple[list[list[float]], list[float]]:
+    """Distributed Lloyd (k-means) refinement of IVF centroids under the
+    cosine assignment the index actually uses (spherical k-means: assign =
+    argmax cosine, update = per-cluster elementwise mean — cosine ignores
+    the mean's scale, so no renormalization is needed).
+
+    Each iteration is two corpus passes, both fully distributed:
+    assignment is a pure column expression over literal centroid arrays
+    (operators/similarity.py ivf_assign — no join, no UDF) and the update
+    is posexplode → groupBy(cluster, dim) avg (map-side partial agg; the
+    shuffle is k·dim rows, not the corpus). Only the k·dim centroid table
+    and one inertia scalar per iteration reach the driver — same
+    documented contract as centroid selection. Empty clusters keep their
+    previous centroid (the deterministic analogue of FAISS's
+    empty-cluster reseed).
+
+    Returns (centroids, inertia_history) where inertia is
+    avg(1 - best_cosine) per iteration — non-increasing up to float
+    reduction order; iteration stops early when it improves by ≤ ``tol``.
+    """
+    cents = [list(map(float, c)) for c in centroids]
+    history: list[float] = []
+    src = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(n_iter):
+        v = F.col("_v")
+        sims = [cosine_expr(v, F.array(*[F.lit(x) for x in c])) for c in cents]
+        best_sim = F.array_max(F.array(*sims))
+        cluster = (F.array_position(F.array(*sims), best_sim) - 1).cast("int")
+        assigned = src.select(cluster.alias("_cluster"), best_sim.alias("_s"), "_v")
+        stats = (
+            assigned.select("_cluster", "_s", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cluster", "_pos")
+            .agg(
+                F.avg("_x").alias("_m"),
+                F.avg(F.lit(1.0) - F.col("_s")).alias("_in"),
+                # each member contributes exactly one row per pos, so the
+                # per-(cluster,pos) row count IS the cluster's member count
+                F.count(F.lit(1)).alias("_cnt"),
+            )
+            .groupBy("_cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pairs"),
+                F.first("_in").alias("_in"),
+                F.first("_cnt").alias("_n"),
+            )
+            .select(
+                "_cluster",
+                F.transform("_pairs", lambda p: p["_m"]).alias("_centroid"),
+                "_in",
+                "_n",
+            )
+            .collect()
+        )
+        by_cluster = {r["_cluster"]: r["_centroid"] for r in stats}
+        total = sum(r["_n"] for r in stats)
+        inertia = (
+            sum(r["_in"] * r["_n"] for r in stats) / total if total else 0.0
+        )
+        cents = [list(by_cluster.get(i, cents[i])) for i in range(len(cents))]
+        if history and history[-1] - inertia <= tol:
+            history.append(inertia)
+            break
+        history.append(inertia)
+    return cents, history
 
 
 def ivf_assign(

@@ -1,0 +1,215 @@
+"""Distributed BPE tokenizer training + encoding for training-data
+pipelines.
+
+Not part of the reference surface (CnosDB is a TSDB); this is a
+document-pipeline operator the engine adds as a first-class citizen,
+shaped for the 100 TB case:
+
+- the HEAVY part — counting word frequencies over the corpus — is one
+  distributed aggregation (`word_counts`: tokenize → explode → groupBy,
+  map-side partial aggregation applies);
+- BPE merge learning runs on the *aggregated word-frequency table*, the
+  standard architecture (HuggingFace `tokenizers`, SentencePiece and the
+  original Sennrich et al. 2016 implementation all train from a
+  word→count dict, never from raw text): the distinct-word table of even
+  a 100 TB corpus is bounded (and explicitly capped here via
+  ``min_count`` / ``max_words``), so it is collected driver-side under a
+  documented contract, like the IVF centroid/codebook tables in
+  operators/similarity.py;
+- encoding the corpus (`bpe_encode`) is a narrow Arrow-batched pandas
+  UDF over a broadcast merge-rank dict with a per-batch word cache —
+  no shuffle, linear scan, embarrassingly parallel.
+
+Merge selection is fully deterministic: ties on pair frequency break on
+the lexicographically smallest pair, so training is reproducible across
+runs, partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+END_OF_WORD = "</w>"
+
+
+# --------------------------------------------------------------- counting
+def word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Distributed word-frequency table: whitespace tokenize, explode, one
+    keyed aggregation → (word, n). This is the only corpus-scale pass of
+    BPE training. ``min_count`` drops the long hapax tail (at 100 TB the
+    tail dominates the distinct-word table but contributes no merges worth
+    learning); ``max_words`` keeps the most frequent N words
+    (count-desc, word-asc deterministic tie-break)."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = F.split(F.trim(t), r"\s+")
+    out = (
+        df.select(F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    if max_words is not None:
+        # deterministic top-N: a single global sort-limit (TakeOrdered —
+        # no full shuffle; each partition contributes its local top-N)
+        out = out.orderBy(F.col("n").desc(), F.col("word").asc()).limit(max_words)
+    return out
+
+
+# --------------------------------------------------------------- training
+def _word_to_symbols(word: str) -> tuple[str, ...]:
+    return (*word, END_OF_WORD)
+
+
+def _merge_word(symbols: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    merged = pair[0] + pair[1]
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == pair[0] and symbols[i + 1] == pair[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    counts: DataFrame | list[tuple[str, int]],
+    n_merges: int = 1000,
+) -> dict:
+    """Learn BPE merges from a word-frequency table (the output of
+    ``word_counts`` or an equivalent [(word, count)] list).
+
+    Classic Sennrich et al. 2016 algorithm: start from characters +
+    end-of-word marker, repeatedly merge the most frequent adjacent symbol
+    pair (frequency weighted by word count), ``n_merges`` times or until
+    no pair occurs twice. Deterministic: frequency ties break on the
+    lexicographically smallest pair.
+
+    Returns {"merges": [(a, b), ...], "vocab": [token, ...]} where vocab
+    is the base alphabet plus one token per merge, in learn order."""
+    if isinstance(counts, DataFrame):
+        rows = counts.select("word", "n").collect()
+        table = [(r["word"], int(r["n"])) for r in rows]
+    else:
+        table = [(w, int(n)) for w, n in counts]
+    # canonical order so incremental dict updates are reproducible
+    table.sort(key=lambda wn: (-wn[1], wn[0]))
+
+    words: list[tuple[str, ...]] = [_word_to_symbols(w) for w, _ in table]
+    freqs: list[int] = [n for _, n in table]
+
+    # pair → aggregate frequency, and pair → set of word indexes containing
+    # it (so a merge only rescans affected words, not the whole table)
+    pair_freq: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def _add_word(idx: int, sign: int) -> None:
+        syms, n = words[idx], freqs[idx]
+        for a, b in zip(syms, syms[1:]):
+            pair_freq[(a, b)] = pair_freq.get((a, b), 0) + sign * n
+            if sign > 0:
+                pair_words.setdefault((a, b), set()).add(idx)
+
+    for i in range(len(words)):
+        _add_word(i, +1)
+
+    alphabet = sorted({s for w in words for s in w})
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best: tuple[str, str] | None = None
+        best_n = 1  # a pair must occur at least twice to be worth a merge
+        for p, n in pair_freq.items():
+            if n > best_n or (n == best_n and best is not None and p < best):
+                best, best_n = p, n
+        if best is None:
+            break
+        merges.append(best)
+        for idx in sorted(pair_words.get(best, ())):
+            _add_word(idx, -1)
+            words[idx] = _merge_word(words[idx], best)
+            _add_word(idx, +1)
+        # drop zeroed pairs so the argmin stays O(live pairs)
+        pair_freq = {p: n for p, n in pair_freq.items() if n > 0}
+        pair_words = {p: s for p, s in pair_words.items() if p in pair_freq}
+
+    return {"merges": merges, "vocab": alphabet + [a + b for a, b in merges]}
+
+
+# --------------------------------------------------------------- encoding
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    symbols = list(_word_to_symbols(word))
+    while len(symbols) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+    return symbols
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize ``text_col`` with the learned merges → array<string>
+    column of BPE tokens. Arrow-batched pandas UDF (never row-at-a-time);
+    the merge-rank dict rides the closure (broadcast once per executor)
+    and a per-batch word→tokens cache collapses the Zipf head, so the
+    per-row cost is dominated by *distinct* words in the batch."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}
+        for batch in texts:
+            out = []
+            for txt in batch:
+                if txt is None:
+                    out.append(None)
+                    continue
+                toks: list[str] = []
+                norm = txt.lower() if lowercase else txt
+                for w in norm.split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = _encode_word(w, ranks)
+                    toks.extend(got)
+                out.append(toks)
+            yield pd.Series(out)
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document BPE token count (the budgeting input for sequence
+    packing / mixture weighting)."""
+    tmp = "_bpe_toks_tmp"
+    out = bpe_encode(df, merges, text_col, tmp, lowercase)
+    return out.withColumn(out_col, F.size(F.col(tmp)).cast("long")).drop(tmp)

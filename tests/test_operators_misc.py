@@ -1016,3 +1016,78 @@ def test_wav_decode_matches_soundfile():
     theirs, rate = sf.read(io.BytesIO(wav))
     assert rate == 8000
     assert np.array_equal(ours, theirs)
+
+
+def test_refine_centroids_matches_numpy_lloyd_and_converges(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((4, 6)) * 8
+    rows = [
+        (i, (centers[i % 4] + rng.standard_normal(6) * 0.3).tolist())
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeds = [rows[i][1] for i in (0, 1, 2, 3)]
+
+    got, hist = similarity.refine_centroids(emb, "embedding", seeds, n_iter=4)
+
+    # inertia (avg 1-best_cos) non-increasing up to float reduction order
+    assert len(hist) >= 2
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a + 1e-9
+
+    # numpy reference: same spherical Lloyd recurrence
+    X = np.array([r[1] for r in rows])
+    C = np.array(seeds, dtype=float)
+    for _ in range(4):
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+        )
+        assign = sims.argmax(axis=1)
+        C = np.array(
+            [
+                X[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+                for j in range(len(C))
+            ]
+        )
+    assert np.allclose(np.array(got), C, atol=1e-8)
+
+
+def test_refine_centroids_keeps_empty_cluster_and_improves_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    centers = rng.standard_normal((3, 5)) * 10
+    rows = [
+        (i, (centers[i % 3] + rng.standard_normal(5) * 0.2).tolist())
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # a far-away seed no vector will choose → its cluster stays empty
+    dead = [1e6] * 5
+    seeds = [rows[0][1], rows[1][1], rows[2][1], dead]
+    got, hist = similarity.refine_centroids(emb, "embedding", seeds, n_iter=2)
+    assert got[3] == dead  # empty cluster keeps its previous centroid
+    # the live centroids moved toward the true means
+    X = np.array([r[1] for r in rows])
+    for j in range(3):
+        true_mean = X[np.arange(60) % 3 == j].mean(axis=0)
+        d_seed = np.linalg.norm(np.array(seeds[j]) - true_mean)
+        d_ref = np.linalg.norm(np.array(got[j]) - true_mean)
+        assert d_ref <= d_seed + 1e-12
+
+
+def test_ivf_centroids_multi_iter_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(4).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = similarity.ivf_centroids(emb, "embedding", n_centroids=4, n_iter=3)
+    b = similarity.ivf_centroids(
+        emb.repartition(9), "embedding", n_centroids=4, n_iter=3
+    )
+    # same seeds (md5 order is layout-independent); float sums may differ
+    # in reduction order only
+    assert np.allclose(np.array(a), np.array(b), atol=1e-9)

@@ -405,3 +405,38 @@ def test_chunk_documents_coverage_and_overlap(spark):
     )
     assert full.count() == 0
     chunks.unpersist()
+
+
+def test_shuffle_export_deterministic_and_verifiable(spark, tmp_path):
+    from cnosdb_spark.operators.curation import shuffle_export, verify_export
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents").select("doc_id", "text").limit(500)
+    p1, p2 = str(tmp_path / "exp1"), str(tmp_path / "exp2")
+    m1 = shuffle_export(docs, p1, shards=8)
+    m2 = shuffle_export(docs.repartition(13), p2, shards=8)
+
+    # layout-independent: identical manifests under any input partitioning
+    a = {r["shard"]: (r["n_rows"], r["content_hash"]) for r in m1.collect()}
+    b = {r["shard"]: (r["n_rows"], r["content_hash"]) for r in m2.collect()}
+    assert a == b
+    assert sum(n for n, _ in a.values()) == 500
+    assert set(a) == set(range(8))
+    # hash-uniform: no shard dominates (8 shards, 500 rows)
+    counts = [n for n, _ in a.values()]
+    assert max(counts) < 3 * min(counts)
+
+    # within-shard row order is deterministic too (not just the multiset)
+    r1 = spark.read.parquet(p1 + "/shard=3").collect()
+    r2 = spark.read.parquet(p2 + "/shard=3").collect()
+    assert [r["doc_id"] for r in r1] == [r["doc_id"] for r in r2]
+
+    ok = verify_export(spark, p1)
+    assert all(r["ok"] for r in ok.collect())
+
+    # tamper: drop a shard's files → verify flags exactly that shard
+    import shutil
+
+    shutil.rmtree(p1 + "/shard=5")
+    bad = {r["shard"]: r["ok"] for r in verify_export(spark, p1).collect()}
+    assert bad[5] is False and bad[3] is True
