@@ -139,12 +139,59 @@ def _batch_ann_distributed(spark, sf_dir):
     )
 
 
+def _bpe_count_tokens(spark, sf_dir):
+    """Round-7 tokenizer at scale: the word-count pass and the encode pass
+    are the corpus-linear parts; merge training runs on the CAPPED
+    aggregated table (min_count+max_words), so its cost must stay ~flat
+    as the corpus grows — exactly the architecture a 100 TB tokenizer
+    run needs."""
+    from cnosdb_spark.operators import tokenizer
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = tokenizer.word_counts(docs, "text", min_count=3, max_words=20_000)
+    model = tokenizer.train_bpe(wc, n_merges=200)
+    return tokenizer.bpe_token_count(docs, model["merges"], "text").select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+def _shuffle_export_shards(spark, sf_dir):
+    """Round-7 deterministic shuffled export: one repartition shuffle +
+    in-task sort + partitioned write + manifest agg — all corpus-linear."""
+    import tempfile
+
+    from cnosdb_spark.operators.curation import shuffle_export
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return shuffle_export(docs, tempfile.mkdtemp(prefix="scale_export_"), shards=64)
+
+
+def _centroid_refine(spark, sf_dir):
+    """Round-7 Lloyd refinement at scale: two iterations = four corpus
+    passes (assign expr + posexplode agg), shuffle is k*dim rows per
+    iteration regardless of corpus size."""
+    from cnosdb_spark.operators import similarity
+    from cnosdb_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=16, n_iter=0)
+    cents, _ = similarity.refine_centroids(emb, "embedding", cents, n_iter=2)
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["cluster", "centroid"]
+    )
+
+
 CUSTOM = {
     "near_dup_prod_cfg": _near_dup_scale_cfg,
     "near_dup_demo_capped": _near_dup_demo_capped,
     "near_dup_prod_capped": _near_dup_prod_capped,
     "rollup_refresh_read": _rollup_refresh_read,
     "batch_ann_distributed": _batch_ann_distributed,
+    "bpe_count_tokens": _bpe_count_tokens,
+    "shuffle_export_shards": _shuffle_export_shards,
+    "centroid_refine_2iter": _centroid_refine,
 }
 
 # arms whose output row count is evidence (recall cost of the ceiling);
