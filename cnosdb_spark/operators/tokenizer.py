@@ -213,3 +213,45 @@ def bpe_token_count(
     tmp = "_bpe_toks_tmp"
     out = bpe_encode(df, merges, text_col, tmp, lowercase)
     return out.withColumn(out_col, F.size(F.col(tmp)).cast("long")).drop(tmp)
+
+
+# ------------------------------------------------------------ persistence
+def save_bpe(path: str, model: dict, params: dict | None = None) -> None:
+    """Persist a trained BPE model (merges + vocab + build params) as
+    JSON — the tokenizer analogue of similarity.save_ann_index: token
+    counts baked into a packed/exported corpus are meaningless without
+    the exact merge table that produced them, so the model is written
+    next to the data it tokenized. Unicode round-trips exactly
+    (ensure_ascii json escapes)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "format": "cnosdb_spark.bpe",
+                "version": 1,
+                "merges": [list(p) for p in model["merges"]],
+                "vocab": model["vocab"],
+                "params": params or {},
+            },
+            f,
+        )
+
+
+def load_bpe(path: str) -> dict:
+    """Load a save_bpe model; merges come back as the tuples train_bpe
+    produces so bpe_encode(load_bpe(p)["merges"]) is identical to
+    encoding with the in-memory model."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    if data.get("format") != "cnosdb_spark.bpe":
+        raise ValueError(f"not a cnosdb_spark BPE model: {path}")
+    return {
+        "merges": [tuple(p) for p in data["merges"]],
+        "vocab": data["vocab"],
+        "params": data.get("params", {}),
+    }

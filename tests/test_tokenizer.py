@@ -147,3 +147,59 @@ def test_token_count_on_documents(spark):
     by_id = {r["doc_id"]: r["c"] for r in chars}
     for did, n in counts.items():
         assert n <= 2 * (by_id[did] + 1)
+
+
+# ------------------------------------------------------------ persistence
+def test_bpe_save_load_roundtrip(tmp_path, spark):
+    model = tok.train_bpe([("banana", 9), ("bandana", 4), ("cabana", 2)], n_merges=12)
+    p = str(tmp_path / "bpe.json")
+    tok.save_bpe(p, model, params={"n_merges": 12})
+    loaded = tok.load_bpe(p)
+    assert loaded["merges"] == model["merges"]
+    assert loaded["vocab"] == model["vocab"]
+    assert loaded["params"] == {"n_merges": 12}
+    df = spark.createDataFrame([(0, "banana cabana")], ["doc_id", "text"])
+    a = tok.bpe_encode(df, model["merges"], "text").first()["bpe_tokens"]
+    b = tok.bpe_encode(df, loaded["merges"], "text").first()["bpe_tokens"]
+    assert a == b
+
+
+def test_load_bpe_rejects_foreign_json(tmp_path):
+    p = str(tmp_path / "x.json")
+    with open(p, "w") as f:
+        f.write('{"merges": []}')
+    with pytest.raises(ValueError, match="not a cnosdb_spark BPE model"):
+        tok.load_bpe(p)
+
+
+# -------------------------------------------------------------- fuzzing
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_WORD = st.text(
+    alphabet=st.sampled_from("abcdéß日"), min_size=1, max_size=8
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    table=st.dictionaries(_WORD, st.integers(min_value=1, max_value=50),
+                          min_size=1, max_size=25),
+    n_merges=st.integers(min_value=0, max_value=30),
+)
+def test_fuzz_train_matches_bruteforce(table, n_merges):
+    """Incremental pair bookkeeping == recount-everything reference on
+    arbitrary (unicode) word tables — any drift in tie-breaks, stale
+    index handling or pair accounting shows up here."""
+    items = list(table.items())
+    got = tok.train_bpe(items, n_merges=n_merges)["merges"]
+    want = _ref_train(sorted(items, key=lambda wn: (-wn[1], wn[0])), n_merges)
+    assert got == want
+    # encoding with the learned merges always reconstructs each word
+    ranks = {p: i for i, p in enumerate(got)}
+    for w, _ in items:
+        toks = tok._encode_word(w, ranks)
+        assert "".join(toks) == w + tok.END_OF_WORD
