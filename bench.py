@@ -75,6 +75,13 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # host-speed calibration (cnosdb_spark/calibration.py): this VM's
+    # effective CPU speed drifts 2-3x across (and within) measurement
+    # windows, so cross-round comparisons of raw totals conflate code and
+    # host — total_over_calibration is the drift-normalized number
+    from cnosdb_spark.calibration import run_calibration
+
+    cal = run_calibration(spark)
     print(
         json.dumps(
             {
@@ -84,6 +91,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "tries": tries,
+                "calibration_sec": cal,
+                "total_over_calibration": round(total / cal, 3),
             }
         )
     )

@@ -23,12 +23,17 @@ CALIBRATION_PARTITIONS = 32
 
 
 def run_calibration(spark, tries: int = 3) -> float:
-    """Min-of-``tries`` wall seconds of the fixed calibration query."""
+    """Min-of-``tries`` wall seconds of the fixed calibration query.
+
+    Each hash is bounded with pmod BEFORE the sum: a raw
+    ``sum(xxhash64(id))`` over 50M full-range longs overflows and ABORTS
+    under Spark 4's default ANSI mode (max sum here is ~5e16, safely
+    inside int64)."""
     best = float("inf")
     for _ in range(tries):
         t0 = time.perf_counter()
         spark.range(CALIBRATION_ROWS, numPartitions=CALIBRATION_PARTITIONS).selectExpr(
-            "sum(xxhash64(id))", "sum(id % 1001)"
+            "sum(pmod(xxhash64(id), 1000000007))", "sum(id % 1001)"
         ).collect()
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)

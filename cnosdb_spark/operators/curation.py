@@ -508,6 +508,13 @@ def shuffle_export(
     returned, so downstream loaders can verify shards cheaply
     (``verify_export``) without trusting the writer.
     """
+    for taken in ("shard", "_h"):
+        if taken in df.columns:
+            raise ValueError(
+                f"shuffle_export writes its own {taken!r} column — rename the "
+                f"input's {taken!r} (e.g. pack_sequences' shard → pack_shard) "
+                "instead of letting it be silently overwritten"
+            )
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
     shard = (
         F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % shards

@@ -201,29 +201,52 @@ COUNT_ROWS = ["near_dup_prod_cfg", "near_dup_demo_capped", "near_dup_prod_capped
 PLAN_QUERIES = ["tpch_q3_shipping_priority", "tpch_q5_local_supplier"]
 
 
-def run_set(spark, sf_dir: str, tries: int) -> tuple[dict, dict]:
+def _time_one(qs, spark, name: str, sf_dir: str, tries: int) -> float:
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def run_interleaved(
+    spark, base_dir: str, scale_dir: str, tries: int
+) -> tuple[dict, dict, dict, dict]:
+    """Measure every query at BASE and at 10x BACK-TO-BACK (base tries, then
+    scale tries, then the next query).  This VM's effective CPU speed
+    drifts by 2-3x WITHIN a run (measured via cnosdb_spark/calibration:
+    0.234s vs 0.087s bracketing the two phases of a phase-separated run),
+    so phase-separated walls put base and scale in different speed
+    windows and the ratios are noise.  Adjacent-in-time measurement makes
+    each query's ratio drift-immune (drift timescale >> one query's
+    wall for everything but the ~90s ANN rows, whose ratios carry the
+    residual risk either way)."""
     qs = dict(entry_mod.queries(), **CUSTOM)
-    out: dict[str, float | None] = {}
-    rows: dict[str, int] = {}
+    base: dict[str, float | None] = {}
+    scale: dict[str, float | None] = {}
+    base_rows: dict[str, int] = {}
+    scale_rows: dict[str, int] = {}
     # no SILENT caps: skipped names are logged and recorded in the JSON
     # as null (NOT a numeric sentinel — a sentinel would leak into totals)
     skip = {s for s in os.environ.get("SPARK_GRAFT_SCALE_SKIP", "").split(",") if s}
     for name in HEADLINE + EXTRA + list(CUSTOM):
         if name in skip:
             print(f"  SKIPPED (SPARK_GRAFT_SCALE_SKIP): {name}", flush=True)
-            out[name] = None
+            base[name] = scale[name] = None
             continue
-        best = float("inf")
-        for _ in range(tries):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 4)
+        base[name] = _time_one(qs, spark, name, base_dir, tries)
+        scale[name] = _time_one(qs, spark, name, scale_dir, tries)
         if name in COUNT_ROWS:
-            rows[name] = qs[name](spark, sf_dir).count()
-        print(f"  {sf_dir.rsplit('/', 1)[-1]:10s} {name}: {out[name]}s", flush=True)
-    return out, rows
+            base_rows[name] = qs[name](spark, base_dir).count()
+            scale_rows[name] = qs[name](spark, scale_dir).count()
+        print(
+            f"  {name}: base {base[name]}s  10x {scale[name]}s  "
+            f"ratio {round(scale[name] / base[name], 2)}",
+            flush=True,
+        )
+    return base, scale, base_rows, scale_rows
 
 
 def _tree_depth(line: str) -> int:
@@ -294,10 +317,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    print("sf0.1 baseline:", flush=True)
-    base, base_rows = run_set(spark, base_dir, tries=2)
-    print("sf1 (10x derived):", flush=True)
-    scale, scale_rows = run_set(spark, scale_dir, tries=2)
+    from cnosdb_spark.calibration import run_calibration
+
+    # host-speed calibration (cnosdb_spark/calibration.py) bracketing each
+    # phase: absolute walls from different measurement windows compare via
+    # total/calibration ratios, and a calibration shift WITHIN a run flags
+    # the window itself as contended
+    cal_base = run_calibration(spark)
+    print(f"calibration (run start): {cal_base}s", flush=True)
+    print("interleaved base <-> 10x:", flush=True)
+    base, scale, base_rows, scale_rows = run_interleaved(
+        spark, base_dir, scale_dir, tries=2
+    )
+    cal_scale = run_calibration(spark)
+    print(f"calibration (run end): {cal_scale}s", flush=True)
 
     plans = {
         name: final_plan_joins(spark, scale_dir, name) for name in PLAN_QUERIES
@@ -364,6 +397,10 @@ def main() -> None:
         },
         "base_sf": 0.1,
         "scale_copies": 10,
+        "calibration_sec": {"run_start": cal_base, "run_end": cal_scale},
+        "methodology": "interleaved per-query base<->10x timing (min-of-2 "
+        "each); host drift moves adjacent measurements together, so the "
+        "per-query ratios are drift-immune",
         # skipped queries are null — totals sum only measured entries
         "base_total": round(sum(v for v in base.values() if v), 4),
         "scale_total": round(sum(v for v in scale.values() if v), 4),

@@ -111,3 +111,59 @@ def test_pipeline_deterministic(spark, corpus):
     c1, _ = _run_pipeline(spark, corpus)
     c2, _ = _run_pipeline(spark, corpus)
     assert c1 == c2
+
+
+def test_tokenize_pack_export_chain(spark, corpus, tmp_path):
+    """Round-7 terminal stages compose: BPE token counts feed
+    pack_sequences' budgeting, the packed corpus exports through
+    shuffle_export, and the invariants survive the chain:
+    total exported rows == packed docs, token totals agree between the
+    packing layout and the exported data, and the manifest verifies."""
+    from cnosdb_spark.operators import tokenizer
+    from cnosdb_spark.operators.curation import (
+        pack_sequences,
+        shuffle_export,
+        verify_export,
+    )
+
+    docs = corpus.limit(400).select("doc_id", "text")
+    model = tokenizer.train_bpe(
+        tokenizer.word_counts(docs, "text", min_count=2, max_words=5000),
+        n_merges=80,
+    )
+    counted = tokenizer.bpe_token_count(docs, model["merges"], "text")
+    packed = pack_sequences(counted, "n_bpe_tokens", capacity=2048, shards=4)
+    layout = (
+        packed.withColumnRenamed("shard", "pack_shard")
+        .join(counted.select("doc_id", "n_bpe_tokens"), "doc_id")
+    )
+
+    path = str(tmp_path / "export")
+    # export refuses to clobber an existing 'shard' column
+    with pytest.raises(ValueError, match="shuffle_export writes its own"):
+        shuffle_export(packed, path, shards=8)
+    manifest = shuffle_export(layout, path, shards=8)
+    assert manifest.agg(F.sum("n_rows")).first()[0] == packed.count()
+    assert all(r["ok"] for r in verify_export(spark, path).collect())
+
+    # token conservation: the exported data carries the same total token
+    # mass the packing laid out
+    exported = spark.read.parquet(path)
+    assert (
+        exported.agg(F.sum("n_bpe_tokens")).first()[0]
+        == counted.filter(F.col("n_bpe_tokens") > 0).agg(F.sum("n_bpe_tokens")).first()[0]
+    )
+    # per-shard streams are internally consistent: within a (pack) shard,
+    # seq_start is strictly increasing in (md5, id) order and equals the
+    # running token sum
+    for pshard in {r["shard"] for r in packed.select(F.col("shard")).collect()}:
+        part = (
+            packed.filter(F.col("shard") == pshard)
+            .join(counted.select("doc_id", "n_bpe_tokens"), "doc_id")
+            .orderBy("seq_start")
+            .collect()
+        )
+        run = 0
+        for r in part:
+            assert r["seq_start"] == run
+            run += r["n_bpe_tokens"]

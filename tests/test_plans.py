@@ -271,3 +271,58 @@ def test_broadcast_subtree_scan_handles_left_branch_prefix():
     # must not count against the final plan
     plan3 = plan2 + "\n== Initial Plan ==\n" + plan
     assert not bs.broadcast_subtree_contains(plan3, "lineitem")
+
+
+def test_word_counts_single_keyed_agg(spark):
+    """BPE's corpus pass must be one partial→final keyed aggregation —
+    one exchange, map-side combine before it."""
+    from cnosdb_spark.operators import tokenizer
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    p = tokenizer.word_counts(docs, "text", min_count=2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "partial_count" in p  # map-side combine
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+
+
+def test_bpe_encode_is_narrow(spark):
+    """Encoding is a pure map over a broadcast rank dict — no exchange,
+    no join; it parallelizes over input splits at any corpus size."""
+    from cnosdb_spark.operators import tokenizer
+    from cnosdb_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    model = tokenizer.train_bpe([("aab", 5), ("abab", 3)], n_merges=4)
+    p = tokenizer.bpe_encode(docs, model["merges"], "text")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p  # Arrow batch, not row UDF
+
+
+def test_refine_centroids_assignment_joinless(spark):
+    """Lloyd assignment must stay a pure column expression — no join
+    against a centroid table, no nested loop; the only exchanges are the
+    k*dim-row aggregation ones."""
+    from pyspark.sql import functions as F
+
+    from cnosdb_spark.operators import similarity
+    from cnosdb_spark.session import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(200)
+    cents = [r["embedding"] for r in emb.limit(3).collect()]
+    v = F.col("_v")
+    src = emb.select(F.col("embedding").cast("array<double>").alias("_v"))
+    sims = [similarity.cosine_expr(v, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    assigned = src.select(
+        (F.array_position(F.array(*sims), F.array_max(F.array(*sims))) - 1).alias("_c")
+    )
+    p = assigned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Join" not in p
+    assert "Exchange" not in p
