@@ -293,3 +293,41 @@ def asof_join_streams(
         left_time,
         *[F.col(f"_best.{c}").alias(f"{c}_right") for c in value_cols],
     )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key: str,
+    time_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming sessionization: group each key's events into sessions
+    that close after ``gap`` of inactivity — the streaming counterpart of
+    the batch lag-gap sessionization (__spark_entry__.sessionization).
+
+    Spark-first: ``F.session_window`` (native since 3.2) keeps ONE state
+    row per open session per key — state is merged as events arrive and
+    evicted when the watermark passes session end + gap, so state size is
+    bounded by the number of concurrently open sessions, never by stream
+    length.  Works in append mode: a session row emits exactly once, when
+    the watermark proves no more events can extend it.
+
+    Output per closed session: key, session_start/session_end (µs),
+    n_events, and sum_value if ``value_col`` is given.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+    w = events.withWatermark(time_col, watermark)
+    out = w.groupBy(
+        F.session_window(F.col(time_col), gap).alias("_sw"), F.col(key)
+    ).agg(*aggs)
+    return out.select(
+        key,
+        F.unix_micros(F.col("_sw.start")).alias("session_start_us"),
+        F.unix_micros(F.col("_sw.end")).alias("session_end_us"),
+        "n_events",
+        *(["sum_value"] if value_col is not None else []),
+    )

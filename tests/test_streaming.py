@@ -539,3 +539,60 @@ def test_interval_join_streams_rejects_static_side(spark, tmp_path):
     b = spark.read.parquet(path)
     with pytest.raises(ValueError, match="both sides must be streaming"):
         interval_join_streams(s, b, key="user", left_time="t", right_time="t")
+
+
+def test_sessionize_stream_matches_batch_sessionization(spark, tmp_path):
+    """Streaming session windows (F.session_window — one state row per
+    open session, watermark-evicted) must produce the same sessions the
+    batch lag-gap rule derives: same count per user, same boundaries."""
+    from cnosdb_spark.streaming.stream_table import sessionize_stream
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # u0: two sessions — [0,5,20] (gaps <= 15m) then [60]
+        ("u0", base + timedelta(minutes=0), 1.0),
+        ("u0", base + timedelta(minutes=5), 2.0),
+        ("u0", base + timedelta(minutes=20), 3.0),
+        ("u0", base + timedelta(minutes=60), 4.0),
+        # u1: one session
+        ("u1", base + timedelta(minutes=2), 5.0),
+        ("u1", base + timedelta(minutes=10), 6.0),
+        # far-future sentinel flushes the watermark past all real sessions
+        ("u9", base + timedelta(days=2), 0.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, ["user", "ts", "value"]).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out_df = sessionize_stream(
+        stream, key="user", time_col="ts", gap="15 minutes",
+        watermark="30 minutes", value_col="value",
+    )
+    out = str(tmp_path / "sessions")
+    q = (
+        out_df.writeStream.option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user"], r["session_start_us"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+        if r["user"] != "u9"
+    }
+    us = lambda m: int(
+        (base + timedelta(minutes=m) - datetime(1970, 1, 1)).total_seconds()
+        * 1_000_000
+    )
+    assert got == {
+        ("u0", us(0), 3, 6.0),
+        ("u0", us(60), 1, 4.0),
+        ("u1", us(2), 2, 11.0),
+    }
+    # session_end = last event + gap (session_window semantics)
+    ends = {
+        (r["user"], r["session_start_us"]): r["session_end_us"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ends[("u0", us(0))] == us(20 + 15)
+    assert ends[("u0", us(60))] == us(75)
