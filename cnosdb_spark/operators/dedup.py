@@ -299,9 +299,32 @@ def simhash_near_dup_pairs(
     docs within hamming distance < bands must share ≥1 exact chunk
     (pigeonhole) — equi-join on chunks, then verify exact hamming ≤
     ``max_hamming`` via bit_count(xor)."""
-    chunk = bits // bands
     fps = simhash(df, text_col, id_col, bits)
+    return fingerprint_near_dup_pairs(
+        fps, "_id", "simhash", bits=bits, bands=bands, max_hamming=max_hamming
+    )
+
+
+def fingerprint_near_dup_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic hamming-banded near-dup over ANY integer fingerprint column
+    (SimHash, image dHash, audio chromaprint-style hashes, ...): band the
+    ``bits``-bit fingerprint into ``bands`` chunks — two fingerprints
+    within hamming distance < bands must share ≥1 exact chunk
+    (pigeonhole) — equi-join on chunks, then verify exact hamming ≤
+    ``max_hamming`` via bit_count(xor). Arithmetic shiftright + mask
+    extracts chunks correctly for signed 64-bit fingerprints too."""
+    chunk = bits // bands
     mask = (1 << chunk) - 1
+    fps = fps.select(
+        F.col(id_col).alias("_id"), F.col(fp_col).cast("long").alias("simhash")
+    )
     keyed = fps.select(
         "_id",
         "simhash",

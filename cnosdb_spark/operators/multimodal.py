@@ -505,3 +505,90 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> Da
     return df.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         fn, _FRAME_SCHEMA
     )
+
+
+# ------------------------------------------------------------ perceptual hash
+def dhash_from_gray(arr: np.ndarray, grid: int = 8) -> int:
+    """Difference hash of a grayscale array: area-mean-pool to
+    ``grid`` x ``grid+1`` cells (np.array_split — deterministic, no
+    resampling library), then bit r*grid+c is set iff cell[r, c+1] >
+    cell[r, c]. A uniform brightness shift preserves every comparison, so
+    re-encodes / gamma-shifted copies collapse to hamming 0-ish. Returned
+    as SIGNED int64 (two's complement wrap) so it stores in a Spark
+    LongType."""
+    a = arr.astype(np.float64)
+    rows = np.array_split(a, grid, axis=0)
+    cells = np.array(
+        [[c.mean() for c in np.array_split(r, grid + 1, axis=1)] for r in rows]
+    )
+    bits = 0
+    for r in range(grid):
+        for c in range(grid):
+            if cells[r, c + 1] > cells[r, c]:
+                bits |= 1 << (r * grid + c)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Per-image perceptual fingerprint over binary payloads: PNG-decode
+    (vendored pure-python codec — byte-identical to PIL on supported
+    files) → ``dhash_from_gray``. mapInPandas with the same
+    bounded-batch iterator shape as extract_features; rows whose payload
+    doesn't decode yield NULL (kept, so callers see coverage).
+
+    Output: (``id_col``, dhash BIGINT)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(payload_col).alias("_p")
+    )
+
+    def _hash(batches):
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["_p"]):
+                try:
+                    arr = png_decode_gray(bytes(payload))
+                    out.append((int(mid), dhash_from_gray(arr, grid)))
+                except Exception:
+                    out.append((int(mid), None))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return src.mapInPandas(_hash, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 8,
+    max_hamming: int = 6,
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash fingerprints → the generic
+    hamming-banded candidate join (operators/dedup.py
+    fingerprint_near_dup_pairs, the SimHash machinery) — re-encoded,
+    brightness-shifted or lightly-noised copies land within
+    ``max_hamming`` and must share a band chunk (pigeonhole), so the
+    candidate set is bucket-bounded, never all-pairs. 100 TB shape:
+    hashing is a narrow decode pass, the join is one equi-join on
+    (band, chunk)."""
+    from .dedup import fingerprint_near_dup_pairs
+
+    fps = image_dhash(df, id_col, payload_col, grid).filter(
+        F.col("dhash").isNotNull()
+    )
+    return fingerprint_near_dup_pairs(
+        fps, "media_id", "dhash", bits=grid * grid, bands=bands,
+        max_hamming=max_hamming,
+    )

@@ -1091,3 +1091,86 @@ def test_ivf_centroids_multi_iter_deterministic(spark):
     # same seeds (md5 order is layout-independent); float sums may differ
     # in reduction order only
     assert np.allclose(np.array(a), np.array(b), atol=1e-9)
+
+
+def test_dhash_matches_loop_reference_and_decode_chain(spark):
+    import numpy as np
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)  # same seed as synthetic_png_media
+    arrays = []
+    for i in range(12):
+        h, w = 6 + (i % 7), 8 + (i % 5)
+        arrays.append(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+
+    # independent reference: explicit-loop pooling + comparisons
+    def ref_dhash(a):
+        a = a.astype(float)
+        g = 8
+        row_splits = np.array_split(a, g, axis=0)
+        cells = [[float(np.mean(c)) for c in np.array_split(r, g + 1, axis=1)]
+                 for r in row_splits]
+        v = 0
+        for r in range(g):
+            for c in range(g):
+                if cells[r][c + 1] > cells[r][c]:
+                    v |= 1 << (r * g + c)
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    for a in arrays:
+        assert mm.dhash_from_gray(a) == ref_dhash(a)
+
+    # the distributed decode→hash chain reproduces the array-side hashes
+    media = mm.synthetic_png_media(spark, n=12, seed=7)
+    got = {r["media_id"]: r["dhash"]
+           for r in mm.image_dhash(media).collect()}
+    assert got == {i: ref_dhash(a) for i, a in enumerate(arrays)}
+
+
+def test_image_near_dup_pairs_finds_shifted_copies(spark):
+    import numpy as np
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    originals = [
+        rng.integers(0, 200, size=(16, 20), dtype=np.uint8) for _ in range(10)
+    ]
+    rows = []
+    for i, a in enumerate(originals):
+        rows.append((i, "image", bytearray(mm.png_encode_gray(a)),
+                     {"mime": "image/png", "width": 20, "height": 16,
+                      "duration_ms": None}))
+        # brightness shift preserves every pooled comparison → hamming 0
+        rows.append((100 + i, "image",
+                     bytearray(mm.png_encode_gray(a + 10)),
+                     {"mime": "image/png", "width": 20, "height": 16,
+                      "duration_ms": None}))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in mm.image_near_dup_pairs(media, max_hamming=6).collect()}
+    # reference: all-pairs hamming over the same dhashes
+    fps = {i: mm.dhash_from_gray(a.astype(np.uint8)) for i, a in enumerate(originals)}
+    fps.update({100 + i: mm.dhash_from_gray((a + 10).astype(np.uint8))
+                for i, a in enumerate(originals)})
+    want = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin((fps[ids[x]] ^ fps[ids[y]]) & ((1 << 64) - 1)).count("1")
+            if h <= 6:
+                want[(ids[x], ids[y])] = h
+    assert pairs == want
+    for i in range(10):
+        assert pairs[(i, 100 + i)] == 0  # every shifted copy found exactly
+
+
+def test_image_dhash_null_on_undecodable(spark):
+    from cnosdb_spark.operators import multimodal as mm
+
+    stub = mm.synthetic_media(spark, n=6, seed=42)  # opaque non-PNG bytes
+    rows = mm.image_dhash(stub).collect()
+    assert len(rows) == 6
+    assert all(r["dhash"] is None for r in rows)
