@@ -1240,6 +1240,7 @@ _INGEST_ARM_ORACLE = """
             ("opentsdb_telnet", "epoch_us(ts)"),
             ("opentsdb_json", "epoch_us(ts)"),
             ("es_bulk", "epoch_us(ts)"),
+            ("ndjson", "epoch_us(ts)"),
             # prometheus remote-write sample timestamps are ms (prompb
             # spec) — the only lossy wire format of the five
             ("prometheus", "(epoch_us(ts) // 1000) * 1000"),
@@ -1250,7 +1251,8 @@ def ingest_protocol_roundtrip(spark, sf_dir):
     """Wire-protocol ingest round-trip (SURVEY §2 rows 6-8): the same 600
     events are formatted as (a) InfluxDB line protocol at ns precision, (b)
     OpenTSDB telnet `put` lines, (c) OpenTSDB HTTP JSON, (d) ES-bulk JSON
-    pairs, (e) a snappy-compressed Prometheus remote-write protobuf — each
+    pairs, (e) ndjson log lines, (f) a snappy-compressed Prometheus
+    remote-write protobuf — each
     written through the engine's schemaless ingest path (auto-create +
     Catalog.insert, reference main/src/http/http_service.rs write
     endpoints), then queried back through engine SQL and aggregated. The
@@ -1321,6 +1323,19 @@ def ingest_protocol_roundtrip(spark, sf_dir):
     )
     eng.write_es_log(es, tag_keys={"user_id", "event_type"})
 
+    nd = "\n".join(
+        _json.dumps(
+            {
+                "time": r["us"] * 1000,
+                "user_id": str(r["user_id"]),
+                "event_type": r["event_type"],
+                "value": r["value"],
+            }
+        )
+        for r in rows
+    )
+    eng.write_ndjson(nd, table="ev_nd", tag_keys={"user_id", "event_type"})
+
     series: dict[tuple, dict] = {}
     for r in rows:
         key = (str(r["user_id"]), r["event_type"])
@@ -1358,6 +1373,7 @@ def ingest_protocol_roundtrip(spark, sf_dir):
         ("opentsdb_telnet", "ev_tsdb"),
         ("opentsdb_json", "ev_tsdbj"),
         ("es_bulk", "ev_es"),
+        ("ndjson", "ev_nd"),
         ("prometheus", "ev_prom"),
     ]:
         out = out.unionAll(_agg(arm, table))
@@ -2741,10 +2757,33 @@ def _wav_decode_oracle_values(n: int = 32, seed: int = 11) -> str:
     return ",\n    ".join(vals)
 
 
+def _dhash_oracle_values(n: int = 48, seed: int = 7) -> str:
+    """Expected dHash fingerprints of the dhash arm, recomputed at import
+    from the SAME seeded arrays synthetic_png_media encodes — ground truth
+    that never touches PNG bytes, so the arm differentially verifies the
+    encode → decode → pool → hash chain and the distributed mapInPandas
+    plumbing (the pooling/hash arithmetic itself is independently pinned
+    against a loop reference in tests/test_operators_misc.py). The signed
+    64-bit hash is split into two unsigned 32-bit halves so the doubles
+    carry it exactly (2^32 < 2^53)."""
+    import numpy as np
+
+    from cnosdb_spark.operators.multimodal import dhash_from_gray
+
+    rng = np.random.default_rng(seed)
+    vals = []
+    for i in range(n):
+        h, w = 6 + (i % 7), 8 + (i % 5)
+        arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        u = dhash_from_gray(arr) & ((1 << 64) - 1)
+        vals.append(f"({i}, {u >> 32}.0, {u & 0xFFFFFFFF}.0)")
+    return ",\n    ".join(vals)
+
+
 @_q(
     "multimodal_features",
     f"""
-    -- pinned expected output, three arms:
+    -- pinned expected output, four arms:
     --  * stub: synthetic payloads are seeded (seed=42) and the stub
     --    features are deterministic byte-histogram moments — literal table
     --  * png_decode: REAL PNG decode (vendored pure-python codec /
@@ -2753,6 +2792,16 @@ def _wav_decode_oracle_values(n: int = 32, seed: int = 11) -> str:
     --    never via PNG — see _png_decode_oracle_values
     --  * wav_decode: REAL PCM WAV decode (stdlib wave / wav_decode_pcm)
     --    over synthetic_wav_media; same ground-truth-from-arrays contract
+    --  * dhash: perceptual image fingerprint (decode -> 8x9 mean-pool ->
+    --    gradient-sign hash, operators/multimodal.py image_dhash) split
+    --    into exact 32-bit halves; same ground-truth-from-arrays contract
+    SELECT 'dhash' AS op, CAST(media_id AS BIGINT) AS media_id,
+           'image' AS kind, CAST(64 AS BIGINT) AS n_units,
+           CAST(hi AS DOUBLE) AS f1, CAST(lo AS DOUBLE) AS f2
+    FROM (VALUES
+    {_dhash_oracle_values()})
+    AS dh(media_id, hi, lo)
+    UNION ALL
     SELECT 'png_decode' AS op, CAST(media_id AS BIGINT) AS media_id,
            'image' AS kind, CAST(n_px AS BIGINT) AS n_units,
            CAST(fm AS DOUBLE) AS f1, CAST(fs AS DOUBLE) AS f2
@@ -2841,7 +2890,7 @@ def _wav_decode_oracle_values(n: int = 32, seed: int = 11) -> str:
 )
 def multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing (operators/multimodal.py),
-    three mapInPandas arms:
+    four mapInPandas arms:
 
     - stub: deterministic byte-histogram features over opaque payloads —
       the schema/batch-shape/partitioning plumbing a real CNN/audio
@@ -2852,7 +2901,11 @@ def multimodal_features(spark, sf_dir):
       pure-python png_decode_gray) and emit pixel-moment features;
     - wav_decode: the REAL audio codec path — synthetic_wav_media encodes
       seeded int16 PCM noise to valid WAVs, executors decode through
-      soundfile when present, else the stdlib-wave wav_decode_pcm.
+      soundfile when present, else the stdlib-wave wav_decode_pcm;
+    - dhash (round 7): the perceptual image-dedup fingerprint
+      (image_dhash: decode → 8x9 area-mean-pool → gradient-sign hash),
+      the hashing half of image_near_dup_pairs, emitted as exact 32-bit
+      halves.
 
     Both codec arms' oracles recompute expectations from the same seeded
     arrays without ever touching PNG/WAV bytes, so a decoder bug or a
@@ -2885,7 +2938,21 @@ def multimodal_features(spark, sf_dir):
 
     png = codec_arm(multimodal.synthetic_png_media(spark, n=48), "png_decode", 1e4)
     wav = codec_arm(multimodal.synthetic_wav_media(spark, n=32), "wav_decode", 1e6)
-    return stub.unionAll(png).unionAll(wav)
+    mask32 = F.lit((1 << 32) - 1)
+    dhash = (
+        multimodal.image_dhash(multimodal.synthetic_png_media(spark, n=48))
+        .select(
+            F.lit("dhash").alias("op"),
+            "media_id",
+            F.lit("image").alias("kind"),
+            F.lit(64).cast("long").alias("n_units"),
+            # arithmetic shiftright sign-extends; masking to 32 bits makes
+            # both halves exact non-negative doubles
+            F.shiftright("dhash", 32).bitwiseAND(mask32).cast("double").alias("f1"),
+            F.col("dhash").bitwiseAND(mask32).cast("double").alias("f2"),
+        )
+    )
+    return stub.unionAll(png).unionAll(wav).unionAll(dhash)
 
 
 # =====================================================================
