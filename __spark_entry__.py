@@ -1402,6 +1402,13 @@ def ingest_protocol_roundtrip(spark, sf_dir):
     UNION ALL SELECT 'insert_select', * FROM aff
     UNION ALL SELECT 'copy_in', * FROM src
     UNION ALL SELECT 'copy_in', * FROM aff
+    UNION ALL
+    SELECT 'update_delete', l_returnflag AS grp, CAST(count(*) AS BIGINT),
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity * 2
+                          ELSE l_quantity END), 3),
+           round(sum(l_extendedprice), 2)
+    FROM lineitem WHERE l_orderkey < 400 AND l_returnflag <> 'N'
+    GROUP BY l_returnflag
     """,
 )
 def external_copy_insert(spark, sf_dir):
@@ -1424,7 +1431,11 @@ def external_copy_insert(spark, sf_dir):
       table; '__affected__' row pins the INSERT's affected-rows count;
     - copy_in: COPY INTO <table> FROM '<url>' imports the CSV export into
       a second tskv table (by-name column mapping), same aggregate +
-      affected-rows row.
+      affected-rows row;
+    - update_delete (round 7): UPDATE ... WHERE then DELETE ... WHERE on
+      the inserted table (engine read-merge-overwrite, reference
+      transform_update.rs / §4.1), aggregate of the survivors vs an
+      oracle replaying the mutation as CASE + filter.
 
     The tskv tables key on (time=l_shipdate, tag rk=orderkey_linenumber),
     unique in the slice, so the LWW merge on read is a no-op — the oracle
@@ -1504,7 +1515,10 @@ def external_copy_insert(spark, sf_dir):
         "l_returnflag, l_quantity, l_extendedprice "
         "FROM li_ext WHERE l_orderkey < 400"
     )
-    out = out.unionAll(_agg("insert_select", "li_ins"))
+    # materialize the PRE-mutation aggregate now (localCheckpoint, eager):
+    # the update_delete arm below rewrites li_ins's files, and a lazy plan
+    # would re-read the mutated (or deleted) files at driver-collect time
+    out = out.unionAll(_agg("insert_select", "li_ins").localCheckpoint())
     out = out.unionAll(_affected("insert_select", ins))
 
     eng.sql(
@@ -1517,6 +1531,13 @@ def external_copy_insert(spark, sf_dir):
     )
     out = out.unionAll(_agg("copy_in", "li_cp"))
     out = out.unionAll(_affected("copy_in", cp))
+
+    # UPDATE / DELETE (§4.1 read-merge-overwrite): mutate the inserted
+    # table through engine SQL, aggregate the survivors; the oracle
+    # replays the mutation as CASE + filter over the raw slice
+    eng.sql("UPDATE li_ins SET l_quantity = l_quantity * 2 WHERE l_returnflag = 'A'")
+    eng.sql("DELETE FROM li_ins WHERE l_returnflag = 'N'")
+    out = out.unionAll(_agg("update_delete", "li_ins"))
     return out
 
 
