@@ -113,6 +113,40 @@ def _progress_evidence(q, out_path: str, spark) -> dict:
     }
 
 
+def run_session(spark, sf_dir: str) -> dict:
+    """Round-7 sessionize_stream: one state row per OPEN session per key
+    (F.session_window merging state) — peak state must track concurrently
+    open sessions, never stream length, and the sentinel must flush every
+    session."""
+    from cnosdb_spark.streaming import stream_table
+
+    e = read_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="stream_state_session_")
+    src, out = f"{base}/events", f"{base}/out"
+    far = e.agg(F.max("ts")).first()[0] + timedelta(days=60)
+    ev = e.select("user_id", "ts", "value")
+    _stage_slices(ev, "ts", src, (-1, far, 0.0))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_df = stream_table.sessionize_stream(
+        stream, key="user_id", time_col="ts", gap="30 minutes",
+        watermark="1 hour", value_col="value",
+    )
+    q = (
+        out_df.writeStream.option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(600)
+    evd = _progress_evidence(q, out, spark)
+    shutil.rmtree(base, ignore_errors=True)
+    return evd
+
+
 def run_one(spark, sf_dir: str, which: str) -> dict:
     """which: 'interval' or 'asof'."""
     from cnosdb_spark.streaming import stream_table
@@ -179,8 +213,11 @@ def main() -> None:
     for d in dirs:
         key = d.rstrip("/").rsplit("/", 1)[-1]
         result["datasets"][key] = {}
-        for which in ("interval", "asof"):
-            ev = run_one(spark, d, which)
+        for which in ("interval", "asof", "session"):
+            ev = (
+                run_session(spark, d) if which == "session"
+                else run_one(spark, d, which)
+            )
             result["datasets"][key][which] = ev
             print(
                 f"{key} {which}: batches={ev['n_batches']} "
