@@ -592,3 +592,104 @@ def image_near_dup_pairs(
         fps, "media_id", "dhash", bits=grid * grid, bands=bands,
         max_hamming=max_hamming,
     )
+
+
+def audio_fingerprint_from_samples(
+    samples: np.ndarray, windows: int = 17, bands: int = 4
+) -> int:
+    """Haitsma-Kalker-style audio fingerprint (public algorithm — "A
+    Highly Robust Audio Fingerprinting System", ISMIR 2002): frame the
+    mono signal into ``windows`` equal windows, take per-window FFT
+    magnitude split into ``bands`` log-spaced frequency bands, and set
+    bit (w, b) iff band energy INCREASED from window w to w+1 — the sign
+    of the temporal energy delta per band.  (windows-1) * bands bits,
+    default 16*4 = 64.  Uniform amplitude scaling multiplies every energy
+    equally, so gain-shifted copies collapse to hamming 0.  Returned as
+    signed int64."""
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 2:
+        a = a.mean(axis=1)
+    if a.size < windows:  # too short to frame — degenerate fingerprint
+        return 0
+    frames = np.array_split(a, windows)
+    energies = []
+    for f in frames:
+        mag = np.abs(np.fft.rfft(f))
+        # drop DC, split the rest into log-spaced bands
+        mag = mag[1:] if mag.size > 1 else mag
+        if mag.size == 0:  # 1-sample frame: no AC content
+            energies.append([0.0] * bands)
+            continue
+        edges = np.unique(
+            np.round(np.logspace(0, np.log10(mag.size), bands + 1)).astype(int)
+        )
+        while edges.size < bands + 1:  # tiny frames: pad with linear cuts
+            edges = np.unique(np.append(edges, edges[-1] + 1))
+        energies.append(
+            [float(np.sum(mag[edges[b]-1:edges[b+1]-1] ** 2)) for b in range(bands)]
+        )
+    bits = 0
+    for w in range(windows - 1):
+        for b in range(bands):
+            if energies[w + 1][b] > energies[w][b]:
+                bits |= 1 << (w * bands + b)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    windows: int = 17,
+    bands: int = 4,
+) -> DataFrame:
+    """Distributed audio fingerprints over binary WAV payloads
+    (wav_decode_pcm — stdlib codec, soundfile-identical on PCM).
+    Undecodable rows yield NULL, kept for coverage visibility.
+    Output: (media_id, afp BIGINT)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), True),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(payload_col).alias("_p")
+    )
+
+    def _hash(batches):
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["_p"]):
+                try:
+                    a = wav_decode_pcm(bytes(payload))
+                    out.append(
+                        (int(mid), audio_fingerprint_from_samples(a, windows, bands))
+                    )
+                except Exception:
+                    out.append((int(mid), None))
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    return src.mapInPandas(_hash, out_schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    lsh_bands: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Audio near-dup pairs: fingerprints → the generic hamming-banded
+    candidate join (dedup.fingerprint_near_dup_pairs) — re-encoded or
+    gain-shifted copies land within ``max_hamming`` and must share a
+    band chunk, so candidates stay bucket-bounded, never all-pairs."""
+    from .dedup import fingerprint_near_dup_pairs
+
+    fps = audio_fingerprint(df, id_col, payload_col).filter(
+        F.col("afp").isNotNull()
+    )
+    return fingerprint_near_dup_pairs(
+        fps, "media_id", "afp", bits=64, bands=lsh_bands,
+        max_hamming=max_hamming,
+    )

@@ -1174,3 +1174,45 @@ def test_image_dhash_null_on_undecodable(spark):
     rows = mm.image_dhash(stub).collect()
     assert len(rows) == 6
     assert all(r["dhash"] is None for r in rows)
+
+
+def test_audio_fingerprint_gain_invariance_and_pairs(spark):
+    import numpy as np
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(31)
+    clips = [rng.standard_normal(800) * 0.3 for _ in range(8)]
+    rows = []
+    for i, c in enumerate(clips):
+        rows.append((i, "audio", bytearray(mm.wav_encode_pcm(c)),
+                     {"mime": "audio/wav", "width": None, "height": None,
+                      "duration_ms": 50}))
+        # half-gain copy: every band energy scales by 0.25 → same deltas
+        rows.append((100 + i, "audio", bytearray(mm.wav_encode_pcm(c * 0.5)),
+                     {"mime": "audio/wav", "width": None, "height": None,
+                      "duration_ms": 50}))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    fps = {r["media_id"]: r["afp"]
+           for r in mm.audio_fingerprint(media).collect()}
+    assert all(v is not None for v in fps.values())
+    # decode chain == array-side fingerprints (quantization applied)
+    for i, c in enumerate(clips):
+        q = np.clip(np.floor(c * 32768.0 + 0.5), -32768, 32767) / 32768.0
+        assert fps[i] == mm.audio_fingerprint_from_samples(q)
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in mm.audio_near_dup_pairs(media).collect()}
+    for i in range(8):
+        # gain-shifted copy within a couple bits (16-bit re-quantization
+        # can flip a near-tied band delta, but never many)
+        assert (i, 100 + i) in pairs and pairs[(i, 100 + i)] <= 2
+
+
+def test_audio_fingerprint_null_on_non_wav(spark):
+    from cnosdb_spark.operators import multimodal as mm
+
+    stub = mm.synthetic_media(spark, n=3, seed=42)
+    rows = mm.audio_fingerprint(stub).collect()
+    assert all(r["afp"] is None for r in rows)
