@@ -55,6 +55,21 @@ def _unescape(s: str) -> str:
     return _UNESCAPE.sub(r"\1", s)
 
 
+def _partition_unescaped(s: str, sep: str) -> tuple[str, str, str]:
+    """str.partition at the first UNESCAPED ``sep`` — a plain partition
+    splits tag/field keys containing ``\\=`` at the escape (found by the
+    round-trip fuzzer, tests/test_fuzz_operators.py)."""
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            i += 2
+            continue
+        if s[i] == sep:
+            return s[:i], sep, s[i + 1 :]
+        i += 1
+    return s, "", ""
+
+
 def parse_field_value(raw: str):
     """Field value typing per the line-protocol spec: 10i → int, 10u → uint,
     "x" → string, t/true/f/false → bool, else float."""
@@ -104,12 +119,12 @@ def parse_lines_meta(
         row: dict = {}
         rows, tagkeys = out.setdefault(measurement, ([], set()))
         for tag_kv in head_parts[1:]:
-            k, _, v = tag_kv.partition("=")
+            k, _, v = _partition_unescaped(tag_kv, "=")
             key = _unescape(k)
             row[key] = _unescape(v)
             tagkeys.add(key)
         for field_kv in _split_unescaped(fields_raw, ','):
-            k, _, v = field_kv.partition("=")
+            k, _, v = _partition_unescaped(field_kv, "=")
             val, _typ = parse_field_value(v)
             row[_unescape(k)] = val
         if ts_raw is not None:

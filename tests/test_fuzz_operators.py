@@ -309,3 +309,79 @@ def test_wav_codec_roundtrip_fuzz(data, n, ch, rate):
     got = mm.wav_decode_pcm(mm.wav_encode_pcm(samples, rate=rate))
     assert got.shape == samples.shape
     assert np.array_equal(got, samples.astype(np.float64) / 32768.0)
+
+
+# ----------------------------------------------------- line-protocol fuzz
+def _lp_escape_key(s: str) -> str:
+    return s.replace(",", r"\,").replace("=", r"\=").replace(" ", r"\ ")
+
+
+_LP_KEY = st.text(
+    alphabet=st.characters(
+        codec="ascii", min_codepoint=33, max_codepoint=126,
+        exclude_characters='\\"',
+    ),
+    min_size=1,
+    max_size=8,
+)
+_LP_FIELD_VAL = st.one_of(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(codec="ascii", min_codepoint=32,
+                               max_codepoint=126, exclude_characters='"\\'),
+        max_size=12,
+    ),
+)
+
+
+@settings(**_FUZZ)
+@given(
+    tags=st.dictionaries(_LP_KEY, _LP_KEY, min_size=0, max_size=3),
+    fields=st.dictionaries(_LP_KEY, _LP_FIELD_VAL, min_size=1, max_size=4),
+    ts_ns=st.integers(min_value=0, max_value=2**55),
+)
+def test_fuzz_line_protocol_roundtrip(tags, fields, ts_ns):
+    """Format → parse is the identity on arbitrary escaped keys/values —
+    the schemaless write path's first line of defense (reference
+    common/protocol_parser line_protocol escaping rules)."""
+    from cnosdb_spark.sources.line_protocol import parse_lines_meta
+
+    # field keys must not collide with tag keys or 'time' in the row dict
+    fields = {k: v for k, v in fields.items() if k not in tags and k != "time"}
+    tags = {k: v for k, v in tags.items() if k != "time"}
+    if not fields:
+        fields = {"v": 1.0}
+
+    head = "m" + ("," if tags else "") + ",".join(
+        f"{_lp_escape_key(k)}={_lp_escape_key(v)}" for k, v in sorted(tags.items())
+    )
+    parts = []
+    for k, v in sorted(fields.items()):
+        if isinstance(v, bool):
+            s = "true" if v else "false"
+        elif isinstance(v, int):
+            s = f"{v}i"
+        elif isinstance(v, float):
+            s = repr(v)
+        else:
+            s = '"' + v.replace('"', '\\"') + '"'
+        parts.append(f"{_lp_escape_key(k)}={s}")
+    line = f"{head} {','.join(parts)} {ts_ns}"
+
+    parsed = parse_lines_meta(line)
+    assert set(parsed) == {"m"}
+    rows, tagkeys = parsed["m"]
+    assert len(rows) == 1
+    row = dict(rows[0])
+    t = row.pop("time")
+    row.pop("_ns_res", None)
+    assert tagkeys == set(tags)
+    from datetime import datetime, timedelta
+
+    assert t == datetime(1970, 1, 1) + timedelta(microseconds=ts_ns // 1000)
+    want = dict(tags)
+    for k, v in fields.items():
+        want[k] = float(v) if isinstance(v, float) else v
+    assert row == want
