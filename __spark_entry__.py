@@ -2801,10 +2801,31 @@ def _dhash_oracle_values(n: int = 48, seed: int = 7) -> str:
     return ",\n    ".join(vals)
 
 
+def _afp_oracle_values(n: int = 32, seed: int = 11) -> str:
+    """Expected audio fingerprints of the afp arm — same contract as
+    _dhash_oracle_values: recomputed at import from the seeded int16
+    sample arrays synthetic_wav_media encodes (PCM16 decode is exactly
+    samples/32768, so the array-side fingerprint equals the
+    decode-chain's), split into exact unsigned 32-bit halves."""
+    import numpy as np
+
+    from cnosdb_spark.operators.multimodal import audio_fingerprint_from_samples
+
+    rng = np.random.default_rng(seed)
+    vals = []
+    for i in range(n):
+        n_samp = 120 + (i % 9) * 41
+        a = rng.integers(-32768, 32768, size=n_samp, dtype=np.int16)
+        u = audio_fingerprint_from_samples(a.astype(np.float64) / 32768.0)
+        u &= (1 << 64) - 1
+        vals.append(f"({i}, {u >> 32}.0, {u & 0xFFFFFFFF}.0)")
+    return ",\n    ".join(vals)
+
+
 @_q(
     "multimodal_features",
     f"""
-    -- pinned expected output, four arms:
+    -- pinned expected output, five arms:
     --  * stub: synthetic payloads are seeded (seed=42) and the stub
     --    features are deterministic byte-histogram moments — literal table
     --  * png_decode: REAL PNG decode (vendored pure-python codec /
@@ -2822,6 +2843,13 @@ def _dhash_oracle_values(n: int = 48, seed: int = 7) -> str:
     FROM (VALUES
     {_dhash_oracle_values()})
     AS dh(media_id, hi, lo)
+    UNION ALL
+    SELECT 'afp' AS op, CAST(media_id AS BIGINT) AS media_id,
+           'audio' AS kind, CAST(64 AS BIGINT) AS n_units,
+           CAST(hi AS DOUBLE) AS f1, CAST(lo AS DOUBLE) AS f2
+    FROM (VALUES
+    {_afp_oracle_values()})
+    AS af(media_id, hi, lo)
     UNION ALL
     SELECT 'png_decode' AS op, CAST(media_id AS BIGINT) AS media_id,
            'image' AS kind, CAST(n_px AS BIGINT) AS n_units,
@@ -2911,7 +2939,7 @@ def _dhash_oracle_values(n: int = 48, seed: int = 7) -> str:
 )
 def multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing (operators/multimodal.py),
-    four mapInPandas arms:
+    five mapInPandas arms:
 
     - stub: deterministic byte-histogram features over opaque payloads —
       the schema/batch-shape/partitioning plumbing a real CNN/audio
@@ -2926,7 +2954,11 @@ def multimodal_features(spark, sf_dir):
     - dhash (round 7): the perceptual image-dedup fingerprint
       (image_dhash: decode → 8x9 area-mean-pool → gradient-sign hash),
       the hashing half of image_near_dup_pairs, emitted as exact 32-bit
-      halves.
+      halves;
+    - afp (round 7): the audio-dedup fingerprint (audio_fingerprint:
+      WAV decode → 17-window FFT → 4 log-band energy deltas,
+      Haitsma-Kalker), the hashing half of audio_near_dup_pairs, same
+      32-bit-halves emission.
 
     Both codec arms' oracles recompute expectations from the same seeded
     arrays without ever touching PNG/WAV bytes, so a decoder bug or a
@@ -2960,20 +2992,28 @@ def multimodal_features(spark, sf_dir):
     png = codec_arm(multimodal.synthetic_png_media(spark, n=48), "png_decode", 1e4)
     wav = codec_arm(multimodal.synthetic_wav_media(spark, n=32), "wav_decode", 1e6)
     mask32 = F.lit((1 << 32) - 1)
-    dhash = (
-        multimodal.image_dhash(multimodal.synthetic_png_media(spark, n=48))
-        .select(
-            F.lit("dhash").alias("op"),
+
+    def fp_arm(fps_df, op, kind, fp_col):
+        # arithmetic shiftright sign-extends; masking to 32 bits makes
+        # both halves exact non-negative doubles
+        return fps_df.select(
+            F.lit(op).alias("op"),
             "media_id",
-            F.lit("image").alias("kind"),
+            F.lit(kind).alias("kind"),
             F.lit(64).cast("long").alias("n_units"),
-            # arithmetic shiftright sign-extends; masking to 32 bits makes
-            # both halves exact non-negative doubles
-            F.shiftright("dhash", 32).bitwiseAND(mask32).cast("double").alias("f1"),
-            F.col("dhash").bitwiseAND(mask32).cast("double").alias("f2"),
+            F.shiftright(fp_col, 32).bitwiseAND(mask32).cast("double").alias("f1"),
+            F.col(fp_col).bitwiseAND(mask32).cast("double").alias("f2"),
         )
+
+    dhash = fp_arm(
+        multimodal.image_dhash(multimodal.synthetic_png_media(spark, n=48)),
+        "dhash", "image", "dhash",
     )
-    return stub.unionAll(png).unionAll(wav).unionAll(dhash)
+    afp = fp_arm(
+        multimodal.audio_fingerprint(multimodal.synthetic_wav_media(spark, n=32)),
+        "afp", "audio", "afp",
+    )
+    return stub.unionAll(png).unionAll(wav).unionAll(dhash).unionAll(afp)
 
 
 # =====================================================================
