@@ -385,3 +385,63 @@ def test_fuzz_line_protocol_roundtrip(tags, fields, ts_ns):
     for k, v in fields.items():
         want[k] = float(v) if isinstance(v, float) else v
     assert row == want
+
+
+# ------------------------------------------------------ json-flatten fuzz
+_JSON_SCALAR = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=10),
+)
+_JSON_VALUE = st.recursive(
+    _JSON_SCALAR,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.text(
+                alphabet=st.characters(codec="ascii", min_codepoint=33,
+                                       max_codepoint=126,
+                                       exclude_characters="."),
+                min_size=1, max_size=6,
+            ),
+            children,
+            max_size=4,
+        ),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(**_FUZZ)
+@given(obj=st.dictionaries(
+    st.text(alphabet=st.characters(codec="ascii", min_codepoint=33,
+                                   max_codepoint=126, exclude_characters="."),
+            min_size=1, max_size=6),
+    _JSON_VALUE, min_size=0, max_size=4,
+))
+def test_fuzz_flatten_json_total_and_faithful(obj):
+    """flatten_json must be total on arbitrary JSON (no crash), produce
+    only scalar leaves, and preserve every scalar reachable in the input
+    — addressed by its dotted path (reference parser.rs:71-103 array
+    flatten-by-index)."""
+    from cnosdb_spark.sources.json_protocol import flatten_json
+
+    flat = flatten_json("", obj)
+    for v in flat.values():
+        assert v is None or isinstance(v, (bool, int, float, str))
+
+    def walk(name, value, out):
+        if isinstance(value, dict):
+            for k, v in value.items():
+                walk(k if not name else f"{name}.{k}", v, out)
+        elif isinstance(value, list):
+            for idx, v in enumerate(value):
+                walk(f"{name}.{idx}" if name else str(idx), v, out)
+        else:
+            out[name] = value
+
+    want: dict = {}
+    walk("", obj, want)
+    assert flat == want
