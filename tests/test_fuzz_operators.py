@@ -445,3 +445,44 @@ def test_fuzz_flatten_json_total_and_faithful(obj):
     want: dict = {}
     walk("", obj, want)
     assert flat == want
+
+
+@settings(**_FUZZ)
+@given(
+    metric=st.text(alphabet=st.characters(codec="ascii", min_codepoint=33,
+                                          max_codepoint=126,
+                                          exclude_characters="= "),
+                   min_size=1, max_size=8),
+    tags=st.dictionaries(
+        st.text(alphabet=st.characters(codec="ascii", min_codepoint=33,
+                                       max_codepoint=126,
+                                       exclude_characters="= "),
+                min_size=1, max_size=6),
+        st.text(alphabet=st.characters(codec="ascii", min_codepoint=33,
+                                       max_codepoint=126,
+                                       exclude_characters="= "),
+                min_size=1, max_size=6),
+        min_size=1, max_size=3,
+    ),
+    value=st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ts_us=st.integers(min_value=10**14, max_value=10**17 - 1),
+)
+def test_fuzz_open_tsdb_telnet_roundtrip(metric, tags, value, ts_us):
+    """put-line format → parse is the identity (µs-magnitude timestamps
+    ride the heuristic losslessly; OpenTSDB has no escaping, so tokens
+    simply exclude '=' and spaces)."""
+    from datetime import datetime, timedelta
+
+    from cnosdb_spark.sources.open_tsdb import parse_open_tsdb_tcp
+
+    line = f"put {metric} {ts_us} {value!r} " + " ".join(
+        f"{k}={v}" for k, v in sorted(tags.items())
+    )
+    out = parse_open_tsdb_tcp(line)
+    assert set(out) == {metric}
+    rows, tagkeys = out[metric]
+    assert len(rows) == 1 and tagkeys == set(tags)
+    row = dict(rows[0])
+    assert row.pop("time") == datetime(1970, 1, 1) + timedelta(microseconds=ts_us)
+    assert row.pop("value") == float(value)
+    assert row == tags
