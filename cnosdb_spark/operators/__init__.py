@@ -1,1 +1,1 @@
-from . import curation, dedup, multimodal, rollup, scoring, similarity, temporal, text  # noqa: F401
+from . import anomaly, bucketing, curation, dedup, downsample, multimodal, quality_model, rollup, scoring, similarity, skew, temporal, text, tokenizer, zorder  # noqa: F401
