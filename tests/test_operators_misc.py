@@ -1216,3 +1216,42 @@ def test_audio_fingerprint_null_on_non_wav(spark):
     stub = mm.synthetic_media(spark, n=3, seed=42)
     rows = mm.audio_fingerprint(stub).collect()
     assert all(r["afp"] is None for r in rows)
+
+
+def test_fingerprint_near_dup_pairs_equals_bruteforce(spark):
+    """Pigeonhole completeness of the generic banding: with max_hamming <
+    bands, the banded candidate join must recover EXACTLY the brute-force
+    all-pairs within the hamming budget — on clustered random fingerprints
+    (planted near-dups by flipping <=3 bits) and across signed/unsigned
+    64-bit territory."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    fps = {}
+    i = 0
+    for _ in range(12):
+        base = int(rng.integers(0, 1 << 64, dtype=np.uint64))
+        fam = [base]
+        for _ in range(2):  # two near copies, <=3 flipped bits
+            v = base
+            for b in rng.choice(64, size=int(rng.integers(0, 4)), replace=False):
+                v ^= 1 << int(b)
+            fam.append(v)
+        for u in fam:
+            fps[i] = u - (1 << 64) if u >= 1 << 63 else u
+            i += 1
+    df = spark.createDataFrame(
+        [(k, v) for k, v in fps.items()], ["fid", "fp"]
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.fingerprint_near_dup_pairs(
+               df, "fid", "fp", bits=64, bands=8, max_hamming=6
+           ).collect()}
+    want = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin((fps[ids[x]] ^ fps[ids[y]]) & ((1 << 64) - 1)).count("1")
+            if h <= 6:
+                want[(ids[x], ids[y])] = h
+    assert got == want
