@@ -184,3 +184,145 @@ def lines_to_tables(
         data = [tuple(r.get(k) for k in keys) for r in rows]
         out[name] = (spark.createDataFrame(data, schema), tagkeys)
     return out
+
+
+# ----------------------------------------------------- distributed (bulk)
+_SCHEMA_KIND_ORDER = {"bool": 0, "int": 1, "float": 2, "str": 3}
+
+
+def discover_line_schema(lines, line_col: str = "value", precision: str = "ns"):
+    """Pass 1 of the bulk path: distributed schema discovery over a
+    DataFrame of raw line-protocol strings (e.g. ``spark.read.text`` over
+    a backfill dump). Each partition parses its lines and emits the
+    DISTINCT (measurement, key, section, type) tuples; one small keyed
+    aggregation resolves column types. Returns
+    {measurement: (ordered_keys, tag_keys, {key: python_type})}.
+
+    Type conflicts across shards resolve WIDEST-WINS (bool < int < float
+    < str) — deterministic under any partitioning, unlike the driver
+    helper's last-line-wins (documented divergence; conflicting writes
+    are schema errors upstream in the reference anyway)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F, types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("m", T.StringType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("is_tag", T.BooleanType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+
+    def _discover(batches):
+        for pdf in batches:
+            seen = set()
+            for line in pdf[line_col]:
+                line = (line or "").strip()
+                if not line or line.startswith("#"):
+                    continue
+                for m, (rows, tagkeys) in parse_lines_meta(line, precision).items():
+                    for r in rows:
+                        for k, v in r.items():
+                            # NS_RESIDUE_COL rides along as an int field —
+                            # dropping it here would lose ns-distinctness
+                            # under the LWW merge (driver path keeps it)
+                            if k == "time":
+                                continue
+                            kind = (
+                                "bool" if isinstance(v, bool)
+                                else "int" if isinstance(v, int)
+                                else "float" if isinstance(v, float)
+                                else "str"
+                            )
+                            seen.add((m, k, k in tagkeys, kind))
+            yield pd.DataFrame(
+                list(seen), columns=["m", "key", "is_tag", "kind"]
+            )
+
+    dist = lines.mapInPandas(_discover, out_schema).distinct().collect()
+    schemas: dict = {}
+    for r in dist:
+        keys = schemas.setdefault(r["m"], {})
+        prev = keys.get(r["key"])
+        kind = r["kind"]
+        if prev is not None:
+            kind = max(prev[1], kind, key=lambda k: _SCHEMA_KIND_ORDER[k])
+        keys[r["key"]] = (bool(r["is_tag"]), kind)
+    out = {}
+    for m, keys in schemas.items():
+        tagk = {k for k, (is_tag, _) in keys.items() if is_tag}
+        ordered = (
+            ["time"]
+            + sorted(k for k in keys if k in tagk)
+            + sorted(k for k in keys if k not in tagk)
+        )
+        py = {k: {"bool": bool, "int": int, "float": float, "str": str}[kind]
+              for k, (_, kind) in keys.items()}
+        out[m] = (ordered, tagk, py)
+    return out
+
+
+def lines_to_tables_distributed(
+    spark, lines, line_col: str = "value", precision: str = "ns"
+):
+    """Bulk line-protocol ingest, fully distributed — the 100 TB backfill
+    path the driver-side ``lines_to_tables`` (HTTP request bodies) is not:
+    raw lines stay on executors end to end. Two passes per the schemaless
+    contract: distributed schema discovery (``discover_line_schema``, one
+    small shuffle of distinct key tuples), then one ``mapInPandas`` parse
+    per measurement into its fixed schema (a narrow map — lines for other
+    measurements are skipped, so m measurements cost m scans of the raw
+    text, the classic trade against a driver-side schema merge).
+
+    Returns the same {measurement: (DataFrame, tag_keys)} shape as
+    ``lines_to_tables``; parity with the driver path is pytest-pinned."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schemas = discover_line_schema(lines, line_col, precision)
+    spark_t = {bool: T.BooleanType(), int: T.LongType(),
+               float: T.DoubleType(), str: T.StringType()}
+    out = {}
+    for m, (ordered, tagkeys, py) in schemas.items():
+        fields = [T.StructField("time", T.TimestampType(), False)] + [
+            T.StructField(k, spark_t[py[k]], True) for k in ordered[1:]
+        ]
+        schema = T.StructType(fields)
+
+        def _parse(batches, _m=m, _ordered=tuple(ordered), _py=dict(py)):
+            for pdf in batches:
+                rows = []
+                for line in pdf[line_col]:
+                    line = (line or "").strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    for mm, (rws, _tk) in parse_lines_meta(line, precision).items():
+                        if mm != _m:
+                            continue
+                        for r in rws:
+                            rows.append(
+                                tuple(
+                                    _coerce_kind(r.get(k), _py.get(k))
+                                    if k != "time" else r["time"]
+                                    for k in _ordered
+                                )
+                            )
+                yield pd.DataFrame(rows, columns=list(_ordered))
+
+        out[m] = (lines.mapInPandas(_parse, schema), set(tagkeys))
+    return out
+
+
+def _coerce_kind(v, py):
+    """Widen a parsed value to the resolved column type (int → float when
+    another shard saw floats; anything → str when strings won)."""
+    if v is None or py is None:
+        return v
+    if py is float and isinstance(v, int) and not isinstance(v, bool):
+        return float(v)
+    if py is str and not isinstance(v, str):
+        return str(v).lower() if isinstance(v, bool) else str(v)
+    return v

@@ -347,3 +347,59 @@ def test_prometheus_remote_read(eng):
     )
     with _pytest.raises(ValueError, match="table not found"):
         eng.read_prometheus(bad)
+
+
+def test_lines_to_tables_distributed_parity(spark):
+    """The bulk executor-side parse must produce the same tables the
+    driver-side helper does (same rows, tags, schema) — here on a corpus
+    without cross-shard type conflicts, where the two paths' type rules
+    coincide."""
+    from cnosdb_spark.sources.line_protocol import (
+        lines_to_tables,
+        lines_to_tables_distributed,
+    )
+
+    text_lines = [
+        'weather,city=sf,station=a temp=13.5,hum=71i 1700000000000000000',
+        'weather,city=la temp=21.0 1700000000500000000',
+        'weather,city=sf,station=b temp=12.25,ok=true 1700000001000000000',
+        'cpu,host=h1 usage=0.55,label="idle" 1700000002000000000',
+        'cpu,host=h2 usage=0.85 1700000002500000000',
+        # sub-microsecond residue must survive the bulk path too
+        'cpu,host=h3 usage=0.15 1700000002500000777',
+        '# a comment line',
+        '',
+    ]
+    driver = lines_to_tables(spark, "\n".join(text_lines))
+    lines_df = spark.createDataFrame(
+        [(ln,) for ln in text_lines], ["value"]
+    ).repartition(4)
+    dist = lines_to_tables_distributed(spark, lines_df)
+
+    assert set(driver) == set(dist) == {"weather", "cpu"}
+    for m in driver:
+        ddf, dtags = driver[m]
+        xdf, xtags = dist[m]
+        assert dtags == xtags
+        assert dict(ddf.dtypes) == dict(xdf.dtypes)
+        key = [c for c in ddf.columns]
+        a = sorted(tuple(r) for r in ddf.collect())
+        b = sorted(tuple(r) for r in xdf.collect())
+        assert a == b
+
+
+def test_distributed_schema_widens_across_shards(spark):
+    """Cross-shard type conflict: int in one shard, float in another →
+    widest-wins (float column), values coerced — deterministic under any
+    partitioning (the driver helper is last-line-wins; divergence is
+    documented)."""
+    from cnosdb_spark.sources.line_protocol import lines_to_tables_distributed
+
+    lines_df = spark.createDataFrame(
+        [("m1 v=3i 1700000000000000000",),
+         ("m1 v=4.5 1700000001000000000",)],
+        ["value"],
+    ).repartition(2)
+    (df, tags), = lines_to_tables_distributed(spark, lines_df).values()
+    assert dict(df.dtypes)["v"] == "double"
+    assert sorted(r["v"] for r in df.collect()) == [3.0, 4.5]
