@@ -5,10 +5,12 @@ the api/v1/write endpoint main/src/http/http_service.rs:484). Schemaless
 writes auto-create tables/columns; tags are strings, fields are
 float/int/uint/bool/string, timestamp is an integer suffix.
 
-Spark-first: parse on the driver for small payloads or distribute via an
-RDD→DataFrame path for bulk; output is one DataFrame per measurement with
-columns time + tags + fields ready for Catalog.insert (which performs the
-schema merge / auto-create).
+Spark-first: parse on the driver for small payloads (HTTP request
+bodies, ``lines_to_tables``) or fully distributed for bulk backfills
+(``lines_to_tables_distributed``: executor-side schema discovery +
+mapInPandas parse — raw text never reaches the driver); output is one
+DataFrame per measurement with columns time + tags + fields ready for
+Catalog.insert (which performs the schema merge / auto-create).
 """
 
 from __future__ import annotations
