@@ -1275,6 +1275,19 @@ def ingest_protocol_roundtrip(spark, sf_dir):
         )
         .collect()
     )
+    # The oracle counts raw source rows, but the engine's LWW merge keys on
+    # (time, tags): two events sharing (user_id, event_type) within the same
+    # millisecond would collapse under the prometheus arm (ms wire
+    # precision) and fail the row on correct code. Assert the slice is
+    # collision-free at ms granularity (which implies µs for the other
+    # arms) so a testdata change surfaces as a loud error here rather than
+    # a data-dependent hash mismatch downstream.
+    ms_keys = {(r["user_id"], r["event_type"], r["us"] // 1000) for r in rows}
+    assert len(ms_keys) == len(rows), (
+        "ingest_protocol_roundtrip: event slice has (user_id, event_type) "
+        "ms-timestamp collisions; the LWW merge would collapse rows the "
+        "oracle counts — pick a collision-free slice"
+    )
     eng = Engine(spark, tempfile.mkdtemp(prefix="ingest_rt_"))
 
     lp = "\n".join(

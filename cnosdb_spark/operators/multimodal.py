@@ -515,8 +515,21 @@ def dhash_from_gray(arr: np.ndarray, grid: int = 8) -> int:
     cell[r, c]. A uniform brightness shift preserves every comparison, so
     re-encodes / gamma-shifted copies collapse to hamming 0-ish. Returned
     as SIGNED int64 (two's complement wrap) so it stores in a Spark
-    LongType."""
+    LongType.
+
+    Images smaller than the pooling grid (h < grid or w < grid+1) are
+    nearest-neighbor upscaled via np.repeat first: otherwise array_split
+    yields empty groups whose mean is NaN, forcing those bits to 0 —
+    unrelated tiny images would then share many forced-zero bits and
+    inflate false-positive near-dup pairs."""
     a = arr.astype(np.float64)
+    h, w = a.shape[0], a.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if h < grid:
+        a = np.repeat(a, -(-grid // h), axis=0)
+    if w < grid + 1:
+        a = np.repeat(a, -(-(grid + 1) // w), axis=1)
     rows = np.array_split(a, grid, axis=0)
     cells = np.array(
         [[c.mean() for c in np.array_split(r, grid + 1, axis=1)] for r in rows]

@@ -100,8 +100,15 @@ def train_bpe(
     no pair occurs twice. Deterministic: frequency ties break on the
     lexicographically smallest pair.
 
+    Best-pair selection uses a lazy max-heap with stale-entry skipping
+    (the standard BPE-trainer structure): each merge costs
+    O(affected words + log live-pairs) instead of a full O(live pairs)
+    scan, so n_merges=32k over a million-word table stays tractable.
+
     Returns {"merges": [(a, b), ...], "vocab": [token, ...]} where vocab
     is the base alphabet plus one token per merge, in learn order."""
+    import heapq
+
     if isinstance(counts, DataFrame):
         rows = counts.select("word", "n").collect()
         table = [(r["word"], int(r["n"])) for r in rows]
@@ -117,35 +124,57 @@ def train_bpe(
     # it (so a merge only rescans affected words, not the whole table)
     pair_freq: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
+    # lazy max-heap of (-freq, pair); entries go stale when a merge changes
+    # a pair's frequency — the pop loop discards any entry whose recorded
+    # freq no longer matches pair_freq. heapq is a min-heap, so (-freq,
+    # pair) pops the highest frequency, ties broken on the lexicographically
+    # smallest pair — identical ordering to the full-scan argmax.
+    heap: list[tuple[int, tuple[str, str]]] = []
 
     def _add_word(idx: int, sign: int) -> None:
         syms, n = words[idx], freqs[idx]
         for a, b in zip(syms, syms[1:]):
-            pair_freq[(a, b)] = pair_freq.get((a, b), 0) + sign * n
+            new = pair_freq.get((a, b), 0) + sign * n
+            if new > 0:
+                pair_freq[(a, b)] = new
+            else:
+                pair_freq.pop((a, b), None)
             if sign > 0:
                 pair_words.setdefault((a, b), set()).add(idx)
+                heapq.heappush(heap, (-new, (a, b)))
+            # decreases leave a stale (too-large) heap entry; the pop loop
+            # skips it because pair_freq no longer matches
 
     for i in range(len(words)):
         _add_word(i, +1)
+    heap = [(-n, p) for p, n in pair_freq.items()]
+    heapq.heapify(heap)
 
     alphabet = sorted({s for w in words for s in w})
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best: tuple[str, str] | None = None
-        best_n = 1  # a pair must occur at least twice to be worth a merge
-        for p, n in pair_freq.items():
-            if n > best_n or (n == best_n and best is not None and p < best):
-                best, best_n = p, n
+        while heap:
+            negn, p = heap[0]
+            cur = pair_freq.get(p, 0)
+            if cur != -negn:
+                heapq.heappop(heap)
+                if cur > 1:
+                    heapq.heappush(heap, (-cur, p))  # refresh, re-sift
+                continue
+            if cur <= 1:  # a pair must occur at least twice to merge
+                heapq.heappop(heap)
+                continue
+            best = p
+            break
         if best is None:
             break
         merges.append(best)
-        for idx in sorted(pair_words.get(best, ())):
+        for idx in sorted(pair_words.pop(best, ())):
             _add_word(idx, -1)
             words[idx] = _merge_word(words[idx], best)
             _add_word(idx, +1)
-        # drop zeroed pairs so the argmin stays O(live pairs)
-        pair_freq = {p: n for p, n in pair_freq.items() if n > 0}
-        pair_words = {p: s for p, s in pair_words.items() if p in pair_freq}
+        pair_freq.pop(best, None)
 
     return {"merges": merges, "vocab": alphabet + [a + b for a, b in merges]}
 

@@ -203,7 +203,10 @@ def discover_line_schema(lines, line_col: str = "value", precision: str = "ns"):
     Type conflicts across shards resolve WIDEST-WINS (bool < int < float
     < str) — deterministic under any partitioning, unlike the driver
     helper's last-line-wins (documented divergence; conflicting writes
-    are schema errors upstream in the reference anyway)."""
+    are schema errors upstream in the reference anyway). A key seen as a
+    tag in one line and a field in another resolves TAG-WINS (tags are
+    strings, so the type also widens to str) — again deterministic,
+    where the driver helper keeps the last line's role."""
     import pandas as pd
 
     from pyspark.sql import functions as F, types as T
@@ -249,9 +252,15 @@ def discover_line_schema(lines, line_col: str = "value", precision: str = "ns"):
         keys = schemas.setdefault(r["m"], {})
         prev = keys.get(r["key"])
         kind = r["kind"]
+        is_tag = bool(r["is_tag"])
         if prev is not None:
             kind = max(prev[1], kind, key=lambda k: _SCHEMA_KIND_ORDER[k])
-        keys[r["key"]] = (bool(r["is_tag"]), kind)
+            # tag-wins on a tag/field role conflict (order-independent);
+            # tags are strings, so the type widens to str alongside
+            is_tag = prev[0] or is_tag
+        if is_tag:
+            kind = "str"
+        keys[r["key"]] = (is_tag, kind)
     out = {}
     for m, keys in schemas.items():
         tagk = {k for k, (is_tag, _) in keys.items() if is_tag}
@@ -323,6 +332,13 @@ def _coerce_kind(v, py):
     another shard saw floats; anything → str when strings won)."""
     if v is None or py is None:
         return v
+    if isinstance(v, bool):
+        # bool < int < float widening makes both conflicts reachable
+        # (one shard writes v=true, another v=3i or v=3.5)
+        if py is int:
+            return int(v)
+        if py is float:
+            return float(v)
     if py is float and isinstance(v, int) and not isinstance(v, bool):
         return float(v)
     if py is str and not isinstance(v, str):

@@ -1104,10 +1104,16 @@ def test_dhash_matches_loop_reference_and_decode_chain(spark):
         h, w = 6 + (i % 7), 8 + (i % 5)
         arrays.append(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
 
-    # independent reference: explicit-loop pooling + comparisons
+    # independent reference: explicit-loop pooling + comparisons (incl.
+    # the nearest-neighbor upscale for images smaller than the grid)
     def ref_dhash(a):
         a = a.astype(float)
         g = 8
+        h, w = a.shape
+        if h < g:
+            a = np.repeat(a, -(-g // h), axis=0)
+        if w < g + 1:
+            a = np.repeat(a, -(-(g + 1) // w), axis=1)
         row_splits = np.array_split(a, g, axis=0)
         cells = [[float(np.mean(c)) for c in np.array_split(r, g + 1, axis=1)]
                  for r in row_splits]
@@ -1126,6 +1132,36 @@ def test_dhash_matches_loop_reference_and_decode_chain(spark):
     got = {r["media_id"]: r["dhash"]
            for r in mm.image_dhash(media).collect()}
     assert got == {i: ref_dhash(a) for i, a in enumerate(arrays)}
+
+
+def test_dhash_small_images_no_forced_zero_bits():
+    """Images smaller than the 8x9 pooling grid used to produce empty
+    array_split groups (NaN means → forced-zero bits shared by unrelated
+    tiny images). The nearest-neighbor upscale removes the degeneracy:
+    a tiny image hashes identically to its explicitly np.repeat-upscaled
+    self, and distinct random 4x4 images no longer cluster at tiny
+    hamming distances."""
+    import numpy as np
+
+    from cnosdb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    tiny = [rng.integers(0, 256, size=(4, 4), dtype=np.uint8) for _ in range(8)]
+    for a in tiny:
+        up = np.repeat(np.repeat(a, 2, axis=0), 3, axis=1)  # 8 x 12
+        assert mm.dhash_from_gray(a) == mm.dhash_from_gray(up)
+    # distinct 4x4 randoms: 16 comparable cells after upscale → expect
+    # hamming spread well above the old forced-zero floor
+    hs = []
+    for x in range(len(tiny)):
+        for y in range(x + 1, len(tiny)):
+            d = (mm.dhash_from_gray(tiny[x]) ^ mm.dhash_from_gray(tiny[y]))
+            hs.append(bin(d & ((1 << 64) - 1)).count("1"))
+    assert min(hs) > 0 and sum(hs) / len(hs) > 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mm.dhash_from_gray(np.zeros((0, 5)))
 
 
 def test_image_near_dup_pairs_finds_shifted_copies(spark):

@@ -403,3 +403,46 @@ def test_distributed_schema_widens_across_shards(spark):
     (df, tags), = lines_to_tables_distributed(spark, lines_df).values()
     assert dict(df.dtypes)["v"] == "double"
     assert sorted(r["v"] for r in df.collect()) == [3.0, 4.5]
+
+
+def test_distributed_schema_bool_conflicts(spark):
+    """bool<int<float widening makes bool/int and bool/float conflicts
+    reachable across shards; the bool values must coerce (Python bools
+    into a LongType/DoubleType column can't rely on an implicit Arrow
+    cast)."""
+    from cnosdb_spark.sources.line_protocol import lines_to_tables_distributed
+
+    lines_df = spark.createDataFrame(
+        [("m1 v=true,w=false 1700000000000000000",),
+         ("m1 v=3i,w=2.5 1700000001000000000",)],
+        ["value"],
+    ).repartition(2)
+    (df, tags), = lines_to_tables_distributed(spark, lines_df).values()
+    types = dict(df.dtypes)
+    assert types["v"] == "bigint" and types["w"] == "double"
+    rows = sorted((r["v"], r["w"]) for r in df.collect())
+    assert rows == [(1, 0.0), (3, 2.5)]
+
+
+def test_distributed_schema_tag_field_conflict_tag_wins(spark):
+    """A key seen as a tag in one shard and a field in another resolves
+    TAG-WINS deterministically (and the type widens to str, since tags
+    are strings) — regardless of which shard's distinct rows arrive
+    first."""
+    from cnosdb_spark.sources.line_protocol import (
+        discover_line_schema,
+        lines_to_tables_distributed,
+    )
+
+    text = [("m1,role=a v=1i 1700000000000000000",),
+            ("m1 role=7i,v=2i 1700000001000000000",)]
+    for perm in (text, text[::-1]):
+        lines_df = spark.createDataFrame(perm, ["value"]).repartition(2)
+        schemas = discover_line_schema(lines_df)
+        ordered, tagkeys, py = schemas["m1"]
+        assert "role" in tagkeys
+        assert py["role"] is str
+        (df, tags), = lines_to_tables_distributed(spark, lines_df).values()
+        assert "role" in tags
+        assert dict(df.dtypes)["role"] == "string"
+        assert sorted(r["role"] for r in df.collect()) == ["7", "a"]
