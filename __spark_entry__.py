@@ -2835,6 +2835,60 @@ def _afp_oracle_values(n: int = 32, seed: int = 11) -> str:
     return ",\n    ".join(vals)
 
 
+def _dhash_pairs_oracle(
+    cap: int = 20, bands: int = 4, bits: int = 64, max_ham: int = 6
+) -> str:
+    """Oracle for the dh_pairs/dh_drop arms: the dHash fingerprints are
+    recomputed at import from the SAME seeded template-heavy arrays
+    synthetic_template_png_media encodes (ground truth never touching
+    PNG), but the ENTIRE banding pipeline — chunk extraction, bucket
+    sizing, the max_bucket_size hot-bucket ceiling, pair expansion and
+    the exact-hamming verify — is re-derived in SQL, so the ceiling's
+    drop logic in dedup.fingerprint_near_dup_pairs is differentially
+    verified, the same contract as _near_dup_oracle for the sign-LSH
+    path. DuckDB's >> is arithmetic and xor/bit_count use two's
+    complement, matching Spark's shiftright/bitwiseXOR/bit_count on
+    signed 64-bit fingerprints (mask makes sign-extension irrelevant)."""
+    from cnosdb_spark.operators.multimodal import (
+        dhash_from_gray,
+        template_png_arrays,
+    )
+
+    fps = {i: dhash_from_gray(a) for i, a in sorted(template_png_arrays().items())}
+    vals = ",\n    ".join(f"({i}, {fp})" for i, fp in fps.items())
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+    WITH fp(media_id, fpv) AS (VALUES
+    {vals}),
+    ch AS (SELECT media_id, fpv, b.b AS band,
+                  ((fpv >> (b.b * {chunk})) & {mask}) AS chunkv
+           FROM fp, (VALUES {band_rows}) AS b(b)),
+    sz AS (SELECT band, chunkv, count(*) AS n FROM ch GROUP BY band, chunkv),
+    keep AS (SELECT ch.media_id, ch.fpv, ch.band, ch.chunkv
+             FROM ch JOIN sz USING (band, chunkv) WHERE sz.n <= {cap}),
+    cand AS (SELECT DISTINCT a.media_id AS id_a, a.fpv AS fa,
+                    b.media_id AS id_b, b.fpv AS fb
+             FROM keep a JOIN keep b
+             ON a.band = b.band AND a.chunkv = b.chunkv
+                AND a.media_id < b.media_id),
+    pairs AS (SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+              FROM cand WHERE bit_count(xor(fa, fb)) <= {max_ham}),
+    hist AS (SELECT count(*) FILTER (WHERE n > {cap}) AS n_hot,
+                    count(*) FILTER (WHERE n >= 2 AND n <= {cap}) AS n_kept
+             FROM sz)
+    SELECT 'dh_pairs' AS op, CAST(id_a AS BIGINT) AS media_id,
+           'image' AS kind, CAST(id_b AS BIGINT) AS n_units,
+           CAST(hamming AS DOUBLE) AS f1, CAST(NULL AS DOUBLE) AS f2
+    FROM pairs
+    UNION ALL
+    SELECT 'dh_drop', CAST(-1 AS BIGINT), 'image', CAST(n_hot AS BIGINT),
+           CAST(n_kept AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM hist
+    """
+
+
 @_q(
     "multimodal_features",
     f"""
@@ -2850,6 +2904,11 @@ def _afp_oracle_values(n: int = 32, seed: int = 11) -> str:
     --  * dhash: perceptual image fingerprint (decode -> 8x9 mean-pool ->
     --    gradient-sign hash, operators/multimodal.py image_dhash) split
     --    into exact 32-bit halves; same ground-truth-from-arrays contract
+    --  * dh_pairs/dh_drop: full image near-dup banding with an ACTIVE
+    --    max_bucket_size hot-bucket ceiling over a template-heavy corpus;
+    --    the oracle re-derives banding+ceiling+verify in SQL
+    SELECT * FROM ({_dhash_pairs_oracle()})
+    UNION ALL
     SELECT 'dhash' AS op, CAST(media_id AS BIGINT) AS media_id,
            'image' AS kind, CAST(64 AS BIGINT) AS n_units,
            CAST(hi AS DOUBLE) AS f1, CAST(lo AS DOUBLE) AS f2
@@ -2971,7 +3030,20 @@ def multimodal_features(spark, sf_dir):
     - afp (round 7): the audio-dedup fingerprint (audio_fingerprint:
       WAV decode → 17-window FFT → 4 log-band energy deltas,
       Haitsma-Kalker), the hashing half of audio_near_dup_pairs, same
-      32-bit-halves emission.
+      32-bit-halves emission;
+    - dh_pairs + dh_drop (round 8): the FULL image near-dup pipeline
+      (image_near_dup_pairs: decode → dhash → hamming banding →
+      max_bucket_size ceiling → exact-hamming verify) over a
+      template-heavy corpus (synthetic_template_png_media) where the
+      ceiling is ACTIVE: 4 hot buckets of 23-28 near-identical template
+      variants are dropped before pair expansion (suppressing their
+      ~435 in-bucket pairs — the quadratic blowup the ceiling exists to
+      stop) while a 4-member family under the cap survives with hamming
+      0-3 pairs. dh_drop reports (n hot buckets dropped, n kept
+      expandable buckets) from dedup.fingerprint_band_stats. The oracle
+      (_dhash_pairs_oracle) re-derives banding, bucket sizes, the
+      ceiling and the verify in SQL — only the fingerprints themselves
+      come from the shared ground-truth arrays.
 
     Both codec arms' oracles recompute expectations from the same seeded
     arrays without ever touching PNG/WAV bytes, so a decoder bug or a
@@ -3026,7 +3098,40 @@ def multimodal_features(spark, sf_dir):
         multimodal.audio_fingerprint(multimodal.synthetic_wav_media(spark, n=32)),
         "afp", "audio", "afp",
     )
-    return stub.unionAll(png).unionAll(wav).unionAll(dhash).unionAll(afp)
+
+    tpl = multimodal.synthetic_template_png_media(spark)
+    dh_pairs = multimodal.image_near_dup_pairs(
+        tpl, bands=4, max_hamming=6, max_bucket_size=20
+    ).select(
+        F.lit("dh_pairs").alias("op"),
+        F.col("id_a").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("id_b").cast("long").alias("n_units"),
+        F.col("hamming").cast("double").alias("f1"),
+        F.lit(None).cast("double").alias("f2"),
+    )
+    dh_drop = (
+        dedup.fingerprint_band_stats(
+            multimodal.image_dhash(tpl).filter(F.col("dhash").isNotNull()),
+            "media_id", "dhash", bits=64, bands=4,
+        )
+        .agg(
+            F.count(F.when(F.col("n") > 20, 1)).cast("long").alias("n_hot"),
+            F.count(F.when(F.col("n") <= 20, 1)).cast("double").alias("n_kept"),
+        )
+        .select(
+            F.lit("dh_drop").alias("op"),
+            F.lit(-1).cast("long").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("n_hot").alias("n_units"),
+            F.col("n_kept").alias("f1"),
+            F.lit(None).cast("double").alias("f2"),
+        )
+    )
+    return (
+        stub.unionAll(png).unionAll(wav).unionAll(dhash).unionAll(afp)
+        .unionAll(dh_pairs).unionAll(dh_drop)
+    )
 
 
 # =====================================================================

@@ -294,38 +294,34 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: band the fingerprint into ``bands`` chunks — two
     docs within hamming distance < bands must share ≥1 exact chunk
     (pigeonhole) — equi-join on chunks, then verify exact hamming ≤
-    ``max_hamming`` via bit_count(xor)."""
+    ``max_hamming`` via bit_count(xor). ``max_bucket_size`` is the
+    hot-bucket ceiling (boilerplate-template corpora); see
+    fingerprint_near_dup_pairs."""
     fps = simhash(df, text_col, id_col, bits)
     return fingerprint_near_dup_pairs(
-        fps, "_id", "simhash", bits=bits, bands=bands, max_hamming=max_hamming
+        fps, "_id", "simhash", bits=bits, bands=bands, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )
 
 
-def fingerprint_near_dup_pairs(
-    fps: DataFrame,
-    id_col: str,
-    fp_col: str,
-    bits: int = 32,
-    bands: int = 4,
-    max_hamming: int = 3,
+def _fingerprint_chunks(
+    fps: DataFrame, id_col: str, fp_col: str, bits: int, bands: int
 ) -> DataFrame:
-    """Generic hamming-banded near-dup over ANY integer fingerprint column
-    (SimHash, image dHash, audio chromaprint-style hashes, ...): band the
-    ``bits``-bit fingerprint into ``bands`` chunks — two fingerprints
-    within hamming distance < bands must share ≥1 exact chunk
-    (pigeonhole) — equi-join on chunks, then verify exact hamming ≤
-    ``max_hamming`` via bit_count(xor). Arithmetic shiftright + mask
-    extracts chunks correctly for signed 64-bit fingerprints too."""
+    """Explode a ``bits``-bit integer fingerprint into its ``bands`` band
+    chunks: (_id, simhash, _bucket) with _bucket = 'band:chunk_value'.
+    Arithmetic shiftright + mask extracts chunks correctly for signed
+    64-bit fingerprints (the mask makes sign-extension irrelevant)."""
     chunk = bits // bands
     mask = (1 << chunk) - 1
     fps = fps.select(
         F.col(id_col).alias("_id"), F.col(fp_col).cast("long").alias("simhash")
     )
-    keyed = fps.select(
+    return fps.select(
         "_id",
         "simhash",
         F.explode(
@@ -341,6 +337,58 @@ def fingerprint_near_dup_pairs(
             )
         ).alias("_bucket"),
     )
+
+
+def fingerprint_band_stats(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Band-bucket size histogram for a fingerprint corpus: (bucket, n),
+    one row per non-singleton chunk bucket. The sizing input for
+    ``fingerprint_near_dup_pairs``'s ``max_bucket_size`` ceiling — and
+    the evidence that a chosen ceiling is actually dropping the hot
+    buckets it claims to."""
+    return (
+        _fingerprint_chunks(fps, id_col, fp_col, bits, bands)
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(F.col("_bucket").alias("bucket"), "n")
+    )
+
+
+def fingerprint_near_dup_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Generic hamming-banded near-dup over ANY integer fingerprint column
+    (SimHash, image dHash, audio chromaprint-style hashes, ...): band the
+    ``bits``-bit fingerprint into ``bands`` chunks — two fingerprints
+    within hamming distance < bands must share ≥1 exact chunk
+    (pigeonhole) — equi-join on chunks, then verify exact hamming ≤
+    ``max_hamming`` via bit_count(xor). Arithmetic shiftright + mask
+    extracts chunks correctly for signed 64-bit fingerprints too.
+
+    ``max_bucket_size`` (default None = unbounded) drops chunk buckets
+    holding more than that many fingerprints BEFORE pair expansion — the
+    same deterministic hot-bucket ceiling as
+    ``embedding_near_dup_pairs``: in-bucket expansion is quadratic in
+    bucket size, and a template-heavy corpus (screenshots, near-identical
+    thumbnails, silence-heavy audio) concentrates one chunk value so a
+    single hot bucket dominates the whole job. Dropping a bucket weakens
+    the pigeonhole guarantee for pairs ALL of whose shared chunks are
+    hot (a cluster of >max_bucket_size mutual near-dups loses its
+    pairs); pairs with any colder shared chunk still meet there. Set it
+    to a few thousand at 100 TB."""
+    keyed = _fingerprint_chunks(fps, id_col, fp_col, bits, bands)
     # per-bucket combination expansion instead of a self-join: the banded
     # self-join re-executes the 32-agg simhash pipeline for both sides
     # (no cross-alias exchange reuse); one groupBy computes it once, and
@@ -365,11 +413,15 @@ def fingerprint_near_dup_pairs(
             ),
         )
     )
-    cand = (
+    buckets = (
         keyed.groupBy("_bucket")
         .agg(items.alias("_items"))
         .where(F.size("_items") >= 2)
-        .select(F.explode(pair_expr).alias("_p"))
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_items") <= max_bucket_size)
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("_p"))
         .select("_p.id_a", "_p.id_b", "_p._fa", "_p._fb")
         .distinct()
     )

@@ -422,6 +422,65 @@ def synthetic_png_media(spark, n: int = 48, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def template_png_arrays(
+    seed: int = 19,
+    n_random: int = 20,
+    n_hot: int = 30,
+    n_small: int = 4,
+) -> dict:
+    """Deterministic template-heavy grayscale corpus for exercising the
+    hot-bucket ceiling of the fingerprint near-dup banding:
+
+    - ids 0..n_random-1: independent random 16x20 images (background);
+    - ids 100..100+n_hot-1: single-pixel perturbations of ONE template —
+      the screenshot/thumbnail degenerate case that concentrates a chunk
+      value into a bucket of ~n_hot members;
+    - ids 200..200+n_small-1: perturbations of a second template — a
+      small near-dup family that stays under a reasonable ceiling.
+
+    Reproducible from the arguments alone so an oracle can recompute the
+    fingerprints without touching PNG bytes."""
+    rng = np.random.default_rng(seed)
+    arrays = {}
+    for i in range(n_random):
+        arrays[i] = rng.integers(0, 256, size=(16, 20), dtype=np.uint8)
+    hot = rng.integers(0, 256, size=(16, 20), dtype=np.uint8)
+    for j in range(n_hot):
+        a = hot.copy()
+        r, c = (j * 2) % 14, (j * 3) % 17
+        # a 2x3 block shift flips a few gradient signs — variants spread
+        # over small nonzero hamming distances but still share the
+        # template's untouched chunks (the hot buckets)
+        a[r : r + 2, c : c + 3] = (a[r : r + 2, c : c + 3] + 96) % 256
+        arrays[100 + j] = a
+    small = rng.integers(0, 256, size=(16, 20), dtype=np.uint8)
+    for j in range(n_small):
+        a = small.copy()
+        r, c = (j * 2) % 14, (j * 5) % 17
+        a[r : r + 2, c : c + 2] = (a[r : r + 2, c : c + 2] + 64) % 256
+        arrays[200 + j] = a
+    return arrays
+
+
+def synthetic_template_png_media(spark, seed: int = 19, **kwargs) -> DataFrame:
+    """``template_png_arrays`` encoded to valid PNGs as a media table —
+    the input for driving ``image_near_dup_pairs`` with an ACTIVE
+    ``max_bucket_size`` ceiling end-to-end (decode → dhash → banding →
+    ceiling → verify)."""
+    rows = []
+    for mid, arr in sorted(template_png_arrays(seed, **kwargs).items()):
+        h, w = arr.shape
+        rows.append(
+            (
+                mid,
+                "image",
+                bytearray(png_encode_gray(arr)),
+                {"mime": "image/png", "width": w, "height": h, "duration_ms": None},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 _RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -587,6 +646,7 @@ def image_near_dup_pairs(
     bands: int = 8,
     max_hamming: int = 6,
     grid: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Perceptual image near-dup pairs: dHash fingerprints → the generic
     hamming-banded candidate join (operators/dedup.py
@@ -595,7 +655,10 @@ def image_near_dup_pairs(
     ``max_hamming`` and must share a band chunk (pigeonhole), so the
     candidate set is bucket-bounded, never all-pairs. 100 TB shape:
     hashing is a narrow decode pass, the join is one equi-join on
-    (band, chunk)."""
+    (band, chunk). ``max_bucket_size`` is the hot-bucket ceiling —
+    screenshot/thumbnail-template corpora concentrate chunk values, and
+    in-bucket pair expansion is quadratic in bucket size; see
+    fingerprint_near_dup_pairs."""
     from .dedup import fingerprint_near_dup_pairs
 
     fps = image_dhash(df, id_col, payload_col, grid).filter(
@@ -603,7 +666,7 @@ def image_near_dup_pairs(
     )
     return fingerprint_near_dup_pairs(
         fps, "media_id", "dhash", bits=grid * grid, bands=bands,
-        max_hamming=max_hamming,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
     )
 
 
@@ -692,11 +755,14 @@ def audio_near_dup_pairs(
     payload_col: str = "payload",
     lsh_bands: int = 8,
     max_hamming: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs: fingerprints → the generic hamming-banded
     candidate join (dedup.fingerprint_near_dup_pairs) — re-encoded or
     gain-shifted copies land within ``max_hamming`` and must share a
-    band chunk, so candidates stay bucket-bounded, never all-pairs."""
+    band chunk, so candidates stay bucket-bounded, never all-pairs.
+    ``max_bucket_size`` is the hot-bucket ceiling (silence-heavy audio
+    concentrates fingerprints); see fingerprint_near_dup_pairs."""
     from .dedup import fingerprint_near_dup_pairs
 
     fps = audio_fingerprint(df, id_col, payload_col).filter(
@@ -704,5 +770,5 @@ def audio_near_dup_pairs(
     )
     return fingerprint_near_dup_pairs(
         fps, "media_id", "afp", bits=64, bands=lsh_bands,
-        max_hamming=max_hamming,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
     )

@@ -183,6 +183,57 @@ def _centroid_refine(spark, sf_dir):
     )
 
 
+def _image_near_dup_hot(spark, sf_dir):
+    """Round-8 degenerate hot-bucket corpus for the GENERIC fingerprint
+    banding: half the images are single-template variants (the
+    screenshot/near-identical-thumbnail case), so every template chunk
+    bucket holds ~corpus/2 members and uncapped in-bucket pair expansion
+    is quadratic (~(N/2)^2 pairs — 100x more at 10x data). With
+    max_bucket_size=64 the hot buckets are dropped before expansion and
+    the whole job (distributed PNG encode -> decode -> dhash -> banding)
+    must scale ~linearly. Corpus = |documents| / 5 images, generated
+    executor-side from seeds (nothing driver-side)."""
+    import pandas as pd
+    import numpy as np
+
+    from cnosdb_spark.operators import multimodal as mm
+    from cnosdb_spark.session import read_table
+    from pyspark.sql import types as T
+
+    n_imgs = max(read_table(spark, sf_dir, "documents").count() // 5, 200)
+    ids = spark.range(n_imgs).repartition(32)
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _gen(batches):
+        template = np.random.default_rng(77).integers(
+            0, 256, size=(16, 20), dtype=np.uint8
+        )
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 2 == 0:  # hot half: tiny block shift of template
+                    a = template.copy()
+                    r, c = (mid // 2) % 14, (mid * 3 // 2) % 17
+                    a[r : r + 2, c : c + 3] = (a[r : r + 2, c : c + 3] + 96) % 256
+                else:  # cold half: independent random images
+                    a = np.random.default_rng(1000 + mid).integers(
+                        0, 256, size=(16, 20), dtype=np.uint8
+                    )
+                rows.append((mid, mm.png_encode_gray(a)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = ids.mapInPandas(_gen, media_schema)
+    return mm.image_near_dup_pairs(
+        media, bands=4, max_hamming=6, max_bucket_size=64
+    )
+
+
 CUSTOM = {
     "near_dup_prod_cfg": _near_dup_scale_cfg,
     "near_dup_demo_capped": _near_dup_demo_capped,
@@ -192,11 +243,17 @@ CUSTOM = {
     "bpe_count_tokens": _bpe_count_tokens,
     "shuffle_export_shards": _shuffle_export_shards,
     "centroid_refine_2iter": _centroid_refine,
+    "image_near_dup_hot": _image_near_dup_hot,
 }
 
 # arms whose output row count is evidence (recall cost of the ceiling);
 # counted once per scale, recorded next to the wall times
-COUNT_ROWS = ["near_dup_prod_cfg", "near_dup_demo_capped", "near_dup_prod_capped"]
+COUNT_ROWS = [
+    "near_dup_prod_cfg",
+    "near_dup_demo_capped",
+    "near_dup_prod_capped",
+    "image_near_dup_hot",
+]
 
 PLAN_QUERIES = ["tpch_q3_shipping_priority", "tpch_q5_local_supplier"]
 

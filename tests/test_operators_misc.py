@@ -1291,3 +1291,61 @@ def test_fingerprint_near_dup_pairs_equals_bruteforce(spark):
             if h <= 6:
                 want[(ids[x], ids[y])] = h
     assert got == want
+
+
+def test_fingerprint_max_bucket_size_ceiling(spark):
+    """Hot-bucket ceiling on the generic banding (the template-heavy
+    degenerate case): the capped run drops exactly the pairs whose EVERY
+    shared chunk bucket exceeds the cap, reproduced by an independent
+    loop reference; pairs with any colder shared chunk survive, and
+    fingerprint_band_stats reports the hot/kept bucket split."""
+    from cnosdb_spark.operators import multimodal as mm
+
+    tpl = mm.synthetic_template_png_media(spark)
+    fps_df = mm.image_dhash(tpl).filter(F.col("dhash").isNotNull())
+    fps = {r["media_id"]: r["dhash"] for r in fps_df.collect()}
+
+    # independent loop reference over the same fingerprints
+    from collections import Counter, defaultdict
+    sizes: Counter = Counter()
+    members = defaultdict(list)
+    for i, fp in fps.items():
+        u = fp & ((1 << 64) - 1)
+        for b in range(4):
+            key = (b, (u >> (b * 16)) & 0xFFFF)
+            sizes[key] += 1
+            members[key].append(i)
+
+    def ref_pairs(cap):
+        cand = set()
+        for key, n in sizes.items():
+            if n < 2 or (cap is not None and n > cap):
+                continue
+            ms = sorted(members[key])
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    cand.add((ms[x], ms[y]))
+        return {
+            (a, b): h
+            for a, b in cand
+            if (h := bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")) <= 6
+        }
+
+    capped = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in mm.image_near_dup_pairs(
+                  tpl, bands=4, max_hamming=6, max_bucket_size=20).collect()}
+    uncapped = {(r["id_a"], r["id_b"]): r["hamming"]
+                for r in mm.image_near_dup_pairs(
+                    tpl, bands=4, max_hamming=6).collect()}
+    assert capped == ref_pairs(20)
+    assert uncapped == ref_pairs(None)
+    # the ceiling is ACTIVE: the hot template family's quadratic pair
+    # expansion is suppressed, the under-cap family survives untouched
+    assert len(uncapped) - len(capped) > 100
+    assert all(a >= 200 for a, _ in capped)
+
+    stats = {r["bucket"]: r["n"]
+             for r in dedup.fingerprint_band_stats(
+                 fps_df, "media_id", "dhash", bits=64, bands=4).collect()}
+    assert stats == {f"{b}:{c}": n for (b, c), n in sizes.items() if n >= 2}
+    assert sum(1 for n in stats.values() if n > 20) == 4
