@@ -4,12 +4,61 @@ Brute-force cosine top-k as the exact baseline; an LSH (random hyperplane)
 bucketed variant as the 100 TB scale path. Dot products stay JVM-side via
 ``F.zip_with`` + ``F.aggregate`` (no Python in the hot loop); hyperplanes
 are deterministic (seeded numpy) and broadcast as literals.
+
+PQ/ADC hot paths (encode, distance tables, candidate scoring) run as
+vectorized ``mapInArrow`` kernels: Catalyst INTERPRETS higher-order
+functions (transform/zip_with/aggregate are not codegen'd), so the
+nested-HOF expression forms cost ~ms per row against m x k codebook
+literals — measured 80-95 s per arm at a 5k-vector rehearsal corpus,
+which at billions of candidates is the difference between a job and a
+non-job. The numpy kernels reproduce the expression arithmetic
+EXACTLY (same left-fold accumulation order, same first-min tie-breaks),
+so the DuckDB differential oracles stay green; the expression forms are
+kept as ``pq_encode_expr`` and parity-pinned in tests.
 """
 
 from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _list_col_np(col, dtype):
+    """Arrow list<primitive> column → dense (n, width) ndarray (flatten is
+    offset-aware, so sliced batches convert correctly). Assumes
+    fixed-width non-null lists — the ANN-family contract."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vals = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    n = len(arr)
+    return vals.reshape(n, -1) if n else vals.reshape(0, 0)
+
+
+def _seq_normalize(X: np.ndarray) -> np.ndarray:
+    """L2-normalize rows with the SAME accumulation order as the
+    ``greatest(norm_expr(v), 1e-12)`` expression (sequential left fold
+    over dimensions), so normalized values are bit-identical to the
+    expression path's."""
+    acc = np.zeros(len(X))
+    for j in range(X.shape[1]):
+        acc += X[:, j] * X[:, j]
+    nrm = np.maximum(np.sqrt(acc), 1e-12)
+    return X / nrm[:, None]
+
+
+def _seq_dtab(Xn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-row PQ distance tables dt[n, m, k] = ||x_sub - codebook[m][k]||²
+    with the same sequential-over-j accumulation as the
+    aggregate(zip_with(...)) expression form."""
+    n = len(Xn)
+    m, kk, sub = books.shape
+    dt = np.zeros((n, m, kk))
+    for i in range(m):
+        for j in range(sub):
+            diff = Xn[:, i * sub + j, None] - books[i, None, :, j]
+            dt[:, i, :] += diff * diff
+    return dt
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -253,15 +302,18 @@ def refine_centroids(
     return cents, history
 
 
-def ivf_assign(
+def ivf_assign_expr(
     df: DataFrame,
     vec_col: str,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     out_col: str = "_cluster",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (argmax cosine) with a
-    pure column expression over literal centroid arrays."""
+    """Expression-form nearest-centroid assignment (argmax cosine over
+    literal centroid arrays) — the arithmetic-contract reference for the
+    vectorized ``ivf_assign`` (parity-pinned in tests); Catalyst
+    interprets the C x (dot + norms) HOFs per row, so use ``ivf_assign``
+    in hot paths."""
     v = F.col(vec_col).cast("array<double>")
     sims = [
         cosine_expr(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids
@@ -270,6 +322,53 @@ def ivf_assign(
         F.array(*sims), F.array_max(F.array(*sims))
     ) - 1  # 0-based cluster id
     return df.withColumn(out_col, best.cast("int"))
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    out_col: str = "_cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine) — a
+    vectorized Arrow kernel, bit-identical to ``ivf_assign_expr`` (same
+    sequential fold order for dot/norms, first-max tie-break)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    cents = np.array(centroids, dtype=np.float64)
+    # per-centroid norms: the expression folds the literal array once per
+    # row — a constant; sequential order reproduced here
+    cn = np.zeros(len(cents))
+    for j in range(cents.shape[1]):
+        cn += cents[:, j] * cents[:, j]
+    cn = np.sqrt(cn)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+    vec_idx = df.columns.index(vec_col)
+
+    def _assign(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_col_np(batch.column(vec_idx), np.float64)
+            dot = np.zeros((n, len(cents)))
+            vn2 = np.zeros(n)
+            for j in range(X.shape[1]):
+                dot += X[:, j, None] * cents[None, :, j]
+                vn2 += X[:, j] * X[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dot / (np.sqrt(vn2)[:, None] * cn[None, :])
+            best = sims.argmax(axis=1).astype(np.int32)  # first-max ties
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(best, type=pa.int32())],
+                names=list(batch.schema.names) + [out_col],
+            )
+
+    return df.mapInArrow(_assign, out_schema)
 
 
 def ivf_topk(
@@ -456,17 +555,19 @@ def _codebook_lit(book: list[list[float]]) -> Column:
     return F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
 
 
-def pq_encode(
+def pq_encode_expr(
     df: DataFrame,
     vec_col: str,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     out_col: str = "pq_code",
 ) -> DataFrame:
-    """Encode each vector as ``m`` small ints (nearest codebook entry per
-    subspace, squared-L2).  Pure column expressions — a narrow map that
-    parallelizes over input splits; the codebooks ride as literals.
-    Output: input columns + ``out_col`` array<int> of length m."""
+    """Expression-form PQ encode (nearest codebook entry per subspace,
+    squared-L2) — pure column expressions with the codebooks as literals.
+    Kept as the arithmetic-contract reference for ``pq_encode``'s
+    vectorized kernel (parity-pinned in tests): Catalyst interprets the
+    nested HOFs, so this form costs ~m*k interpreted folds PER ROW —
+    use ``pq_encode`` in any hot path."""
     m, sub = len(codebooks), len(codebooks[0][0])
     raw = F.col(vec_col).cast("array<double>")
     nrm = F.greatest(norm_expr(raw), F.lit(1e-12))
@@ -484,6 +585,49 @@ def pq_encode(
         )
         codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
     return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``m`` small ints (nearest codebook entry per
+    subspace, squared-L2) — a vectorized Arrow kernel (narrow map, no
+    shuffle; codebooks ride the closure). Bit-identical to
+    ``pq_encode_expr``: same sequential normalize/accumulate order, same
+    first-min tie-break (np.argmin == array_position(array_min)).
+    Output: input columns + ``out_col`` array<int> of length m."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    books = np.array(codebooks, dtype=np.float64)
+    m = len(codebooks)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+    vec_idx = df.columns.index(vec_col)
+
+    def _enc(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_col_np(batch.column(vec_idx), np.float64)
+            dt = _seq_dtab(_seq_normalize(X), books)
+            codes = dt.argmin(axis=2).astype(np.int32)  # first-min ties
+            codes_pa = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * m),
+                pa.array(codes.reshape(-1), type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [codes_pa],
+                names=list(batch.schema.names) + [out_col],
+            )
+
+    return df.mapInArrow(_enc, out_schema)
 
 
 def pq_topk(
@@ -515,7 +659,16 @@ def pq_topk(
     Output: (query_id, vec_id, adc_dist, rank) — rank 1..k by ascending
     ADC distance (or descending exact cosine when refining), ties broken
     by corpus id.
+
+    The corpus scan scores candidates in a vectorized Arrow kernel with
+    a per-batch partial top-k (each batch emits only its local best
+    shortlist per query, ordered by the same (adc, id) key as the global
+    rank — so the global top-k is provably inside the union), keeping
+    both the per-row cost and the post-scan row count tiny.
     """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     m = len(codebooks)
     books = np.array(codebooks)  # [m][k][sub]
     q_rows = queries.select(
@@ -533,38 +686,78 @@ def pq_topk(
         ]
         dtab_rows.append((r["_qid"], dt, [float(x) for x in qv]))
     spark = codes.sparkSession
-    from pyspark.sql import types as T
 
     qid_type = queries.schema[query_id_col].dataType
     qdf = spark.createDataFrame(
-        dtab_rows,
+        [(i, qid, qv) for i, (qid, _, qv) in enumerate(dtab_rows)],
         T.StructType(
             [
+                T.StructField("_qix", T.IntegerType()),
                 T.StructField(query_id_col, qid_type),
-                T.StructField("_dtab", T.ArrayType(T.ArrayType(T.DoubleType()))),
                 T.StructField("_qv", T.ArrayType(T.DoubleType())),
             ]
         ),
     )
-    code = F.col(code_col)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("_dtab"), code, lambda d, c: F.element_at(d, c + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dtab_np = np.array([dt for _, dt, _ in dtab_rows])  # (Q, m, k)
+    n_keep = int(refine or k)
     keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
-    scored = (
-        codes.select(F.col(id_col).alias("_cid"), code_col, *keep_vec)
-        .crossJoin(F.broadcast(qdf))
-        .select(
-            query_id_col,
-            "_cid",
-            adc.alias("adc_dist"),
-            *(["_cv", "_qv"] if refine else []),
-        )
-    )
+    src = codes.select(F.col(id_col).cast("long").alias("_cid"), code_col, *keep_vec)
+    qvn_np = np.array([qv for _, _, qv in dtab_rows])  # (Q, d) normalized
+    out_fields = [
+        T.StructField("_qix", T.IntegerType()),
+        T.StructField("_cid", T.LongType()),
+        T.StructField("adc_dist", T.DoubleType()),
+    ] + ([T.StructField("_cos", T.DoubleType())] if refine else [])
+    out_schema = T.StructType(out_fields)
+
+    def _score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or not len(dtab_np):
+                continue
+            cid = batch.column(0).to_numpy(zero_copy_only=False)
+            code = _list_col_np(batch.column(1), np.int64)
+            if refine:
+                CV = _list_col_np(batch.column(2), np.float64)
+                cnorm2 = np.zeros(n)
+                for j in range(CV.shape[1]):
+                    cnorm2 += CV[:, j] * CV[:, j]
+                cnorm = np.sqrt(cnorm2)  # no epsilon floor, as cosine_expr
+            qixs, cids, dists, coss = [], [], [], []
+            for qi in range(len(dtab_np)):
+                # same left-fold order as the aggregate expression
+                acc = np.zeros(n)
+                for i in range(m):
+                    acc += dtab_np[qi, i][code[:, i]]
+                # batch-local shortlist under the GLOBAL (adc, cid) order
+                top = np.lexsort((cid, acc))[:n_keep]
+                qixs.append(np.full(len(top), qi, dtype=np.int32))
+                cids.append(cid[top])
+                dists.append(acc[top])
+                if refine:
+                    qv = qvn_np[qi]
+                    dot = np.zeros(len(top))
+                    for j in range(CV.shape[1]):
+                        dot += CV[top, j] * qv[j]
+                    qn2 = 0.0
+                    for j in range(len(qv)):
+                        qn2 += qv[j] * qv[j]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        coss.append(dot / (cnorm[top] * np.sqrt(qn2)))
+            arrays = [
+                pa.array(np.concatenate(qixs), type=pa.int32()),
+                pa.array(np.concatenate(cids), type=pa.int64()),
+                pa.array(np.concatenate(dists), type=pa.float64()),
+            ]
+            if refine:
+                arrays.append(pa.array(np.concatenate(coss), type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in out_fields]
+            )
+
+    scored = src.mapInArrow(_score, out_schema).join(F.broadcast(qdf), "_qix")
+    if not refine:
+        scored = scored.select(query_id_col, "_cid", "adc_dist")
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("_cid").asc()
     )
@@ -572,8 +765,9 @@ def pq_topk(
         short = scored.withColumn("_r", F.row_number().over(w_adc)).filter(
             F.col("_r") <= refine
         )
+        # _cos precomputed in the kernel with cosine_expr's exact fold order
         w_exact = Window.partitionBy(query_id_col).orderBy(
-            cosine_expr(F.col("_cv"), F.col("_qv")).desc(), F.col("_cid").asc()
+            F.col("_cos").desc(), F.col("_cid").asc()
         )
         ranked = short.withColumn("rank", F.row_number().over(w_exact))
     else:
@@ -676,68 +870,135 @@ def ivf_pq_topk_distributed(
 
     Output: (query_id, vec_id, adc_dist, rank) — identical semantics to
     ``ivf_pq_topk`` (result-parity is pytest-pinned).
+
+    Both per-row-heavy stages run as vectorized Arrow kernels (the
+    codebooks/centroids ride the closure — same distribution story as
+    the literal-expression form, which Catalyst INTERPRETS at ~ms/row):
+    stage 1 computes each query's distance table + probed clusters;
+    stage 2 scores each candidate of the cluster equi-join. The numpy
+    arithmetic replays the expression form's exact fold order, so
+    results are bit-identical.
     """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     m, sub = len(codebooks), len(codebooks[0][0])
-    raw = F.col(query_vec_col).cast("array<double>")
-    nrm = F.greatest(norm_expr(raw), F.lit(1e-12))
-    qv = F.transform(raw, lambda x: x / nrm)
-    # per-subspace distance tables, executor-side from codebook literals
-    dtabs = []
-    for i, book in enumerate(codebooks):
-        s = F.slice(qv, i * sub + 1, sub)
-        dtabs.append(
-            F.transform(
-                _codebook_lit(book),
-                lambda c: F.aggregate(
-                    F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            )
-        )
-    # probed clusters from centroid literals (argsort by cosine desc)
+    kk = len(codebooks[0])
+    books = np.array(codebooks, dtype=np.float64)
     cents_n = np.array(centroids, dtype="float64")
     cents_n = cents_n / np.maximum(
         np.linalg.norm(cents_n, axis=1, keepdims=True), 1e-12
     )
-    sims = [
-        dot_expr(qv, F.array(*[F.lit(float(x)) for x in cc])) for cc in cents_n
+    n_c = len(cents_n)
+    n_pr = min(int(n_probe), n_c)
+
+    qid_type = queries.schema[query_id_col].dataType
+    q_fields = [
+        T.StructField(query_id_col, qid_type),
+    ] + ([T.StructField("_qv", T.ArrayType(T.DoubleType()))] if refine else []) + [
+        T.StructField("_dtab", T.ArrayType(T.DoubleType())),  # flat m*k
+        T.StructField(cluster_col, T.IntegerType()),
     ]
-    ranked = F.array_sort(
-        F.array(
-            *[F.struct((-s).alias("d"), F.lit(i).alias("i")) for i, s in enumerate(sims)]
-        )
-    )
-    probes = F.slice(F.transform(ranked, lambda p: p["i"]), 1, n_probe)
-    # explode first, cast in a second step (a generator cannot nest
-    # inside another expression)
-    q = queries.select(
+    q_schema = T.StructType(q_fields)
+    q_src = queries.select(
         F.col(query_id_col),
-        *([qv.alias("_qv")] if refine else []),
-        F.array(*dtabs).alias("_dtab"),
-        F.explode(probes).alias(cluster_col),
-    ).withColumn(cluster_col, F.col(cluster_col).cast("int"))
-    adc = F.aggregate(
-        F.zip_with(F.col("_dtab"), F.col(code_col), lambda d, c: F.element_at(d, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.col(query_vec_col).cast("array<double>").alias("_qvraw"),
     )
+
+    def _prep(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = _list_col_np(batch.column(1), np.float64)
+            Xn = _seq_normalize(X)
+            dt = _seq_dtab(Xn, books).reshape(n, m * kk)
+            # cosine to each normalized centroid, same left-fold order as
+            # the dot_expr form; probes = argsort desc, ties → lower i
+            # (matching array_sort over struct(-sim, i))
+            S = np.zeros((n, n_c))
+            for j in range(Xn.shape[1]):
+                S += Xn[:, j, None] * cents_n[None, :, j]
+            probes = np.argsort(-S, axis=1, kind="stable")[:, :n_pr]
+            take = np.repeat(np.arange(n), n_pr)
+            take_pa = pa.array(take, type=pa.int64())
+            arrays = [batch.column(0).take(take_pa)]
+            if refine:
+                qv_pa = pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int64) * Xn.shape[1]),
+                    pa.array(Xn.reshape(-1), type=pa.float64()),
+                )
+                arrays.append(qv_pa.take(take_pa))
+            dtab_pa = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * (m * kk)),
+                pa.array(dt.reshape(-1), type=pa.float64()),
+            )
+            arrays.append(dtab_pa.take(take_pa))
+            arrays.append(pa.array(probes.reshape(-1), type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in q_fields]
+            )
+
+    q = q_src.mapInArrow(_prep, q_schema)
+
     keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
-    scored = (
+    joined = (
         codes.select(
-            F.col(id_col).alias("_cid"),
+            F.col(id_col).cast("long").alias("_cid"),
             F.col(cluster_col).cast("int").alias(cluster_col),
             code_col,
             *keep_vec,
         )
         .join(q, cluster_col)
+        # column order pinned for the scoring kernel
         .select(
-            query_id_col,
-            "_cid",
-            adc.alias("adc_dist"),
+            "_cid", code_col, F.col("_dtab"), query_id_col,
             *(["_cv", "_qv"] if refine else []),
         )
     )
+    s_fields = [
+        T.StructField("_cid", T.LongType()),
+        T.StructField(query_id_col, qid_type),
+        T.StructField("adc_dist", T.DoubleType()),
+    ] + ([T.StructField("_cos", T.DoubleType())] if refine else [])
+    s_schema = T.StructType(s_fields)
+
+    def _adc(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            code = _list_col_np(batch.column(1), np.int64)
+            dtab = _list_col_np(batch.column(2), np.float64)
+            acc = np.zeros(n)
+            rows = np.arange(n)
+            for i in range(m):  # same left fold as the aggregate form
+                acc += dtab[rows, i * kk + code[:, i]]
+            arrays = [
+                batch.column(0),
+                batch.column(3),
+                pa.array(acc, type=pa.float64()),
+            ]
+            if refine:
+                # exact cosine, cosine_expr's fold order (sequential dot
+                # and norms, no epsilon floor)
+                CV = _list_col_np(batch.column(4), np.float64)
+                QV = _list_col_np(batch.column(5), np.float64)
+                dot = np.zeros(n)
+                cn2 = np.zeros(n)
+                qn2 = np.zeros(n)
+                for j in range(CV.shape[1]):
+                    dot += CV[:, j] * QV[:, j]
+                    cn2 += CV[:, j] * CV[:, j]
+                    qn2 += QV[:, j] * QV[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (np.sqrt(cn2) * np.sqrt(qn2))
+                arrays.append(pa.array(cos, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in s_fields]
+            )
+
+    scored = joined.mapInArrow(_adc, s_schema)
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("_cid").asc()
     )
@@ -746,7 +1007,7 @@ def ivf_pq_topk_distributed(
             F.col("_r") <= refine
         )
         w_exact = Window.partitionBy(query_id_col).orderBy(
-            cosine_expr(F.col("_cv"), F.col("_qv")).desc(), F.col("_cid").asc()
+            F.col("_cos").desc(), F.col("_cid").asc()
         )
         ranked_out = short.withColumn("rank", F.row_number().over(w_exact))
     else:

@@ -791,6 +791,40 @@ def test_pq_codebooks_sample_smaller_than_k_raises(spark):
         similarity.pq_codebooks(emb, "embedding", m=8, k=16)
 
 
+def test_arrow_kernels_bit_identical_to_expression_forms(spark):
+    """The vectorized mapInArrow kernels (pq_encode, ivf_assign) must
+    produce BIT-identical output to the interpreted expression forms
+    they replaced — same sequential fold order, same first-min/max
+    tie-breaks — because the DuckDB differential oracles replay the
+    expression arithmetic."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    books = similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+    arrow_codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity.pq_encode(emb, "embedding", books).collect()
+    }
+    expr_codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in similarity.pq_encode_expr(emb, "embedding", books).collect()
+    }
+    assert arrow_codes == expr_codes
+
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=8)
+    src = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    arrow_asg = {
+        r["vec_id"]: r["_cluster"]
+        for r in similarity.ivf_assign(src, "_v", cents).collect()
+    }
+    expr_asg = {
+        r["vec_id"]: r["_cluster"]
+        for r in similarity.ivf_assign_expr(src, "_v", cents).collect()
+    }
+    assert arrow_asg == expr_asg
+
+
 # ---------------------------------------------------------------------
 # incremental dedup against a persisted band index
 # ---------------------------------------------------------------------
