@@ -15,6 +15,7 @@ Conventions:
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -2222,6 +2223,65 @@ def _langid_per_doc_sql() -> str:
 _LANGID_PER_DOC_SQL = _langid_per_doc_sql()
 
 
+def _bpe_oracle_values() -> str | None:
+    """Expected per-document REAL-BPE token counts for text_quality_stats'
+    bpe column, computed at import with the same ground-truth-from-shared-
+    code contract as _dhash_oracle_values: word counting is replicated in
+    pure Python (re.ASCII \\s+ split == Spark's Java \\s+), the merge
+    table is learned with the SAME train_bpe the Spark side uses (fully
+    deterministic from the word table), and documents are encoded with the
+    same _encode_word. The Spark side recomputes the word table as a
+    DISTRIBUTED aggregation and encodes via the Arrow pandas UDF — so a
+    bug in the distributed word counting, the capped top-N, the broadcast
+    merge ranks or the batch encode plumbing breaks the hash. Returns
+    None (column dropped on both sides) only if the corpus is unreadable
+    at import."""
+    try:
+        import re
+
+        import duckdb
+
+        from cnosdb_spark.operators.tokenizer import _encode_word, train_bpe
+
+        corpus = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM '{corpus}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        con.close()
+        ws = re.compile(r"\s+", re.ASCII)
+        counts: dict[str, int] = {}
+        for _, text in docs:
+            for w in ws.split((text or "").lower()):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        table = sorted(
+            ((w, n) for w, n in counts.items() if n >= _BPE_MIN_COUNT),
+            key=lambda wn: (-wn[1], wn[0]),
+        )[:_BPE_MAX_WORDS]
+        model = train_bpe(table, n_merges=_BPE_N_MERGES)
+        ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+        cache: dict[str, int] = {}
+        vals = []
+        for doc_id, text in docs:
+            n = 0
+            for w in (text or "").lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = len(_encode_word(w, ranks))
+                n += got
+            vals.append(f"({doc_id}, {n})")
+        return ",\n    ".join(vals)
+    except Exception:
+        return None
+
+
+_BPE_MIN_COUNT, _BPE_MAX_WORDS, _BPE_N_MERGES = 2, 5000, 200
+_BPE_ORACLE = _bpe_oracle_values()
+
+
 @_q(
     "text_quality_stats",
     f"""
@@ -2248,7 +2308,9 @@ _LANGID_PER_DOC_SQL = _langid_per_doc_sql()
            md5({_NORM_SQL}) AS fingerprint,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
              AS n_bpe_tokens
+           {', CAST(bp.n AS BIGINT) AS n_bpe_real' if _BPE_ORACLE else ''}
     FROM s JOIN ({_LANGID_PER_DOC_SQL}) lp USING (doc_id)
+    {f'JOIN (VALUES {_BPE_ORACLE}) AS bp(doc_id, n) USING (doc_id)' if _BPE_ORACLE else ''}
     """,
 )
 def text_quality_stats(spark, sf_dir):
@@ -2256,11 +2318,21 @@ def text_quality_stats(spark, sf_dir):
     per-document language-ID (marker-stopword argmax heuristic) +
     md5 content fingerprint and BPE-ish-regex token count (folded from
     the retired lang_id_counts / text_token_fingerprint rows — same
-    operators, one registry slot)."""
+    operators, one registry slot).
+
+    n_bpe_real (round 8): the REAL trained-BPE token count — the full
+    operators/tokenizer.py stack runs inside the arm (distributed
+    word_counts → capped top-N → train_bpe on the bounded table →
+    bpe_token_count via the Arrow pandas UDF with broadcast merge
+    ranks); the oracle carries per-doc expected counts recomputed at
+    import from a pure-Python replication of the counting + the same
+    deterministic trainer/encoder (_bpe_oracle_values)."""
+    from cnosdb_spark.operators import tokenizer
+
     d = _t(spark, sf_dir, "documents")
     out = text.with_text_stats(d, "text")
     out = text.lang_id(out, "text")
-    return out.select(
+    cols = [
         "doc_id",
         "n_chars_c",
         "n_tokens",
@@ -2273,7 +2345,19 @@ def text_quality_stats(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
-    )
+    ]
+    out = out.select(*cols)
+    if _BPE_ORACLE:
+        wc = tokenizer.word_counts(
+            d, "text", min_count=_BPE_MIN_COUNT, max_words=_BPE_MAX_WORDS
+        )
+        model = tokenizer.train_bpe(wc, n_merges=_BPE_N_MERGES)
+        bpe = tokenizer.bpe_token_count(
+            d.select("doc_id", "text"), model["merges"], "text",
+            out_col="n_bpe_real",
+        ).select("doc_id", "n_bpe_real")
+        out = out.join(bpe, "doc_id")
+    return out
 
 
 @_q(
@@ -2719,16 +2803,45 @@ def ts_value_fill_repair(spark, sf_dir):
       SELECT min(doc_id) AS doc_id FROM filtered
       GROUP BY md5({_NORM_SQL})),
     kept AS (
-      SELECT f.doc_id, f.nt FROM filtered f JOIN winners w ON w.doc_id = f.doc_id)
-    SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens FROM kept
-    ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+      SELECT f.doc_id, f.nt FROM filtered f JOIN winners w ON w.doc_id = f.doc_id),
+    shards AS (
+      SELECT doc_id, nt,
+             CAST(('0x' || substr(md5('export|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  % 8 AS BIGINT) AS shard
+      FROM kept),
+    exp AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                       || CAST(nt AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS h
+      FROM shards GROUP BY shard)
+    SELECT * FROM (
+      SELECT 'curate' AS op, doc_id AS k, CAST(nt AS BIGINT) AS v1,
+             CAST(NULL AS BIGINT) AS v2
+      FROM kept ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100)
+    UNION ALL SELECT 'export', shard, n, h FROM exp
+    UNION ALL SELECT 'export_verify', shard, 1, n FROM exp
     """,
 )
 def pipeline_curation(spark, sf_dir):
     """Composite training-data curation pipeline: quality filter (mean word
     length + punctuation ratio) → exact-dedup keep-one → deterministic
     hash-sample of 100 docs. The shape a 100 TB curation job takes: each
-    stage is a narrow projection/filter or one keyed aggregation."""
+    stage is a narrow projection/filter or one keyed aggregation.
+
+    Round-8 export arms — the deterministic shuffled shard export
+    (operators/curation.py shuffle_export) runs FOR REAL on the curated
+    (pre-sample) set, a full writer → reader round-trip:
+
+    - export: per-shard row count + order-insensitive md5-based content
+      hash computed from the WRITTEN parquet files read back; the oracle
+      re-derives both straight from the source table by replicating the
+      md5 shard function in SQL — a lost, duplicated or mis-sharded row
+      breaks the hash;
+    - export_verify: verify_export's manifest-vs-files check must report
+      ok for every shard, and the manifest's per-shard row counts must
+      equal the SQL-derived truth."""
+    import tempfile
+
     d = _t(spark, sf_dir, "documents")
     stats = text.with_text_stats(d, "text")
     filtered = stats.filter(
@@ -2738,10 +2851,55 @@ def pipeline_curation(spark, sf_dir):
     ).select("doc_id", "text", F.col("n_tokens").alias("nt"))
     winners = dedup.exact_dedup(filtered, "text", "doc_id").select("doc_id")
     kept = filtered.join(winners, "doc_id")
-    return (
+    curate = (
         sample_deterministic(kept.select("doc_id", "nt"), "doc_id", 100)
-        .select("doc_id", F.col("nt").cast("long").alias("n_tokens"))
+        .select(
+            F.lit("curate").alias("op"),
+            F.col("doc_id").cast("long").alias("k"),
+            F.col("nt").cast("long").alias("v1"),
+            F.lit(None).cast("long").alias("v2"),
+        )
     )
+
+    path = tempfile.mkdtemp(prefix="pipeline_export_") + "/export"
+    exp_in = kept.select("doc_id", F.col("nt").cast("long").alias("n_tokens"))
+    manifest = curation.shuffle_export(
+        exp_in, path, id_col="doc_id", shards=8, salt="export"
+    )
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("n_tokens").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    export = (
+        spark.read.parquet(path)
+        .withColumn("_rh", row_h)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_rh").alias("h"))
+        .select(
+            F.lit("export").alias("op"),
+            F.col("shard").cast("long").alias("k"),
+            F.col("n").alias("v1"),
+            F.col("h").alias("v2"),
+        )
+    )
+    verify = curation.verify_export(spark, path).select(
+        F.lit("export_verify").alias("op"),
+        F.col("shard").cast("long").alias("k"),
+        F.col("ok").cast("long").alias("v1"),
+        F.col("n_rows").cast("long").alias("v2"),
+    )
+    return curate.unionAll(export).unionAll(verify)
 
 
 def _png_decode_oracle_values(n: int = 48, seed: int = 7) -> str:
@@ -3147,23 +3305,91 @@ def multimodal_features(spark, sf_dir):
                   (PARTITION BY user_id ORDER BY ts)) > 1800000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events)
-    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM g GROUP BY user_id
+      FROM events),
+    agg AS (
+      SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id)
+    SELECT 'batch' AS arm, * FROM agg
+    UNION ALL
+    SELECT 'stream', * FROM agg
     """,
 )
 def sessionization(spark, sf_dir):
-    """Sessionization: lag-gap > 30min starts a new session (common OLAP
-    pattern; batch analogue of Spark's session_window)."""
+    """Sessionization, two arms against ONE lag-gap oracle:
+
+    - batch: lag-gap > 30min starts a new session (common OLAP pattern);
+    - stream (round 8): streaming/stream_table.py sessionize_stream run
+      FOR REAL — events + a far-future sentinel staged to parquet,
+      readStream → F.session_window(gap=30min) → writeStream
+      availableNow (the _asof_stream_arm pattern); per-user session and
+      event counts from the CLOSED sessions must equal the batch rule's.
+      Boundary note: session_window splits at gap >= 30min vs the batch
+      rule's > 30min — the corpus has zero exact-1800s gaps (asserted in
+      the arm), so the semantics coincide; an exact-boundary corpus
+      would be a real divergence, surfaced loudly by the assert.
+    """
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
-    return (
+    batch = (
         e.withColumn("_ns", new_s)
         .groupBy("user_id")
         .agg(F.sum("_ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .select(F.lit("batch").alias("arm"), "user_id", "n_sessions", "n_events")
+    )
+    stream = _sessionize_stream_arm(spark, e)
+    return batch.unionAll(stream)
+
+
+def _sessionize_stream_arm(spark, e):
+    """Run sessionize_stream for real (availableNow over staged files,
+    far-future sentinel advancing the watermark so every real session
+    closes) and fold the emitted sessions to per-user counts."""
+    import tempfile
+    from datetime import timedelta
+
+    from cnosdb_spark.streaming import stream_table
+
+    src = e.select("user_id", "ts")
+    # loud guard for the >= vs > gap-boundary divergence (docstring above)
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    n_exact = src.withColumn("_g", gap_us).filter(
+        F.col("_g") == 1_800_000_000
+    ).limit(1).count()
+    assert n_exact == 0, (
+        "sessionization stream arm: corpus has an exact-30min gap — "
+        "session_window (>=) and the batch lag rule (>) diverge here"
+    )
+
+    base = tempfile.mkdtemp(prefix="sessionize_stream_row_")
+    in_path, out = f"{base}/in", f"{base}/out"
+    far = src.agg(F.max("ts")).first()[0] + timedelta(days=60)
+    src.unionByName(
+        spark.createDataFrame([(-1, far)], schema=src.schema)
+    ).write.parquet(in_path)
+    s = spark.readStream.schema(src.schema).parquet(in_path)
+    sessions = stream_table.sessionize_stream(
+        s, key="user_id", time_col="ts", gap="30 minutes", watermark="1 hour"
+    )
+    q = (
+        sessions.writeStream.option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel's session
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(F.lit("stream").alias("arm"), "user_id", "n_sessions", "n_events")
     )
 
 
@@ -3432,12 +3658,88 @@ def dedup_cluster_resolution(spark, sf_dir):
     )
 
 
+def _refine_oracle() -> str | None:
+    """Oracle half of ivf_ann_topk's refine arms: replicate centroid
+    seeding (md5-ordered sample) + 2 spherical-Lloyd iterations in pure
+    numpy over the same corpus at import, then emit (a) the final
+    per-cluster member counts via an IN-SQL argmax-cosine assignment to
+    the numpy-refined centroid literals, and (b) the final inertia as a
+    scaled-int literal. The Spark side refines DISTRIBUTED
+    (refine_centroids: expression assignment + posexplode mean, float
+    sums in partition order) — parity holds because assignments only
+    flip on exact cosine ties (measure-zero on this corpus) and the
+    inertia is compared at 1e-4 granularity, far above the ~1e-15
+    reduction-order noise. Returns None if the corpus is unreadable."""
+    try:
+        import hashlib
+        import math
+
+        import duckdb
+        import numpy as np
+
+        corpus = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT vec_id, embedding::DOUBLE[] FROM '{corpus}/embeddings.parquet' "
+            "ORDER BY vec_id"
+        ).fetchall()
+        con.close()
+        ids = [r[0] for r in rows]
+        V = np.array([r[1] for r in rows], dtype=np.float64)
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+        )
+        cents = V[order[: _RC_K]].copy()
+        inertia = 0.0
+        for _ in range(_RC_ITER):
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            Cn = cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+            )
+            sims = Vn @ Cn.T
+            assign = sims.argmax(axis=1)
+            inertia = float((1.0 - sims.max(axis=1)).mean())
+            new = []
+            for c in range(_RC_K):
+                mask = assign == c
+                new.append(V[mask].mean(axis=0) if mask.any() else cents[c])
+            cents = np.array(new)
+        cent_lits = ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        inert_int = math.floor(inertia * 1e4 + 0.5)
+        return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (SELECT vec_id,
+                    [list_cosine_similarity(v, c) FOR c IN [{cent_lits}]] AS s
+             FROM v),
+    asg AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cluster FROM sims)
+    SELECT 'refine_cluster' AS op, CAST(cluster AS BIGINT) AS k,
+           TRUE AS cosines_exact, TRUE AS recall_ok,
+           CAST(count(*) AS BIGINT) AS v
+    FROM asg GROUP BY cluster
+    UNION ALL
+    SELECT 'refine_inertia', -1, TRUE, TRUE, {inert_int}
+    """
+    except Exception:
+        return None
+
+
+_RC_K, _RC_ITER = 8, 2
+_REFINE_ORACLE = _refine_oracle()
+
+
 @_q(
     "ivf_ann_topk",
     """
-    SELECT vec_id AS query_id, TRUE AS cosines_exact, TRUE AS recall_ok
+    SELECT 'ivf' AS op, vec_id AS k, TRUE AS cosines_exact, TRUE AS recall_ok,
+           CAST(NULL AS BIGINT) AS v
     FROM embeddings WHERE vec_id < 10
-    """,
+    """
+    + (f"UNION ALL SELECT * FROM ({_REFINE_ORACLE})" if _REFINE_ORACLE else ""),
 )
 def ivf_ann_topk(spark, sf_dir):
     """IVF approximate nearest neighbors: deterministic centroids (hash
@@ -3447,7 +3749,20 @@ def ivf_ann_topk(spark, sf_dir):
     per query, (a) every IVF-returned cosine equals the true cosine
     computed from the raw vectors (verified by joining back to the
     brute-force scores), and (b) recall@5 vs brute force ≥ 0.5 (measured
-    min 0.6 on this corpus; 4-of-8 clusters probed)."""
+    min 0.6 on this corpus; 4-of-8 clusters probed).
+
+    Round-8 refine arms — the DISTRIBUTED Lloyd refinement
+    (similarity.refine_centroids: expression assignment + posexplode
+    groupBy(cluster, dim) mean, only k*dim rows shuffled) runs 2
+    iterations from the md5-sampled seeds; the oracle replays seeding +
+    refinement in pure numpy at import (_refine_oracle) and re-derives
+    the final per-cluster member counts with an in-SQL argmax-cosine
+    assignment to its centroid literals:
+
+    - refine_cluster: per-cluster member count under the refined
+      centroids must match the numpy ground truth's SQL assignment;
+    - refine_inertia: avg(1 - best_cosine) after the final iteration,
+      compared at 1e-4 granularity (far above reduction-order noise)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(emb, "embedding", n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -3481,7 +3796,7 @@ def ivf_ann_topk(spark, sf_dir):
         F.collect_set("vec_id").alias("_ids"),
     )
     brute_ids = brute.groupBy("query_id").agg(F.collect_set("_bid").alias("_bids"))
-    return (
+    ivf_arm = (
         per_query.join(brute_ids, "query_id")
         .withColumn(
             "recall_ok",
@@ -3491,8 +3806,37 @@ def ivf_ann_topk(spark, sf_dir):
                 >= 0.5
             ),
         )
-        .select("query_id", "cosines_exact", "recall_ok")
+        .select(
+            F.lit("ivf").alias("op"),
+            F.col("query_id").cast("long").alias("k"),
+            "cosines_exact",
+            "recall_ok",
+            F.lit(None).cast("long").alias("v"),
+        )
     )
+    if not _REFINE_ORACLE:
+        return ivf_arm
+    seeds = similarity.ivf_centroids(emb, "embedding", n_centroids=_RC_K, n_iter=0)
+    refined, hist = similarity.refine_centroids(
+        emb, "embedding", seeds, n_iter=_RC_ITER
+    )
+    asg = similarity.ivf_assign(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v")),
+        "_v",
+        refined,
+    )
+    clusters = asg.groupBy("_cluster").agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("refine_cluster").alias("op"),
+        F.col("_cluster").cast("long").alias("k"),
+        F.lit(True).alias("cosines_exact"),
+        F.lit(True).alias("recall_ok"),
+        F.col("v").cast("long").alias("v"),
+    )
+    inertia = spark.createDataFrame(
+        [("refine_inertia", -1, True, True, int(math.floor(hist[-1] * 1e4 + 0.5)))],
+        "op string, k long, cosines_exact boolean, recall_ok boolean, v long",
+    )
+    return ivf_arm.unionAll(clusters).unionAll(inertia)
 
 
 # =====================================================================
