@@ -77,6 +77,13 @@ def _check_codec(codec: str | None, ftype: str) -> None:
 
 
 class Engine:
+    # Prometheus remote-read responses are assembled driver-side (the
+    # serving path collects the matched rows to build the protobuf);
+    # this bounds how many rows one read request may select — the
+    # reference bounds remote-read responses on the coordinator read
+    # path the same way.
+    PROM_READ_MAX_ROWS = 1_000_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -3079,10 +3086,23 @@ class Engine:
         self.database = db
         try:
             for t in tables:
-                sql = (
-                    f"SELECT * FROM `{t}` WHERE {' AND '.join(filters)} "
-                    "ORDER BY time"
-                )
+                where = " AND ".join(filters)
+                # response-size guard BEFORE collecting: the protobuf
+                # response is assembled driver-side (the serving path), so
+                # a runaway matcher / open time range must fail loudly
+                # instead of OOMing the driver — the reference bounds
+                # remote-read responses the same way (server-side limits
+                # on the coordinator read path).
+                n = self.sql(
+                    f"SELECT count(*) AS n FROM `{t}` WHERE {where}"
+                ).first()["n"]
+                if n > self.PROM_READ_MAX_ROWS:
+                    raise ValueError(
+                        f"prometheus remote-read: matchers select {n} rows "
+                        f"from {t!r} > limit {self.PROM_READ_MAX_ROWS}; "
+                        "narrow the time range or matchers"
+                    )
+                sql = f"SELECT * FROM `{t}` WHERE {where} ORDER BY time"
                 rows = self.sql(sql).collect()
                 tag_cols = list(self.catalog.get_schema(db, t).tags)
                 out.extend(prom.df_to_timeseries(rows, tag_cols))

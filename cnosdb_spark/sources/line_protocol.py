@@ -247,12 +247,21 @@ def discover_line_schema(lines, line_col: str = "value", precision: str = "ns"):
             )
 
     dist = lines.mapInPandas(_discover, out_schema).distinct().collect()
+    return _resolve_discovered(
+        (r["m"], r["key"], bool(r["is_tag"]), r["kind"]) for r in dist
+    )
+
+
+def _resolve_discovered(tuples):
+    """Shared schema resolution for the bulk paths: fold distinct
+    (measurement, key, is_tag, kind) observations into
+    {m: (ordered_keys, tag_keys, {key: python_type})} — widest-wins on
+    type conflicts, tag-wins (and str) on tag/field role conflicts;
+    deterministic under any observation order."""
     schemas: dict = {}
-    for r in dist:
-        keys = schemas.setdefault(r["m"], {})
-        prev = keys.get(r["key"])
-        kind = r["kind"]
-        is_tag = bool(r["is_tag"])
+    for m, key, is_tag, kind in tuples:
+        keys = schemas.setdefault(m, {})
+        prev = keys.get(key)
         if prev is not None:
             kind = max(prev[1], kind, key=lambda k: _SCHEMA_KIND_ORDER[k])
             # tag-wins on a tag/field role conflict (order-independent);
@@ -260,7 +269,7 @@ def discover_line_schema(lines, line_col: str = "value", precision: str = "ns"):
             is_tag = prev[0] or is_tag
         if is_tag:
             kind = "str"
-        keys[r["key"]] = (is_tag, kind)
+        keys[key] = (is_tag, kind)
     out = {}
     for m, keys in schemas.items():
         tagk = {k for k, (is_tag, _) in keys.items() if is_tag}
@@ -324,6 +333,129 @@ def lines_to_tables_distributed(
                 yield pd.DataFrame(rows, columns=list(_ordered))
 
         out[m] = (lines.mapInPandas(_parse, schema), set(tagkeys))
+    return out
+
+
+def lines_to_tables_single_pass(
+    spark,
+    lines,
+    line_col: str = "value",
+    precision: str = "ns",
+    staging_path: str | None = None,
+):
+    """Single-pass variant of ``lines_to_tables_distributed`` for
+    many-measurement backfills: the two-pass path re-scans the RAW text
+    once per measurement (m measurements → m parses of every byte,
+    documented trade there); here the text is parsed exactly ONCE into a
+    long-format point table (uid, m, time, key, kind, is_tag, value_str)
+    that is either persisted in memory or — with ``staging_path`` —
+    written to parquet PARTITIONED BY measurement, so each measurement's
+    wide table reads only its own partition (file pruning). Schema
+    resolution reuses the exact widest-wins / tag-wins fold of the
+    two-pass path (``_resolve_discovered``); the wide pivot is one
+    groupBy(uid) per measurement over already-parsed rows, and values are
+    re-materialized through the same coercion semantics as
+    ``_coerce_kind`` (bool→int/float via CASE on the recorded kind, so
+    'true' never hits a lossy string→number cast).
+
+    Returns the same {measurement: (DataFrame, tag_keys)} shape;
+    parity with the two-pass path is pytest-pinned."""
+    import pandas as pd
+
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F, types as T
+
+    long_schema = T.StructType(
+        [
+            T.StructField("_uid", T.StringType(), False),
+            T.StructField("m", T.StringType(), False),
+            T.StructField("time", T.TimestampType(), False),
+            T.StructField("key", T.StringType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("is_tag", T.BooleanType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+
+    def _parse_all(batches):
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        for pdf in batches:
+            out = []
+            for line in pdf[line_col]:
+                line = (line or "").strip()
+                if not line or line.startswith("#"):
+                    continue
+                for m, (rws, tagkeys) in parse_lines_meta(line, precision).items():
+                    for r in rws:
+                        uid = f"{pid}:{seq}"
+                        seq += 1
+                        t = r["time"]
+                        for k, v in r.items():
+                            if k == "time":
+                                continue
+                            kind = (
+                                "bool" if isinstance(v, bool)
+                                else "int" if isinstance(v, int)
+                                else "float" if isinstance(v, float)
+                                else "str"
+                            )
+                            vs = (
+                                ("true" if v else "false")
+                                if isinstance(v, bool)
+                                else str(v)
+                            )
+                            out.append((uid, m, t, k, kind, k in tagkeys, vs))
+            yield pd.DataFrame(
+                out,
+                columns=["_uid", "m", "time", "key", "kind", "is_tag", "v"],
+            )
+
+    long = lines.mapInPandas(_parse_all, long_schema)
+    if staging_path is not None:
+        long.write.mode("overwrite").partitionBy("m").parquet(staging_path)
+        long = spark.read.parquet(staging_path)
+    else:
+        long = long.persist()
+
+    disc = (
+        long.select("m", "key", "is_tag", "kind").distinct().collect()
+    )
+    schemas = _resolve_discovered(
+        (r["m"], r["key"], bool(r["is_tag"]), r["kind"]) for r in disc
+    )
+
+    spark_t = {bool: T.BooleanType(), int: T.LongType(),
+               float: T.DoubleType(), str: T.StringType()}
+    out = {}
+    for m, (ordered, tagkeys, py) in schemas.items():
+        sub = long.filter(F.col("m") == m)
+        aggs = [F.first("time").alias("time")]
+        for k in ordered[1:]:
+            vk = F.when(F.col("key") == k, F.col("v"))
+            kindk = F.when(F.col("key") == k, F.col("kind"))
+            target = py[k]
+            if target is bool:
+                cast = vk.cast("boolean")
+            elif target is int:
+                # bool widened into an int column → 1/0, as _coerce_kind
+                cast = (
+                    F.when(kindk == "bool", (vk == "true").cast("long"))
+                    .otherwise(vk.cast("long"))
+                )
+            elif target is float:
+                cast = (
+                    F.when(kindk == "bool", (vk == "true").cast("double"))
+                    .otherwise(vk.cast("double"))
+                )
+            else:
+                cast = vk  # bool/int/float were stringified at parse time
+            aggs.append(F.max(cast).alias(k))
+        wide = sub.groupBy("_uid").agg(*aggs).drop("_uid").select(
+            F.col("time").cast(T.TimestampType()),
+            *[F.col(k).cast(spark_t[py[k]]) for k in ordered[1:]],
+        )
+        out[m] = (wide, set(tagkeys))
     return out
 
 

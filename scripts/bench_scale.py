@@ -234,6 +234,57 @@ def _image_near_dup_hot(spark, sf_dir):
     )
 
 
+def _bulk_ingest_lines(spark, sf_dir):
+    """Synthetic 8-measurement line-protocol backfill derived from the
+    events table (one line per event, measurement = event_id % 8)."""
+    from cnosdb_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.select(
+        F.concat(
+            F.lit("meas"), (F.col("event_id") % 8).cast("string"),
+            F.lit(",user="), F.col("user_id").cast("string"),
+            F.lit(" value="), F.col("value").cast("string"),
+            F.lit(" "), (F.unix_micros("ts") * 1000).cast("string"),
+        ).alias("value")
+    )
+
+
+def _bulk_counts(tables):
+    from pyspark.sql import functions as F
+
+    out = None
+    for m, (df, _tags) in sorted(tables.items()):
+        c = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(m).alias("m"), "n"
+        )
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
+def _bulk_ingest_two_pass(spark, sf_dir):
+    """Round-8 comparison point: the two-pass bulk path re-scans the raw
+    text once per measurement — at 8 measurements that is 8 parses of
+    every byte."""
+    from cnosdb_spark.sources.line_protocol import lines_to_tables_distributed
+
+    return _bulk_counts(
+        lines_to_tables_distributed(spark, _bulk_ingest_lines(spark, sf_dir))
+    )
+
+
+def _bulk_ingest_single_pass(spark, sf_dir):
+    """Round-8 single-pass bulk ingest: one parse into the long-format
+    point table, wide tables pivot from the persisted parse — the
+    many-measurement backfill shape."""
+    from cnosdb_spark.sources.line_protocol import lines_to_tables_single_pass
+
+    return _bulk_counts(
+        lines_to_tables_single_pass(spark, _bulk_ingest_lines(spark, sf_dir))
+    )
+
+
 CUSTOM = {
     "near_dup_prod_cfg": _near_dup_scale_cfg,
     "near_dup_demo_capped": _near_dup_demo_capped,
@@ -244,6 +295,8 @@ CUSTOM = {
     "shuffle_export_shards": _shuffle_export_shards,
     "centroid_refine_2iter": _centroid_refine,
     "image_near_dup_hot": _image_near_dup_hot,
+    "bulk_ingest_two_pass": _bulk_ingest_two_pass,
+    "bulk_ingest_single_pass": _bulk_ingest_single_pass,
 }
 
 # arms whose output row count is evidence (recall cost of the ceiling);

@@ -486,3 +486,118 @@ def test_fuzz_open_tsdb_telnet_roundtrip(metric, tags, value, ts_us):
     assert row.pop("time") == datetime(1970, 1, 1) + timedelta(microseconds=ts_us)
     assert row.pop("value") == float(value)
     assert row == tags
+
+
+# ------------------------------------- distributed bulk-ingest fuzz (r8)
+_BULK_MEAS = st.sampled_from(["m1", "m2", "m3"])
+_BULK_KEY = st.sampled_from(["k1", "k2", "k3", "k4"])
+_BULK_VAL = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.sampled_from(["aa", "bb", "x y"]),
+)
+_BULK_LINE = st.tuples(
+    _BULK_MEAS,
+    # tags: a subset of the same key pool the fields draw from, so
+    # tag/field role conflicts are COMMON, not incidental
+    st.dictionaries(_BULK_KEY, st.sampled_from(["t1", "t2"]), max_size=2),
+    st.dictionaries(_BULK_KEY, _BULK_VAL, min_size=1, max_size=3),
+)
+
+
+@settings(**_FUZZ)
+@given(lines=st.lists(_BULK_LINE, min_size=1, max_size=10),
+       nparts=st.integers(1, 4))
+def test_fuzz_lines_to_tables_distributed_conflicts(spark, lines, nparts):
+    """Adversarial bulk-ingest fuzz: mixed measurements with the same key
+    appearing as bool/int/float/str AND as tag-vs-field across shards,
+    under arbitrary partitionings. The distributed path must resolve
+    widest-wins / tag-wins deterministically and coerce every stored
+    value per the documented rules — checked against an independent
+    pure-Python reference that shares only the single-line parser."""
+    from cnosdb_spark.sources.line_protocol import (
+        lines_to_tables_distributed,
+        parse_lines_meta,
+    )
+
+    _KORDER = {"bool": 0, "int": 1, "float": 2, "str": 3}
+
+    def fmt_val(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"{v}i"
+        if isinstance(v, float):
+            return repr(v)
+        return '"' + v + '"'
+
+    text = []
+    for i, (m, tags, fields) in enumerate(lines):
+        fields = {k: v for k, v in fields.items() if k not in tags}
+        if not fields:
+            fields = {"vv": 1.0}
+        head = m + ("," if tags else "") + ",".join(
+            f"{k}={v}" for k, v in sorted(tags.items())
+        )
+        body = ",".join(f"{k}={fmt_val(v)}" for k, v in sorted(fields.items()))
+        text.append(f"{head} {body} {1_700_000_000_000_000_000 + i * 1_000_000_000}")
+
+    # pure-python reference: parse each line with the shared single-line
+    # parser, then fold the documented widest-wins / tag-wins resolution
+    # and coercion rules independently of the distributed code
+    parsed = []  # (m, row_dict, tagkeys)
+    for ln in text:
+        for m, (rows, tagkeys) in parse_lines_meta(ln, "ns").items():
+            for r in rows:
+                parsed.append((m, dict(r), set(tagkeys)))
+    resolved: dict = {}  # m -> {key: (is_tag, kind)}
+    for m, row, tagkeys in parsed:
+        keys = resolved.setdefault(m, {})
+        for k, v in row.items():
+            if k == "time":
+                continue
+            kind = ("bool" if isinstance(v, bool) else
+                    "int" if isinstance(v, int) else
+                    "float" if isinstance(v, float) else "str")
+            is_tag = k in tagkeys
+            prev = keys.get(k)
+            if prev is not None:
+                kind = max(prev[1], kind, key=_KORDER.get)
+                is_tag = prev[0] or is_tag
+            if is_tag:
+                kind = "str"
+            keys[k] = (is_tag, kind)
+
+    def coerce(v, kind):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return {"bool": v, "int": int(v), "float": float(v),
+                    "str": "true" if v else "false"}[kind]
+        if kind == "float" and isinstance(v, int):
+            return float(v)
+        if kind == "str" and not isinstance(v, str):
+            return str(v)
+        return v
+
+    want: dict = {}
+    for m, row, _tk in parsed:
+        keys = resolved[m]
+        tagk = sorted(k for k, (t, _) in keys.items() if t)
+        fldk = sorted(k for k, (t, _) in keys.items() if not t)
+        tup = tuple([row["time"]] + [
+            coerce(row.get(k), keys[k][1]) for k in tagk + fldk
+        ])
+        want.setdefault(m, []).append(tup)
+
+    lines_df = spark.createDataFrame(
+        [(ln,) for ln in text], ["value"]
+    ).repartition(nparts)
+    got = lines_to_tables_distributed(spark, lines_df)
+    assert set(got) == set(want)
+    for m in want:
+        df, tags_out = got[m]
+        assert tags_out == {k for k, (t, _) in resolved[m].items() if t}
+        a = sorted(tuple(r) for r in df.collect())
+        assert a == sorted(want[m]), f"measurement {m}"

@@ -348,6 +348,22 @@ def test_prometheus_remote_read(eng):
     with _pytest.raises(ValueError, match="table not found"):
         eng.read_prometheus(bad)
 
+    # response-size guard: a matcher selecting more rows than the limit
+    # fails loudly BEFORE the driver collects anything
+    orig = eng.PROM_READ_MAX_ROWS
+    try:
+        eng.PROM_READ_MAX_ROWS = 2
+        wide = snappy_compress(
+            encode_read_request(
+                [{"start_ms": 0, "end_ms": 100_000_000,
+                  "matchers": [(MATCHER_EQ, "__name__", "node_cpu")]}]
+            )
+        )
+        with _pytest.raises(ValueError, match="> limit 2"):
+            eng.read_prometheus(wide)
+    finally:
+        eng.PROM_READ_MAX_ROWS = orig
+
 
 def test_lines_to_tables_distributed_parity(spark):
     """The bulk executor-side parse must produce the same tables the
@@ -403,6 +419,47 @@ def test_distributed_schema_widens_across_shards(spark):
     (df, tags), = lines_to_tables_distributed(spark, lines_df).values()
     assert dict(df.dtypes)["v"] == "double"
     assert sorted(r["v"] for r in df.collect()) == [3.0, 4.5]
+
+
+def test_single_pass_parity_with_two_pass(spark, tmp_path):
+    """The one-parse long-format path must produce the same tables as the
+    two-pass (schema-discovery + per-measurement re-scan) path — across
+    multiple measurements, cross-shard type conflicts (int/float,
+    bool/int) and a tag/field role conflict — both in-memory and via the
+    partitioned parquet staging variant."""
+    from cnosdb_spark.sources.line_protocol import (
+        lines_to_tables_distributed,
+        lines_to_tables_single_pass,
+    )
+
+    text_lines = [
+        'weather,city=sf temp=13.5,hum=71i 1700000000000000000',
+        'weather,city=la temp=21i,ok=true 1700000000500000000',
+        'weather,city=sf hum=3.25,ok=false 1700000001000000000',
+        'cpu,host=h1 usage=0.55,label="idle" 1700000002000000000',
+        'cpu,host=h2 usage=true 1700000002500000000',
+        'cpu host=7i,usage=0.15 1700000002500000777',  # host: tag vs field
+        'mem,host=h3 free=123456789i 1700000003000000000',
+        '# comment',
+        '',
+    ]
+    lines_df = spark.createDataFrame(
+        [(ln,) for ln in text_lines], ["value"]
+    ).repartition(3)
+    two = lines_to_tables_distributed(spark, lines_df)
+    for staging in (None, str(tmp_path / "staging")):
+        one = lines_to_tables_single_pass(
+            spark, lines_df, staging_path=staging
+        )
+        assert set(two) == set(one) == {"weather", "cpu", "mem"}
+        for m in two:
+            tdf, ttags = two[m]
+            odf, otags = one[m]
+            assert ttags == otags
+            assert dict(tdf.dtypes) == dict(odf.dtypes)
+            a = sorted(tuple(r) for r in tdf.collect())
+            b = sorted(tuple(r) for r in odf.collect())
+            assert a == b, f"measurement {m} diverged (staging={staging})"
 
 
 def test_distributed_schema_bool_conflicts(spark):
