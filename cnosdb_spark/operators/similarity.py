@@ -86,31 +86,97 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Exact cosine top-k per query: broadcast the (small) query set against
-    the corpus — a broadcast nested-loop join that scans the corpus ONCE for
-    all queries — then per-query top-k via window rank (Spark executes the
-    rank + filter as a per-partition top-k before the final shuffle).
+    """Exact cosine top-k per query: the query set is small by contract
+    (collected driver-side, like pq_topk's distance tables) and scored
+    against the corpus in ONE vectorized Arrow scan with a per-batch
+    partial top-k — each batch emits only its local best k per query
+    under the same (cosine desc, id asc) order as the global rank, so
+    the union provably contains the global top-k and the post-scan row
+    count is batches x queries x k, not |corpus| x |queries|. The numpy
+    arithmetic replays cosine_expr's sequential fold order, so results
+    are bit-identical to the expression form (the DuckDB oracle
+    contract).
 
     Ties broken by corpus id asc for determinism.
     """
-    c = corpus.select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
-    q = queries.select(
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    ).collect()
+    qvs = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+    # per-query norms with norm_expr's sequential fold order
+    qn2 = np.zeros(len(q_rows))
+    for j in range(qvs.shape[1] if len(q_rows) else 0):
+        qn2 += qvs[:, j] * qvs[:, j]
+    qnorm = np.sqrt(qn2)
+
+    spark = corpus.sparkSession
+    qid_type = queries.schema[query_id_col].dataType
+    qdf = spark.createDataFrame(
+        [(i, r["_qid"]) for i, r in enumerate(q_rows)],
+        T.StructType(
+            [
+                T.StructField("_qix", T.IntegerType()),
+                T.StructField(query_id_col, qid_type),
+            ]
+        ),
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "_qid",
-        "_cid",
-        cosine_expr(F.col("_cv"), F.col("_qv")).alias("_cos"),
+    cid_type = corpus.schema[id_col].dataType
+    src = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_cv")
     )
-    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    out_fields = [
+        T.StructField("_qix", T.IntegerType()),
+        T.StructField("_cid", cid_type),
+        T.StructField("_cos", T.DoubleType()),
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def _score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or not len(qvs):
+                continue
+            CV = _list_col_np(batch.column(1), np.float64)
+            cid = batch.column(0).to_numpy(zero_copy_only=False)
+            cn2 = np.zeros(n)
+            for j in range(CV.shape[1]):
+                cn2 += CV[:, j] * CV[:, j]
+            cnorm = np.sqrt(cn2)  # no epsilon floor, as cosine_expr
+            qixs, tops, coss = [], [], []
+            for qi in range(len(qvs)):
+                dot = np.zeros(n)
+                for j in range(CV.shape[1]):
+                    dot += CV[:, j] * qvs[qi, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (cnorm * qnorm[qi])
+                # Spark sorts NaN FIRST under desc (NaN is greatest);
+                # -inf keys reproduce that in the ascending lexsort
+                key = np.where(np.isnan(cos), -np.inf, -cos)
+                top = np.lexsort((cid, key))[:k]
+                qixs.append(np.full(len(top), qi, dtype=np.int32))
+                tops.append(top)
+                coss.append(cos[top])
+            take = pa.array(np.concatenate(tops), type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(qixs), type=pa.int32()),
+                    batch.column(0).take(take),
+                    pa.array(np.concatenate(coss), type=pa.float64()),
+                ],
+                names=[f.name for f in out_fields],
+            )
+
+    scored = src.mapInArrow(_score, out_schema).join(F.broadcast(qdf), "_qix")
+    w = Window.partitionBy("_qix").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(
-            F.col("_qid").alias(query_id_col),
+            F.col(query_id_col),
             F.col("_cid").alias(id_col),
             F.round("_cos", 6).alias("cosine"),
             F.col("_rn").cast("int").alias("rank"),
