@@ -517,10 +517,12 @@ def embedding_near_dup_pairs(
     )
     va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    from .similarity import cosine_score_arrow
+
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+        cosine_score_arrow(
+            cand.join(va, "id_a").join(vb, "id_b"), "_va", "_vb", "cosine"
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -77,6 +77,52 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_score_arrow(
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "_cos"
+) -> DataFrame:
+    """Append cosine(a_col, b_col) as ``out_col`` and DROP the two vector
+    columns — a vectorized Arrow kernel for candidate-scoring joins
+    (bucket/cluster equi-joins carrying both vectors). Catalyst
+    interprets the cosine_expr HOFs at ~ms per row; this kernel replays
+    the same sequential fold order (dot and both norms accumulate
+    dimension-by-dimension, no epsilon floor), so results are
+    bit-identical to the expression form and differential oracles hold.
+    Both columns must be equal-width non-null array<double>."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    keep = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
+    out_schema = T.StructType(list(keep) + [T.StructField(out_col, T.DoubleType())])
+    names = [f.name for f in keep] + [out_col]
+    cols = list(df.columns)
+    ai, bi = cols.index(a_col), cols.index(b_col)
+    keep_idx = [i for i, c in enumerate(cols) if c not in (a_col, b_col)]
+
+    def _cos(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            A = _list_col_np(batch.column(ai), np.float64)
+            B = _list_col_np(batch.column(bi), np.float64)
+            dot = np.zeros(n)
+            an2 = np.zeros(n)
+            bn2 = np.zeros(n)
+            for j in range(A.shape[1]):
+                dot += A[:, j] * B[:, j]
+                an2 += A[:, j] * A[:, j]
+                bn2 += B[:, j] * B[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(an2) * np.sqrt(bn2))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in keep_idx]
+                + [pa.array(cos, type=pa.float64())],
+                names=names,
+            )
+
+    return df.mapInArrow(_cos, out_schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -255,8 +301,9 @@ def lsh_topk(
         seed,
         axis_aligned=axis_aligned,
     )
-    scored = c.join(q, "lsh_bucket").select(
-        "_qid", "_cid", cosine_expr(F.col("_cv"), F.col("_qv")).alias("_cos")
+    scored = cosine_score_arrow(
+        c.join(q, "lsh_bucket").select("_qid", "_cid", "_cv", "_qv"),
+        "_cv", "_qv", "_cos",
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     return (
@@ -468,8 +515,9 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("_qid"), qv.alias("_qv"), F.explode(probes).alias("_cluster")
     )
-    scored = c.join(q, "_cluster").select(
-        "_qid", "_cid", cosine_expr(F.col("_cv"), F.col("_qv")).alias("_cos")
+    scored = cosine_score_arrow(
+        c.join(q, "_cluster").select("_qid", "_cid", "_cv", "_qv"),
+        "_cv", "_qv", "_cos",
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     return (
@@ -527,9 +575,11 @@ def semantic_dedup(
         F.col("_cluster"), F.col("_id").alias("_hi"), F.col("_v").alias("_hv")
     )
     shadows = (
-        lo.join(hi, "_cluster")
-        .filter(F.col("_lo") < F.col("_hi"))
-        .filter(cosine_expr(F.col("_lv"), F.col("_hv")) >= threshold)
+        cosine_score_arrow(
+            lo.join(hi, "_cluster").filter(F.col("_lo") < F.col("_hi")),
+            "_lv", "_hv", "_cos",
+        )
+        .filter(F.col("_cos") >= threshold)
         .groupBy("_hi")
         .agg(F.min("_lo").alias("dup_of"))
     )
