@@ -373,11 +373,11 @@ def refine_centroids(
     history: list[float] = []
     src = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
     for _ in range(n_iter):
-        v = F.col("_v")
-        sims = [cosine_expr(v, F.array(*[F.lit(x) for x in c])) for c in cents]
-        best_sim = F.array_max(F.array(*sims))
-        cluster = (F.array_position(F.array(*sims), best_sim) - 1).cast("int")
-        assigned = src.select(cluster.alias("_cluster"), best_sim.alias("_s"), "_v")
+        # vectorized Arrow assignment (argmax cosine + winning sim in one
+        # kernel pass) — bit-identical to the expression form it replaced
+        assigned = ivf_assign(
+            src, "_v", cents, out_col="_cluster", sim_col="_s"
+        ).select("_cluster", "_s", "_v")
         stats = (
             assigned.select("_cluster", "_s", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("_cluster", "_pos")
@@ -443,10 +443,13 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     out_col: str = "_cluster",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (argmax cosine) — a
     vectorized Arrow kernel, bit-identical to ``ivf_assign_expr`` (same
-    sequential fold order for dot/norms, first-max tie-break)."""
+    sequential fold order for dot/norms, first-max tie-break).
+    ``sim_col`` additionally emits the winning cosine (the spherical
+    k-means inertia input — saves refine_centroids a second pass)."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -457,9 +460,10 @@ def ivf_assign(
     for j in range(cents.shape[1]):
         cn += cents[:, j] * cents[:, j]
     cn = np.sqrt(cn)
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
-    )
+    extra = [T.StructField(out_col, T.IntegerType())]
+    if sim_col is not None:
+        extra.append(T.StructField(sim_col, T.DoubleType()))
+    out_schema = T.StructType(list(df.schema.fields) + extra)
     vec_idx = df.columns.index(vec_col)
 
     def _assign(batches):
@@ -476,9 +480,13 @@ def ivf_assign(
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = dot / (np.sqrt(vn2)[:, None] * cn[None, :])
             best = sims.argmax(axis=1).astype(np.int32)  # first-max ties
+            arrays = list(batch.columns) + [pa.array(best, type=pa.int32())]
+            if sim_col is not None:
+                arrays.append(
+                    pa.array(sims[np.arange(n), best], type=pa.float64())
+                )
             yield pa.RecordBatch.from_arrays(
-                list(batch.columns) + [pa.array(best, type=pa.int32())],
-                names=list(batch.schema.names) + [out_col],
+                arrays, names=[f.name for f in out_schema.fields]
             )
 
     return df.mapInArrow(_assign, out_schema)
@@ -946,6 +954,59 @@ def load_ann_index(path: str) -> dict:
     return idx
 
 
+def _adc_score_joined(joined, m, kk, qid_type, query_id_col, refine):
+    """Vectorized ADC scoring of candidate rows from a cluster equi-join.
+    Expects columns in order (_cid, code, _dtab flat m*k, query_id,
+    [_cv, _qv]); returns (_cid, query_id, adc_dist, [_cos]). Same
+    left-fold accumulation as the aggregate-expression form; the refine
+    cosine replays cosine_expr's fold order (sequential dot and norms,
+    no epsilon floor)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    s_fields = [
+        T.StructField("_cid", T.LongType()),
+        T.StructField(query_id_col, qid_type),
+        T.StructField("adc_dist", T.DoubleType()),
+    ] + ([T.StructField("_cos", T.DoubleType())] if refine else [])
+    s_schema = T.StructType(s_fields)
+
+    def _adc(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            code = _list_col_np(batch.column(1), np.int64)
+            dtab = _list_col_np(batch.column(2), np.float64)
+            acc = np.zeros(n)
+            rows = np.arange(n)
+            for i in range(m):  # same left fold as the aggregate form
+                acc += dtab[rows, i * kk + code[:, i]]
+            arrays = [
+                batch.column(0),
+                batch.column(3),
+                pa.array(acc, type=pa.float64()),
+            ]
+            if refine:
+                CV = _list_col_np(batch.column(4), np.float64)
+                QV = _list_col_np(batch.column(5), np.float64)
+                dot = np.zeros(n)
+                cn2 = np.zeros(n)
+                qn2 = np.zeros(n)
+                for j in range(CV.shape[1]):
+                    dot += CV[:, j] * QV[:, j]
+                    cn2 += CV[:, j] * CV[:, j]
+                    qn2 += QV[:, j] * QV[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (np.sqrt(cn2) * np.sqrt(qn2))
+                arrays.append(pa.array(cos, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in s_fields]
+            )
+
+    return joined.mapInArrow(_adc, s_schema)
+
+
 def ivf_pq_topk_distributed(
     codes: DataFrame,
     queries: DataFrame,
@@ -1072,49 +1133,7 @@ def ivf_pq_topk_distributed(
             *(["_cv", "_qv"] if refine else []),
         )
     )
-    s_fields = [
-        T.StructField("_cid", T.LongType()),
-        T.StructField(query_id_col, qid_type),
-        T.StructField("adc_dist", T.DoubleType()),
-    ] + ([T.StructField("_cos", T.DoubleType())] if refine else [])
-    s_schema = T.StructType(s_fields)
-
-    def _adc(batches):
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            code = _list_col_np(batch.column(1), np.int64)
-            dtab = _list_col_np(batch.column(2), np.float64)
-            acc = np.zeros(n)
-            rows = np.arange(n)
-            for i in range(m):  # same left fold as the aggregate form
-                acc += dtab[rows, i * kk + code[:, i]]
-            arrays = [
-                batch.column(0),
-                batch.column(3),
-                pa.array(acc, type=pa.float64()),
-            ]
-            if refine:
-                # exact cosine, cosine_expr's fold order (sequential dot
-                # and norms, no epsilon floor)
-                CV = _list_col_np(batch.column(4), np.float64)
-                QV = _list_col_np(batch.column(5), np.float64)
-                dot = np.zeros(n)
-                cn2 = np.zeros(n)
-                qn2 = np.zeros(n)
-                for j in range(CV.shape[1]):
-                    dot += CV[:, j] * QV[:, j]
-                    cn2 += CV[:, j] * CV[:, j]
-                    qn2 += QV[:, j] * QV[:, j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dot / (np.sqrt(cn2) * np.sqrt(qn2))
-                arrays.append(pa.array(cos, type=pa.float64()))
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=[f.name for f in s_fields]
-            )
-
-    scored = joined.mapInArrow(_adc, s_schema)
+    scored = _adc_score_joined(joined, m, kk, qid_type, query_id_col, refine)
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("_cid").asc()
     )
@@ -1188,11 +1207,13 @@ def ivf_pq_topk(
             [float(((qv[i * sub : (i + 1) * sub] - c) ** 2).sum()) for c in books[i]]
             for i in range(m)
         ]
+        dt_flat = [x for row in dt for x in row]
         for p in probes:
-            rows.append((r["_qid"], int(p), dt, [float(x) for x in qv]))
+            rows.append((r["_qid"], int(p), dt_flat, [float(x) for x in qv]))
     spark = codes.sparkSession
     from pyspark.sql import types as T
 
+    m_, kk = len(codebooks), len(codebooks[0])
     qid_type = queries.schema[query_id_col].dataType
     qdf = spark.createDataFrame(
         rows,
@@ -1200,32 +1221,26 @@ def ivf_pq_topk(
             [
                 T.StructField(query_id_col, qid_type),
                 T.StructField(cluster_col, T.IntegerType()),
-                T.StructField("_dtab", T.ArrayType(T.ArrayType(T.DoubleType()))),
+                T.StructField("_dtab", T.ArrayType(T.DoubleType())),
                 T.StructField("_qv", T.ArrayType(T.DoubleType())),
             ]
         ),
     )
-    adc = F.aggregate(
-        F.zip_with(F.col("_dtab"), F.col(code_col), lambda d, c: F.element_at(d, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
-    scored = (
+    joined = (
         codes.select(
-            F.col(id_col).alias("_cid"),
+            F.col(id_col).cast("long").alias("_cid"),
             F.col(cluster_col).cast("int").alias(cluster_col),
             code_col,
             *keep_vec,
         )
         .join(F.broadcast(qdf), cluster_col)
         .select(
-            query_id_col,
-            "_cid",
-            adc.alias("adc_dist"),
+            "_cid", code_col, F.col("_dtab"), query_id_col,
             *(["_cv", "_qv"] if refine else []),
         )
     )
+    scored = _adc_score_joined(joined, m_, kk, qid_type, query_id_col, refine)
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("_cid").asc()
     )
@@ -1234,7 +1249,7 @@ def ivf_pq_topk(
             F.col("_r") <= refine
         )
         w_exact = Window.partitionBy(query_id_col).orderBy(
-            cosine_expr(F.col("_cv"), F.col("_qv")).desc(), F.col("_cid").asc()
+            F.col("_cos").desc(), F.col("_cid").asc()
         )
         ranked = short.withColumn("rank", F.row_number().over(w_exact))
     else:
