@@ -15,6 +15,7 @@ Design constraints honored everywhere:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import normalize, tokens
@@ -243,37 +244,39 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
-    """SimHash fingerprint over whitespace tokens.
-
-    Each token hashes to a ``bits``-bit integer (md5 prefix); bit b of the
-    fingerprint is 1 iff the sum over tokens of ±1 (by token bit b) is > 0.
-    Expressed per-row as ``bits`` array-``aggregate`` folds over the
-    token-hash array — NO explode, NO shuffle (the token table never
-    leaves its row), no UDF, and replicable in ANSI SQL (DuckDB oracle,
-    which computes the identical sums). 32 bits keeps every intermediate
-    in int64.
-    Output: (_id, simhash BIGINT).
-
-    Measured (r05): the per-bit folds beat a single fold accumulating an
-    array of bit-counters (0.73 s vs 0.79-0.98 s min-of-3 at sf0.1,
-    16 bits) — the single pass allocates a counter array per TOKEN, which
-    costs more than re-walking the cached hash array per bit. The r04
-    bench's 1.19→1.36 s move was VM variance, not a regression.
-    """
+def _simhash_hashes(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+    """Shared first half of both simhash forms: (_id, _hs) where _hs is
+    the per-token md5-prefix hash array — tokenization and hashing stay
+    JVM-side (whole-stage codegen'd string ops), so both fold variants
+    consume identical inputs."""
     hexlen = bits // 4
     t = df.select(
         F.col(id_col).alias("_id"), tokens(normalize(F.col(text_col))).alias("_toks")
     )
-    # materialize the md5 hashes in their own projection so the bits
-    # folds below reference a computed array, not bits copies of the md5
+    # materialize the md5 hashes in their own projection so the bit
+    # folds reference a computed array, not bits copies of the md5
     # transform (CollapseProject keeps non-cheap multi-referenced exprs
     # in their own stage)
     hs = F.transform(
         F.col("_toks"),
         lambda s: F.conv(F.substring(F.md5(s), 1, hexlen), 16, 10).cast("long"),
     )
-    t = t.select("_id", hs.alias("_hs"))
+    return t.select("_id", hs.alias("_hs"))
+
+
+def simhash_expr(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Expression-form SimHash — ``bits`` array-``aggregate`` folds over
+    the token-hash array, replicable in ANSI SQL (the DuckDB oracle
+    computes the identical sums). Kept as the arithmetic contract for
+    the vectorized ``simhash`` (integer arithmetic, so equality is
+    EXACT); Catalyst interprets the folds at ~per-token-per-bit cost —
+    use ``simhash`` in hot paths.
+
+    Measured (r05): the per-bit folds beat a single fold accumulating an
+    array of bit-counters (0.73 s vs 0.79-0.98 s min-of-3 at sf0.1,
+    16 bits) — the single pass allocates a counter array per TOKEN, which
+    costs more than re-walking the cached hash array per bit."""
+    t = _simhash_hashes(df, text_col, id_col, bits)
     fp = None
     for b in range(bits):
         s = F.aggregate(
@@ -285,6 +288,57 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         bit = F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return t.select("_id", fp.cast("long").alias("simhash"))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens.
+
+    Each token hashes to a ``bits``-bit integer (md5 prefix); bit b of
+    the fingerprint is 1 iff the sum over tokens of ±1 (by token bit b)
+    is > 0. Hybrid execution: tokenization + md5 hashing stay JVM-side
+    (codegen'd), the ``bits`` sign-sum folds run as ONE vectorized Arrow
+    kernel (cumsum-based segment sums over the flattened hash arrays) —
+    Catalyst interprets array folds, and bits x tokens interpreted
+    lambda steps per row is the same per-row constant the ANN family
+    paid. Integer arithmetic end to end, so the result is EXACTLY equal
+    to ``simhash_expr`` (parity-pinned) and the SQL oracle.
+    Output: (_id, simhash BIGINT); 32 bits keeps every intermediate in
+    int64."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    t = _simhash_hashes(df, text_col, id_col, bits)
+    id_type = t.schema["_id"].dataType
+    out_schema = T.StructType(
+        [T.StructField("_id", id_type), T.StructField("simhash", T.LongType())]
+    )
+
+    def _fold(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            arr = batch.column(1)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            lens = pa.compute.list_value_length(arr).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            fp = np.zeros(n, dtype=np.int64)
+            for b in range(bits):
+                sgn = (((vals >> b) & 1) << 1) - 1  # ±1 per token
+                c = np.concatenate(([0], np.cumsum(sgn)))
+                seg = c[ends] - c[starts]  # empty rows → 0, as the fold
+                fp += np.where(seg > 0, 1 << b, 0).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(fp, type=pa.int64())],
+                names=["_id", "simhash"],
+            )
+
+    return t.mapInArrow(_fold, out_schema)
 
 
 def simhash_near_dup_pairs(

@@ -824,6 +824,20 @@ def test_arrow_kernels_bit_identical_to_expression_forms(spark):
     }
     assert arrow_asg == expr_asg
 
+    docs = read_table(spark, SF_DIR, "documents")
+    arrow_sh = {
+        r["_id"]: r["simhash"]
+        for r in dedup.simhash(docs, "text", "doc_id").collect()
+    }
+    expr_sh = {
+        r["_id"]: r["simhash"]
+        for r in dedup.simhash_expr(docs, "text", "doc_id").collect()
+    }
+    assert arrow_sh == expr_sh
+    # empty-token rows fold to fingerprint 0 on both paths
+    empty = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    assert {r["simhash"] for r in dedup.simhash(empty, "text", "doc_id").collect()} == {0}
+
 
 # ---------------------------------------------------------------------
 # incremental dedup against a persisted band index
