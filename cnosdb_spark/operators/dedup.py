@@ -163,9 +163,76 @@ def minhash_signatures(
     )
     t = t.select("_id", word_ngrams(F.col("_toks"), n).alias("_sh"))
     # per-row array pipeline — NO explode, NO shuffle: the shingle table
-    # never leaves its row. Each stage is its own projection so the
-    # non-cheap transform() is evaluated once (CollapseProject refuses to
-    # inline expensive exprs referenced num_hashes times).
+    # never leaves its row. Shingling + md5 stay JVM-side (codegen'd
+    # string ops, own projection so the transform evaluates once); the
+    # num_hashes x shingles permutation-min folds run as ONE vectorized
+    # Arrow kernel — Catalyst interprets transform/array_min, the same
+    # per-row constant the ANN family paid. A[i] < 2^20 and h < 2^40
+    # keep a*h+b < 2^62, so the numpy int64 arithmetic is EXACTLY the
+    # expression arithmetic (parity-pinned; the SQL oracle holds).
+    hs = F.transform(
+        F.col("_sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long"),
+    )
+    t = t.select("_id", hs.alias("_hs"))
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    coeffs = _minhash_coeffs(num_hashes)
+    id_type = t.schema["_id"].dataType
+    out_schema = T.StructType(
+        [T.StructField("_id", id_type)]
+        + [T.StructField(f"mh_{i}", T.LongType()) for i in range(num_hashes)]
+    )
+
+    def _mins(batches):
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            arr = batch.column(1)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            lens = pa.compute.list_value_length(arr).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            nz = lens > 0
+            starts_nz = (np.cumsum(lens) - lens)[nz]
+            arrays = [batch.column(0)]
+            for a, b in coeffs:
+                perm = (a * vals + b) % MINHASH_P
+                mh = np.zeros(nrows, dtype=np.int64)
+                if len(starts_nz):
+                    # reduceat over non-empty rows only: consecutive
+                    # non-empty starts bound each row's value span exactly
+                    # (empty rows contribute no values in between)
+                    mh[nz] = np.minimum.reduceat(perm, starts_nz)
+                # empty shingle array → NULL, as array_min over empty
+                arrays.append(pa.array(mh, type=pa.int64(), mask=~nz))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in out_schema.fields]
+            )
+
+    return t.mapInArrow(_mins, out_schema)
+
+
+def minhash_signatures_expr(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Expression-form MinHash signatures (transform + array_min per
+    permutation) — the arithmetic contract for the vectorized
+    ``minhash_signatures`` kernel (integer arithmetic, exact equality,
+    parity-pinned in tests)."""
+    t = df.select(
+        F.col(id_col).alias("_id"), tokens(normalize(F.col(text_col))).alias("_toks")
+    )
+    t = t.select("_id", word_ngrams(F.col("_toks"), n).alias("_sh"))
     hs = F.transform(
         F.col("_sh"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long"),

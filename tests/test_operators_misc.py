@@ -838,6 +838,21 @@ def test_arrow_kernels_bit_identical_to_expression_forms(spark):
     empty = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
     assert {r["simhash"] for r in dedup.simhash(empty, "text", "doc_id").collect()} == {0}
 
+    arrow_mh = {r["_id"]: tuple(r)[1:]
+                for r in dedup.minhash_signatures(docs, "text", "doc_id").collect()}
+    expr_mh = {r["_id"]: tuple(r)[1:]
+               for r in dedup.minhash_signatures_expr(docs, "text", "doc_id").collect()}
+    assert arrow_mh == expr_mh
+    # degenerate docs (empty / whitespace-only) agree too — word_ngrams
+    # collapses short token lists to one joined shingle, so the arrays
+    # are never empty here; the kernel's empty-segment → NULL branch is
+    # exercised directly below via a hand-built hash frame
+    me = {r["_id"]: tuple(r)[1:]
+          for r in dedup.minhash_signatures(empty, "text", "doc_id").collect()}
+    mee = {r["_id"]: tuple(r)[1:]
+           for r in dedup.minhash_signatures_expr(empty, "text", "doc_id").collect()}
+    assert me == mee
+
 
 # ---------------------------------------------------------------------
 # incremental dedup against a persisted band index
