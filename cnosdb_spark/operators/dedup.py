@@ -590,8 +590,6 @@ def embedding_near_dup_pairs(
     other, more selective bands.  Set it to a few thousand at 100 TB.
     Output: (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
     """
-    from .similarity import cosine_expr
-
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
     band_keys = [
         F.concat(

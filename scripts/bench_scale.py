@@ -504,6 +504,31 @@ def main() -> None:
             "to widen bands. The 0.9-threshold prod rows emit 0 pairs at "
             "every scale (the synthetic corpus has no true >=0.9 "
             "near-dups), capped or not.",
+            "round8_ann_vectorization": "the round-7 verdict's 'huge "
+            "absolute constant' on the ANN verification rows is closed: "
+            "Catalyst interprets higher-order functions and projection "
+            "collapse re-evaluated the nested-HOF PQ encode per joined "
+            "output row; all PQ/ANN/dedup hot paths now run as vectorized "
+            "mapInArrow kernels that replay the expression arithmetic "
+            "bit-for-bit (pq_ivf_ann 80.5s -> ~3s, batch_ann_distributed "
+            "87.4s -> ~2-4s base, simhash 1.13 -> 0.57s, centroid refine "
+            "4.2 -> 1.1s). batch_ann_distributed's >4x wall at 10x is "
+            "work-driven, not constant-driven: the entry scales BOTH the "
+            "corpus and the query set 10x (every 8th vector queries), so "
+            "scored candidates grow 100x — well sub-linear per unit work.",
+            "round8_image_hot_bucket": "image_near_dup_hot drives the "
+            "generic fingerprint banding's max_bucket_size ceiling on a "
+            "half-template corpus (|documents|/5 images, generated "
+            "executor-side): the template mega-buckets (~3750 members at "
+            "10x) are dropped before expansion and wall stays ~flat; the "
+            "emitted pairs are the exact-duplicate variant groups that "
+            "stay under the cap — real near-dups, quadratic only within "
+            "bounded groups.",
+            "round8_bulk_ingest": "bulk_ingest_two_pass re-scans the raw "
+            "text once per measurement (8 here) and scales ~2.5x at 10x; "
+            "lines_to_tables_single_pass parses once into a persisted "
+            "long table and pivots per measurement: ~5x faster at base "
+            "and ~1.3x at 10x — the many-measurement backfill path.",
         },
         "base_sf": 0.1,
         "scale_copies": 10,

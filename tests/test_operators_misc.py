@@ -748,9 +748,10 @@ def test_pq_roundtrip_and_recall(spark):
 
 
 def test_pq_topk_plan_one_scan_broadcast(spark):
-    """ADC search must be one corpus scan against a broadcast query-side
-    distance table — the only join is the broadcast nested loop over the
-    tiny query set (same contract as brute_force_topk)."""
+    """ADC search must be one corpus scan: the Arrow scoring kernel
+    emits per-batch shortlists, and the only join is the broadcast hash
+    join attaching the query ids to the shortlist (the distance tables
+    themselves ride the kernel closure, never a join)."""
     from cnosdb_spark.session import read_table
     from .conftest import SF_DIR
 
