@@ -594,10 +594,15 @@ def test_fuzz_lines_to_tables_distributed_conflicts(spark, lines, nparts):
     lines_df = spark.createDataFrame(
         [(ln,) for ln in text], ["value"]
     ).repartition(nparts)
-    got = lines_to_tables_distributed(spark, lines_df)
-    assert set(got) == set(want)
-    for m in want:
-        df, tags_out = got[m]
-        assert tags_out == {k for k, (t, _) in resolved[m].items() if t}
-        a = sorted(tuple(r) for r in df.collect())
-        assert a == sorted(want[m]), f"measurement {m}"
+    from cnosdb_spark.sources.line_protocol import lines_to_tables_single_pass
+
+    for label, tables in (
+        ("two_pass", lines_to_tables_distributed(spark, lines_df)),
+        ("single_pass", lines_to_tables_single_pass(spark, lines_df)),
+    ):
+        assert set(tables) == set(want), label
+        for m in want:
+            df, tags_out = tables[m]
+            assert tags_out == {k for k, (t, _) in resolved[m].items() if t}, label
+            a = sorted(tuple(r) for r in df.collect())
+            assert a == sorted(want[m]), f"{label} measurement {m}"
