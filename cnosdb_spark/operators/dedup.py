@@ -194,9 +194,11 @@ def minhash_signatures(
             arr = batch.column(1)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            lens = pa.compute.list_value_length(arr).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
+            # NULL shingle arrays (null text) behave like empty ones →
+            # NULL signature entries, matching array_min over NULL/empty
+            lens = pa.compute.fill_null(
+                pa.compute.list_value_length(arr), 0
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
             vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             nz = lens > 0
             starts_nz = (np.cumsum(lens) - lens)[nz]
@@ -388,9 +390,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             arr = batch.column(1)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            lens = pa.compute.list_value_length(arr).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
+            # NULL hash arrays (null text) fold like empty ones → fp 0,
+            # matching the expression form; fill_null keeps the length
+            # prefix aligned with flatten(), which skips null entries
+            lens = pa.compute.fill_null(
+                pa.compute.list_value_length(arr), 0
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
             ends = np.cumsum(lens)
             starts = ends - lens
             vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)

@@ -26,10 +26,18 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 def _list_col_np(col, dtype):
     """Arrow list<primitive> column → dense (n, width) ndarray (flatten is
     offset-aware, so sliced batches convert correctly). Assumes
-    fixed-width non-null lists — the ANN-family contract."""
+    fixed-width non-null lists — the ANN-family contract; NULL entries
+    would silently misalign the flattened values against the row index,
+    so they fail loudly here instead (ragged widths fail in the
+    reshape)."""
     import pyarrow as pa
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        raise ValueError(
+            "NULL vector in Arrow-kernel input — the ANN/dedup kernels "
+            "require non-null fixed-width arrays; filter nulls upstream"
+        )
     vals = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
     n = len(arr)
     return vals.reshape(n, -1) if n else vals.reshape(0, 0)

@@ -854,6 +854,32 @@ def test_arrow_kernels_bit_identical_to_expression_forms(spark):
            for r in dedup.minhash_signatures_expr(empty, "text", "doc_id").collect()}
     assert me == mee
 
+    # NULL text rows: the kernels must match the expression forms
+    # (simhash → 0, minhash → all-NULL signature), not crash or misalign
+    withnull = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma x")],
+        "doc_id long, text string",
+    )
+    sh_n = {r["_id"]: r["simhash"]
+            for r in dedup.simhash(withnull, "text", "doc_id").collect()}
+    sh_ne = {r["_id"]: r["simhash"]
+             for r in dedup.simhash_expr(withnull, "text", "doc_id").collect()}
+    assert sh_n == sh_ne and sh_n[2] == 0
+    mh_n = {r["_id"]: tuple(r)[1:]
+            for r in dedup.minhash_signatures(withnull, "text", "doc_id").collect()}
+    mh_ne = {r["_id"]: tuple(r)[1:]
+             for r in dedup.minhash_signatures_expr(withnull, "text", "doc_id").collect()}
+    assert mh_n == mh_ne  # normalize() coalesces NULL text upstream
+
+    # NULL vectors fail loudly in the fixed-width ANN kernels (a silent
+    # flatten misalignment would corrupt every downstream row)
+    nullvec = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL vector"):
+        similarity.pq_encode(nullvec, "embedding", books).collect()
+
 
 # ---------------------------------------------------------------------
 # incremental dedup against a persisted band index
