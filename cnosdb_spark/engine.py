@@ -83,6 +83,8 @@ class Engine:
     # reference bounds remote-read responses on the coordinator read
     # path the same way.
     PROM_READ_MAX_ROWS = 1_000_000
+    # same guard for the Flight-style Arrow IPC result transport
+    ARROW_RESULT_MAX_ROWS = 1_000_000
 
     def __init__(
         self,
@@ -3027,6 +3029,45 @@ class Engine:
         return self._write_schemaless(
             prom_to_tables(self.spark, data, compressed=compressed), db
         )
+
+    def sql_arrow(self, sql: str, db: str | None = None) -> bytes:
+        """Arrow Flight SQL result transport (main/src/flight_sql/:
+        handshake + statement_query run the same QueryDispatcher path as
+        HTTP SQL, result batches stream over Flight as Arrow IPC — the
+        sqllogictest runner itself uses this protocol,
+        sqllogicaltests/src/main.rs:16-20). Spark analogue: run the
+        statement through the normal ``Engine.sql`` path and return the
+        result as an Arrow IPC stream — the exact payload a Flight
+        DoGet carries; any Arrow client (`pyarrow.ipc.open_stream`)
+        reads it back. Serving path: the result is collected to build
+        the wire bytes, so the same row-count guard as the Prometheus
+        remote-read applies (``ARROW_RESULT_MAX_ROWS``)."""
+        import io
+
+        import pyarrow as pa
+
+        prev_db = self.database
+        if db is not None:
+            self.database = db
+        try:
+            df = self.sql(sql)
+        finally:
+            self.database = prev_db
+        if df is None:  # DDL/DML: an empty zero-column stream, like
+            table = pa.table({})  # Flight's empty statement result
+        else:
+            n = df.count()
+            if n > self.ARROW_RESULT_MAX_ROWS:
+                raise ValueError(
+                    f"sql_arrow: result has {n} rows > limit "
+                    f"{self.ARROW_RESULT_MAX_ROWS}; add LIMIT or use "
+                    "Engine.sql() and keep the DataFrame distributed"
+                )
+            table = df.toArrow()
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        return sink.getvalue()
 
     def read_prometheus(
         self, data: bytes, db: str | None = None, compressed: bool = True

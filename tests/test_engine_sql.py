@@ -616,3 +616,37 @@ def test_render_poison_survives_engine_restart(spark, tmp_path):
     eng2 = Engine(spark, wh)  # fresh engine, same warehouse
     with pytest.raises(Exception):
         eng2.sql("SELECT * FROM dbms.mp").collect()
+
+
+def test_sql_arrow_flight_transport_roundtrip(eng):
+    """Flight-SQL-analogue result transport (SURVEY §3.2): Engine.sql_arrow
+    returns the query result as an Arrow IPC stream — any Arrow client
+    reads it back value-for-value; DDL yields an empty stream; the
+    response-size guard fails loudly before collecting."""
+    import pyarrow as pa
+
+    assert eng.sql("CREATE TABLE fl(v DOUBLE, TAGS(t))") is None
+    eng.sql(
+        "INSERT INTO fl(time, t, v) VALUES "
+        "(1000000000, 'a', 1.5), (2000000000, 'b', 2.5), (3000000000, 'a', 3.5)"
+    )
+    buf = eng.sql_arrow("SELECT t, v FROM fl ORDER BY time")
+    table = pa.ipc.open_stream(buf).read_all()
+    assert table.column("t").to_pylist() == ["a", "b", "a"]
+    assert table.column("v").to_pylist() == [1.5, 2.5, 3.5]
+
+    # DDL → empty zero-column stream, still valid IPC
+    empty = pa.ipc.open_stream(
+        eng.sql_arrow("CREATE TABLE fl2(v DOUBLE, TAGS(t))")
+    ).read_all()
+    assert empty.num_rows == 0 and empty.num_columns == 0
+
+    import pytest as _pytest
+
+    orig = eng.ARROW_RESULT_MAX_ROWS
+    try:
+        eng.ARROW_RESULT_MAX_ROWS = 2
+        with _pytest.raises(ValueError, match="> limit 2"):
+            eng.sql_arrow("SELECT * FROM fl")
+    finally:
+        eng.ARROW_RESULT_MAX_ROWS = orig
