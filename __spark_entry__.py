@@ -68,6 +68,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _await_stream(q, timeout: int = 300) -> None:
+    """awaitTermination(timeout) returns False on TIMEOUT without raising —
+    a slow host (this VM's CPU swings 2-3x) would then read a PARTIAL
+    output directory and surface as a confusing oracle-parity mismatch.
+    Fail loudly instead."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish in {timeout}s"
+        )
+
+
 def normalize_timestamps(df, ts_nanos_long_cols: tuple[str, ...] = ("ts",)):
     from cnosdb_spark.session import normalize_timestamps as _n
 
@@ -2495,7 +2507,7 @@ def _asof_stream_arm(spark, purchases, clicks):
         .format("parquet")
         .start(out)
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return spark.read.parquet(out).select(
         F.lit("asof_stream").alias("op"),
         F.col("event_id").alias("k"),
@@ -3380,7 +3392,7 @@ def _sessionize_stream_arm(spark, e):
         .format("parquet")
         .start(out)
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return (
         spark.read.parquet(out)
         .filter(F.col("user_id") >= 0)  # drop the sentinel's session
@@ -3482,7 +3494,7 @@ def streaming_tumbling_agg(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     emitted = spark.read.parquet(os.path.join(out_dir, "data"))
     # watermark bound from the batch MAX only (a filter constant, not data)
     max_us = batch.agg(F.max(F.unix_micros("ts"))).collect()[0][0]

@@ -3041,7 +3041,11 @@ class Engine:
         DoGet carries; any Arrow client (`pyarrow.ipc.open_stream`)
         reads it back. Serving path: the result is collected to build
         the wire bytes, so the same row-count guard as the Prometheus
-        remote-read applies (``ARROW_RESULT_MAX_ROWS``)."""
+        remote-read applies (``ARROW_RESULT_MAX_ROWS``). The guard is
+        SINGLE-evaluation: at most limit+1 rows are fetched in the one
+        Spark job and overflow fails client-side — a separate count()
+        would execute the statement twice and race concurrent writes /
+        nondeterministic queries (TOCTOU)."""
         import io
 
         import pyarrow as pa
@@ -3056,14 +3060,13 @@ class Engine:
         if df is None:  # DDL/DML: an empty zero-column stream, like
             table = pa.table({})  # Flight's empty statement result
         else:
-            n = df.count()
-            if n > self.ARROW_RESULT_MAX_ROWS:
+            table = df.limit(self.ARROW_RESULT_MAX_ROWS + 1).toArrow()
+            if table.num_rows > self.ARROW_RESULT_MAX_ROWS:
                 raise ValueError(
-                    f"sql_arrow: result has {n} rows > limit "
-                    f"{self.ARROW_RESULT_MAX_ROWS}; add LIMIT or use "
+                    f"sql_arrow: result exceeds limit "
+                    f"{self.ARROW_RESULT_MAX_ROWS} rows; add LIMIT or use "
                     "Engine.sql() and keep the DataFrame distributed"
                 )
-            table = df.toArrow()
         sink = io.BytesIO()
         with pa.ipc.new_stream(sink, table.schema) as w:
             w.write_table(table)
@@ -3128,23 +3131,26 @@ class Engine:
         try:
             for t in tables:
                 where = " AND ".join(filters)
-                # response-size guard BEFORE collecting: the protobuf
-                # response is assembled driver-side (the serving path), so
-                # a runaway matcher / open time range must fail loudly
-                # instead of OOMing the driver — the reference bounds
-                # remote-read responses the same way (server-side limits
-                # on the coordinator read path).
-                n = self.sql(
-                    f"SELECT count(*) AS n FROM `{t}` WHERE {where}"
-                ).first()["n"]
-                if n > self.PROM_READ_MAX_ROWS:
+                # response-size guard: the protobuf response is assembled
+                # driver-side (the serving path), so a runaway matcher /
+                # open time range must fail loudly instead of OOMing the
+                # driver — the reference bounds remote-read responses the
+                # same way (server-side limits on the coordinator read
+                # path). SINGLE evaluation: fetch at most limit+1 rows in
+                # the one job (TakeOrdered under the LIMIT) and fail on
+                # overflow — a separate count() would scan twice and race
+                # concurrent writes (TOCTOU).
+                sql = (
+                    f"SELECT * FROM `{t}` WHERE {where} ORDER BY time "
+                    f"LIMIT {self.PROM_READ_MAX_ROWS + 1}"
+                )
+                rows = self.sql(sql).collect()
+                if len(rows) > self.PROM_READ_MAX_ROWS:
                     raise ValueError(
-                        f"prometheus remote-read: matchers select {n} rows "
-                        f"from {t!r} > limit {self.PROM_READ_MAX_ROWS}; "
+                        f"prometheus remote-read: matchers select more than "
+                        f"{self.PROM_READ_MAX_ROWS} rows from {t!r}; "
                         "narrow the time range or matchers"
                     )
-                sql = f"SELECT * FROM `{t}` WHERE {where} ORDER BY time"
-                rows = self.sql(sql).collect()
                 tag_cols = list(self.catalog.get_schema(db, t).tags)
                 out.extend(prom.df_to_timeseries(rows, tag_cols))
         finally:

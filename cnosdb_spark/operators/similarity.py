@@ -131,6 +131,17 @@ def cosine_score_arrow(
     return df.mapInArrow(_cos, out_schema)
 
 
+BRUTE_FORCE_MAX_QUERIES = 8192
+"""Ceiling on the query set ``brute_force_topk`` will collect driver-side.
+
+The kernel embeds the (Q x d) query matrix in every task closure and loops
+over queries per batch — O(Q) per batch — so an unbounded query table
+would silently degrade into a driver bottleneck. Mirrors the engine's
+serving-path row guards (ARROW_RESULT_MAX_ROWS); corpus-sized query
+tables belong on ``ivf_pq_topk_distributed``, where nothing reaches the
+driver."""
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -139,27 +150,54 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int = BRUTE_FORCE_MAX_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k per query: the query set is small by contract
-    (collected driver-side, like pq_topk's distance tables) and scored
-    against the corpus in ONE vectorized Arrow scan with a per-batch
-    partial top-k — each batch emits only its local best k per query
-    under the same (cosine desc, id asc) order as the global rank, so
-    the union provably contains the global top-k and the post-scan row
-    count is batches x queries x k, not |corpus| x |queries|. The numpy
+    (collected driver-side, like pq_topk's distance tables; enforced by
+    ``max_queries`` — corpus-sized query tables belong on
+    ``ivf_pq_topk_distributed``) and scored against the corpus in ONE
+    vectorized Arrow scan with a per-batch partial top-k — each batch
+    emits only its local best k per query under the same (cosine desc,
+    id asc) order as the global rank, so the union provably contains
+    the global top-k and the post-scan row count is
+    batches x queries x k, not |corpus| x |queries|. The numpy
     arithmetic replays cosine_expr's sequential fold order, so results
     are bit-identical to the expression form (the DuckDB oracle
     contract).
+
+    Kernel-vs-expression dispatch trade (measured r08, keep in mind
+    before "fixing" either direction): the mapInArrow kernel pays a
+    fixed ~0.3 s Python-worker round-trip per stage, so at TOY scale
+    (sf0.1's 2k vectors) raw wall intentionally regressed +79% vs the
+    old cross-join column-expression form — while at 10x data the
+    kernel is 0.9x (wins), and the gap widens with corpus size because
+    Catalyst interprets nested higher-order functions at ~ms/row. The
+    kernel is the 100 TB design point; do not revert it for the toy
+    number.
 
     Ties broken by corpus id asc for determinism.
     """
     import pyarrow as pa
     from pyspark.sql import types as T
 
-    q_rows = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        F.col(query_vec_col).cast("array<double>").alias("_qv"),
-    ).collect()
+    # single-action guard: fetch at most max_queries+1 rows, fail on overflow
+    # (a separate count() would double-execute and race, like the sql_arrow
+    # TOCTOU shape)
+    q_rows = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(query_vec_col).cast("array<double>").alias("_qv"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk: query set exceeds max_queries={max_queries}; "
+            "the query matrix rides every task closure, so large query "
+            "tables must use ivf_pq_topk_distributed (fully distributed, "
+            "nothing collected) instead"
+        )
     qvs = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
     # per-query norms with norm_expr's sequential fold order
     qn2 = np.zeros(len(q_rows))
@@ -833,11 +871,15 @@ def pq_topk(
     dtab_np = np.array([dt for _, dt, _ in dtab_rows])  # (Q, m, k)
     n_keep = int(refine or k)
     keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
-    src = codes.select(F.col(id_col).cast("long").alias("_cid"), code_col, *keep_vec)
+    # Carry the corpus id through at its ORIGINAL type (as brute_force_topk
+    # does): a cast("long") under ANSI-off silently NULLs non-numeric ids
+    # (e.g. string vec ids), corrupting output ids and tie-breaks.
+    cid_type = codes.schema[id_col].dataType
+    src = codes.select(F.col(id_col).alias("_cid"), code_col, *keep_vec)
     qvn_np = np.array([qv for _, _, qv in dtab_rows])  # (Q, d) normalized
     out_fields = [
         T.StructField("_qix", T.IntegerType()),
-        T.StructField("_cid", T.LongType()),
+        T.StructField("_cid", cid_type),
         T.StructField("adc_dist", T.DoubleType()),
     ] + ([T.StructField("_cos", T.DoubleType())] if refine else [])
     out_schema = T.StructType(out_fields)
@@ -855,16 +897,17 @@ def pq_topk(
                 for j in range(CV.shape[1]):
                     cnorm2 += CV[:, j] * CV[:, j]
                 cnorm = np.sqrt(cnorm2)  # no epsilon floor, as cosine_expr
-            qixs, cids, dists, coss = [], [], [], []
+            qixs, tops, dists, coss = [], [], [], []
             for qi in range(len(dtab_np)):
                 # same left-fold order as the aggregate expression
                 acc = np.zeros(n)
                 for i in range(m):
                     acc += dtab_np[qi, i][code[:, i]]
                 # batch-local shortlist under the GLOBAL (adc, cid) order
+                # (lexsort handles object dtype, so string ids order too)
                 top = np.lexsort((cid, acc))[:n_keep]
                 qixs.append(np.full(len(top), qi, dtype=np.int32))
-                cids.append(cid[top])
+                tops.append(top)
                 dists.append(acc[top])
                 if refine:
                     qv = qvn_np[qi]
@@ -876,9 +919,10 @@ def pq_topk(
                         qn2 += qv[j] * qv[j]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         coss.append(dot / (cnorm[top] * np.sqrt(qn2)))
+            take = pa.array(np.concatenate(tops), type=pa.int64())
             arrays = [
                 pa.array(np.concatenate(qixs), type=pa.int32()),
-                pa.array(np.concatenate(cids), type=pa.int64()),
+                batch.column(0).take(take),
                 pa.array(np.concatenate(dists), type=pa.float64()),
             ]
             if refine:
@@ -962,18 +1006,20 @@ def load_ann_index(path: str) -> dict:
     return idx
 
 
-def _adc_score_joined(joined, m, kk, qid_type, query_id_col, refine):
+def _adc_score_joined(joined, m, kk, qid_type, query_id_col, refine, cid_type=None):
     """Vectorized ADC scoring of candidate rows from a cluster equi-join.
     Expects columns in order (_cid, code, _dtab flat m*k, query_id,
     [_cv, _qv]); returns (_cid, query_id, adc_dist, [_cos]). Same
     left-fold accumulation as the aggregate-expression form; the refine
     cosine replays cosine_expr's fold order (sequential dot and norms,
-    no epsilon floor)."""
+    no epsilon floor). ``cid_type`` is the corpus id's ORIGINAL Spark
+    type — the kernel passes the id column through untouched, so any
+    orderable id type (string, long, ...) survives."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
     s_fields = [
-        T.StructField("_cid", T.LongType()),
+        T.StructField("_cid", cid_type or T.LongType()),
         T.StructField(query_id_col, qid_type),
         T.StructField("adc_dist", T.DoubleType()),
     ] + ([T.StructField("_cos", T.DoubleType())] if refine else [])
@@ -1127,9 +1173,10 @@ def ivf_pq_topk_distributed(
     q = q_src.mapInArrow(_prep, q_schema)
 
     keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
+    cid_type = codes.schema[id_col].dataType  # preserve id type (no NULLing cast)
     joined = (
         codes.select(
-            F.col(id_col).cast("long").alias("_cid"),
+            F.col(id_col).alias("_cid"),
             F.col(cluster_col).cast("int").alias(cluster_col),
             code_col,
             *keep_vec,
@@ -1141,7 +1188,9 @@ def ivf_pq_topk_distributed(
             *(["_cv", "_qv"] if refine else []),
         )
     )
-    scored = _adc_score_joined(joined, m, kk, qid_type, query_id_col, refine)
+    scored = _adc_score_joined(
+        joined, m, kk, qid_type, query_id_col, refine, cid_type
+    )
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("_cid").asc()
     )
@@ -1235,9 +1284,10 @@ def ivf_pq_topk(
         ),
     )
     keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
+    cid_type = codes.schema[id_col].dataType  # preserve id type (no NULLing cast)
     joined = (
         codes.select(
-            F.col(id_col).cast("long").alias("_cid"),
+            F.col(id_col).alias("_cid"),
             F.col(cluster_col).cast("int").alias(cluster_col),
             code_col,
             *keep_vec,
@@ -1248,7 +1298,9 @@ def ivf_pq_topk(
             *(["_cv", "_qv"] if refine else []),
         )
     )
-    scored = _adc_score_joined(joined, m_, kk, qid_type, query_id_col, refine)
+    scored = _adc_score_joined(
+        joined, m_, kk, qid_type, query_id_col, refine, cid_type
+    )
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("_cid").asc()
     )

@@ -414,7 +414,13 @@ def lines_to_tables_single_pass(
     long = lines.mapInPandas(_parse_all, long_schema)
     if staging_path is not None:
         long.write.mode("overwrite").partitionBy("m").parquet(staging_path)
-        long = spark.read.parquet(staging_path)
+        # the measurement comes back as a PARTITION column — read with the
+        # explicit schema so the declared string type wins over partition
+        # type INFERENCE, or numeric-looking names ('123', '01') come back
+        # as integers, changing the dict's key type and colliding '01'
+        # with '1' (diverging from the in-memory and two-pass paths,
+        # where m stays a string)
+        long = spark.read.schema(long_schema).parquet(staging_path)
     else:
         long = long.persist()
 

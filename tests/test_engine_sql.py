@@ -646,7 +646,29 @@ def test_sql_arrow_flight_transport_roundtrip(eng):
     orig = eng.ARROW_RESULT_MAX_ROWS
     try:
         eng.ARROW_RESULT_MAX_ROWS = 2
-        with _pytest.raises(ValueError, match="> limit 2"):
+        with _pytest.raises(ValueError, match="exceeds limit 2"):
             eng.sql_arrow("SELECT * FROM fl")
     finally:
         eng.ARROW_RESULT_MAX_ROWS = orig
+
+
+def test_sql_arrow_single_evaluation(eng, monkeypatch):
+    """The row-count guard must not execute the statement twice: sql_arrow
+    fetches at most limit+1 rows in ONE job and fails client-side. A
+    count()-then-collect guard would double-scan and race concurrent
+    writes (TOCTOU) — pin it by making any DataFrame.count() call blow
+    up for the duration of the transport call."""
+    from pyspark.sql import DataFrame
+
+    eng.sql("CREATE TABLE fl1e(v DOUBLE, TAGS(t))")
+    eng.sql("INSERT INTO fl1e(time, t, v) VALUES (1000000000, 'a', 1.5)")
+
+    def _no_count(self, *a, **kw):
+        raise AssertionError("sql_arrow must not run a separate count()")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    import pyarrow as pa
+
+    buf = eng.sql_arrow("SELECT t, v FROM fl1e")
+    table = pa.ipc.open_stream(buf).read_all()
+    assert table.num_rows == 1 and table.column("v").to_pylist() == [1.5]

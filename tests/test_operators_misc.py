@@ -1048,6 +1048,67 @@ def test_ivf_pq_topk_distributed_parity_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_pq_search_preserves_string_ids(spark):
+    """A non-numeric corpus id must survive every PQ search path at its
+    ORIGINAL type: under ANSI-off the old cast('long') silently NULLed
+    string ids, corrupting output ids and the (dist, id) tie-break.
+    Results must be exactly the long-id results with ids mapped, and the
+    output schema must keep the string type (brute_force_topk already
+    preserved it; these are the three paths that didn't)."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", n_centroids=4)
+    books = similarity.pq_codebooks(emb, "embedding", m=8, k=16)
+    codes = similarity.ivf_assign(
+        similarity.pq_encode(emb, "embedding", books), "embedding", cents
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # same corpus, string ids zero-padded so string order == numeric order
+    # (same tie-break ranking ⇒ results must map 1:1)
+    scodes = codes.withColumn("vec_id", F.format_string("v%06d", "vec_id"))
+
+    def mapped(df):
+        return {
+            (r["query_id"], "v%06d" % r["vec_id"], r["adc_dist"], r["rank"])
+            for r in df.collect()
+        }
+
+    searches = [
+        lambda c, q: similarity.pq_topk(c, q, books, k=5),
+        lambda c, q: similarity.ivf_pq_topk(c, q, cents, books, k=5, n_probe=2),
+        lambda c, q: similarity.ivf_pq_topk_distributed(
+            c, q, cents, books, k=5, n_probe=2
+        ),
+    ]
+    for fn in searches:
+        want = mapped(fn(codes, queries))
+        got_df = fn(scodes, queries)
+        assert dict(got_df.dtypes)["vec_id"] == "string"
+        got = {tuple(r) for r in got_df.collect()}
+        assert got == want
+
+
+def test_brute_force_topk_query_ceiling(spark):
+    """The query matrix rides every task closure, so an oversized query
+    table must fail loudly (single-action limit-probe guard), steering
+    the caller to ivf_pq_topk_distributed."""
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.brute_force_topk(emb, queries, k=2, max_queries=3)
+    # at the boundary it runs
+    assert similarity.brute_force_topk(emb, queries, k=1, max_queries=10).count() == 10
+
+
 def test_wav_roundtrip_and_features(spark):
     """The stdlib-wave PCM codec: int16 encode→decode is exactly
     samples/32768, real_decode dispatches it with NO codec library, and

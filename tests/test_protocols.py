@@ -359,7 +359,7 @@ def test_prometheus_remote_read(eng):
                   "matchers": [(MATCHER_EQ, "__name__", "node_cpu")]}]
             )
         )
-        with _pytest.raises(ValueError, match="> limit 2"):
+        with _pytest.raises(ValueError, match="more than 2 rows"):
             eng.read_prometheus(wide)
     finally:
         eng.PROM_READ_MAX_ROWS = orig
@@ -460,6 +460,32 @@ def test_single_pass_parity_with_two_pass(spark, tmp_path):
             a = sorted(tuple(r) for r in tdf.collect())
             b = sorted(tuple(r) for r in odf.collect())
             assert a == b, f"measurement {m} diverged (staging={staging})"
+
+
+def test_single_pass_staging_numeric_measurement_names(spark, tmp_path):
+    """The staging variant reads the measurement back as a parquet
+    PARTITION column — with type inference, numeric-looking names
+    ('123', '01') come back as ints: the dict keys change type and
+    '01'/'1' collide. The explicit-schema read must keep them distinct
+    strings, identical to the in-memory path."""
+    from cnosdb_spark.sources.line_protocol import lines_to_tables_single_pass
+
+    text_lines = [
+        '01,host=a value=1.5 1000000000',
+        '1,host=b value=2.5 2000000000',
+        '123,host=c value=3.5 3000000000',
+    ]
+    lines_df = spark.createDataFrame([(ln,) for ln in text_lines], ["value"])
+    mem = lines_to_tables_single_pass(spark, lines_df)
+    staged = lines_to_tables_single_pass(
+        spark, lines_df, staging_path=str(tmp_path / "stage")
+    )
+    assert set(staged) == set(mem) == {"01", "1", "123"}
+    assert all(isinstance(k, str) for k in staged)
+    for m in mem:
+        assert sorted(tuple(r) for r in staged[m][0].collect()) == sorted(
+            tuple(r) for r in mem[m][0].collect()
+        )
 
 
 def test_distributed_schema_bool_conflicts(spark):
