@@ -985,17 +985,35 @@ def series_selector_aggs(spark, sf_dir):
     FROM zw
     WHERE zn >= 5 AND zs IS NOT NULL AND zs > 0
       AND abs((value - zm) / zs) >= 3.0
+    UNION ALL
+    SELECT 'mad', user_id, event_id, NULL, round(score, 6) FROM (
+      WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+                   FROM events GROUP BY user_id),
+      mad AS (SELECT e.user_id,
+                     quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                     min(m.med) AS med
+              FROM events e JOIN med m USING (user_id) GROUP BY e.user_id),
+      sc AS (SELECT e.event_id, e.user_id,
+                    CASE WHEN d.mad > 0
+                         THEN abs(e.value - d.med) / (1.4826 * d.mad) END AS score
+             FROM events e JOIN mad d USING (user_id))
+      SELECT event_id, user_id, score FROM sc WHERE score >= 3.5)
     """,
 )
 def mode_increase_per_series(spark, sf_dir):
-    """Per-series monitoring family — three operators, one row:
+    """Per-series monitoring family — four operators, one row:
 
     - mode_inc: mode(x) with deterministic tie-break (SURVEY §2.4;
       reference aggregate_function/mode.rs) + increase(time, value) with
       counter-reset handling (increase.rs), joined per series;
     - zscore: rolling z-score anomaly detection (operators/anomaly.py) —
       trailing-20-rows window EXCLUDING the current row, flagged rows
-      (|z| >= 3 on the unrounded score) only.
+      (|z| >= 3 on the unrounded score) only;
+    - mad (round-9 graduation from pytest-only): robust per-series MAD
+      outliers (anomaly.mad_anomalies, Iglewicz-Hoaglin 3.5 cut) — exact
+      interpolated medians on both sides (Spark percentile ==
+      quantile_cont), score expression replayed term-for-term, flag from
+      the UNROUNDED score.
     """
     e = _t(spark, sf_dir, "events")
     m = mode_df(e, ["user_id"], "event_type")
@@ -1009,7 +1027,7 @@ def mode_increase_per_series(spark, sf_dir):
         F.col("mode").alias("s"),
         F.col("increase").alias("val"),
     )
-    from cnosdb_spark.operators.anomaly import zscore_anomalies
+    from cnosdb_spark.operators.anomaly import mad_anomalies, zscore_anomalies
 
     z = zscore_anomalies(
         e, "ts", "value", ["user_id"], lookback=20, threshold=3.0
@@ -1020,7 +1038,16 @@ def mode_increase_per_series(spark, sf_dir):
         F.lit(None).cast("string").alias("s"),
         F.col("zscore").alias("val"),
     )
-    return mode_inc.unionAll(z)
+    mad = mad_anomalies(e, "value", ["user_id"], threshold=3.5).filter(
+        "is_anomaly"
+    ).select(
+        F.lit("mad").alias("op"),
+        "user_id",
+        F.col("event_id").alias("k2"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("mad_score").alias("val"),
+    )
+    return mode_inc.unionAll(z).unionAll(mad)
 
 
 @_q(
@@ -1668,11 +1695,14 @@ def ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    """Carries the identical universal-hash arithmetic as
-    operators.dedup.minhash_signatures: h = int(substr(md5(shingle),1,10), 16)
-    (hex parsed with an explicit base-16 polynomial — DuckDB has no conv()),
-    then mh_i = min((A[i]*h + B[i]) % (2^61-1))."""
+def _minhash_cte_tail(num_hashes: int = 16, bands: int = 4) -> str:
+    """Banding CTE fragment (hashed → sig → buckets) appended after a
+    shingle CTE exposing ``sh(doc_id, s)``. Carries the identical
+    universal-hash arithmetic as operators.dedup.minhash_signatures:
+    h = int(substr(md5(shingle),1,10), 16) (hex parsed with an explicit
+    base-16 polynomial — DuckDB has no conv()), then
+    mh_i = min((A[i]*h + B[i]) % (2^61-1)); band keys are
+    md5('b:|mh..|mh..') exactly as minhash_band_table builds them."""
     from cnosdb_spark.operators.dedup import MINHASH_P, _minhash_coeffs
 
     rows = num_hashes // bands
@@ -1689,12 +1719,18 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
         band_exprs.append(f"md5('{b}:' || '|' || {parts})")
     bands_arr = ", ".join(band_exprs)
-    return (
-        _SHINGLE_CTE
-        + f"""
+    return f"""
     , hashed AS (SELECT doc_id, CAST({hex_poly} AS BIGINT) AS h FROM sh),
     sig AS (SELECT doc_id, {mh} FROM hashed GROUP BY doc_id),
     buckets AS (SELECT doc_id, unnest([{bands_arr}]) AS bucket FROM sig)
+    """
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    return (
+        _SHINGLE_CTE
+        + _minhash_cte_tail(num_hashes, bands)
+        + """
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     """
@@ -2545,18 +2581,62 @@ _STRAT_CASE = " ".join(
     WHERE (('0x' || substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
            / 4294967296.0)
           < CASE source {_STRAT_CASE} ELSE 0.0 END
+    UNION ALL
+    SELECT 'bm25', _doc, '', round(bm25, 6) FROM (
+      WITH qt AS (SELECT * FROM doc_terms WHERE term IN ('the', 'data', 'time')),
+      lens AS (
+        SELECT doc_id AS _doc,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len({_TOKS_SQL}) END AS DOUBLE) AS dl
+        FROM documents),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
+      avgdl AS (SELECT avg(dl) AS _avgdl FROM lens),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY term),
+      scored AS (
+        SELECT qt._doc,
+               ln(1 + (_n - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / _avgdl)) AS _s
+        FROM qt JOIN dfq ON qt.term = dfq.term
+                JOIN lens ON qt._doc = lens._doc
+        CROSS JOIN nn CROSS JOIN avgdl)
+      SELECT _doc, sum(_s) AS bm25 FROM scored GROUP BY _doc)
+    UNION ALL
+    SELECT op, doc_id, '', val FROM (
+      WITH counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cw
+                      FROM doc_terms GROUP BY term),
+      tot AS (SELECT CAST(sum(cw) AS BIGINT) AS _t,
+                     CAST(count(*) AS BIGINT) AS _v FROM counts),
+      lm_scored AS (
+        SELECT _doc, tf, tf * log10((cw + 0.5) / (_t + 0.5 * _v)) AS _lp
+        FROM doc_terms JOIN counts ON doc_terms.term = counts.term CROSS JOIN tot),
+      per_doc AS (
+        SELECT _doc, CAST(sum(tf) AS BIGINT) AS n_tokens, sum(_lp) AS _lp_sum
+        FROM lm_scored GROUP BY _doc)
+      SELECT 'lm_ntok' AS op, d.doc_id,
+             CAST(coalesce(p.n_tokens, 0) AS DOUBLE) AS val
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p._doc
+      UNION ALL
+      SELECT 'lm_lp', d.doc_id, round(p._lp_sum / p.n_tokens, 6)
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p._doc)
     """,
 )
 def scoring_sampling(spark, sf_dir):
     """Corpus scoring + deterministic sampling (operators/scoring.py,
-    operators/curation.py) — two arms:
+    operators/curation.py) — four arms, one row:
 
     - tfidf: top-2 characteristic terms per document by smoothed TF-IDF
       (one (doc,term) shuffle; doc-count scalar broadcast);
     - strat: stratified-sample keep-set — md5 id-hash fraction below the
       per-source rate; identical arithmetic runs in the DuckDB oracle, so
       the keep/drop decisions must match row-for-row (re-shard-stable by
-      construction).
+      construction);
+    - bm25 (round-9 graduation from pytest-only): BM25 relevance of every
+      doc against the fixed query bag ('the','data','time') — the
+      Robertson idf and the per-term saturation replay term-for-term in
+      the oracle, same expression shapes;
+    - lm_ntok / lm_lp (round-9): self-trained add-0.5 unigram LM token
+      count and mean log10-probability per doc (scoring.py
+      unigram_lm_scores); empty docs carry NULL lm_lp on both sides.
     """
     d = _t(spark, sf_dir, "documents")
     tfidf = scoring.tf_idf_topk_terms(d, k=2).select(
@@ -2571,7 +2651,26 @@ def scoring_sampling(spark, sf_dir):
         F.col("source").alias("s"),
         F.col("n_chars").cast("double").alias("val"),
     )
-    return tfidf.unionAll(strat)
+    bm25 = scoring.bm25_scores(d, ["the", "data", "time"]).select(
+        F.lit("bm25").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.lit("").alias("s"),
+        F.col("bm25").alias("val"),
+    )
+    lm = scoring.unigram_lm_scores(d, add_k=0.5)
+    lm_ntok = lm.select(
+        F.lit("lm_ntok").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.lit("").alias("s"),
+        F.col("n_tokens").cast("double").alias("val"),
+    )
+    lm_lp = lm.select(
+        F.lit("lm_lp").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.lit("").alias("s"),
+        F.col("lm_logprob").alias("val"),
+    )
+    return tfidf.unionAll(strat).unionAll(bm25).unionAll(lm_ntok).unionAll(lm_lp)
 
 
 # =====================================================================
@@ -2633,6 +2732,54 @@ def data_quality_scores(spark, sf_dir):
         F.round("timeliness", 6).alias("timeliness"),
         F.round("validity", 6).alias("validity"),
     )
+
+
+def _lttb_oracle_values(n_out: int = 16) -> str | None:
+    """Expected LTTB keep-set for the round-9 lttb arm, replayed at import
+    in local numpy over the same corpus (the _refine_oracle pattern):
+    per-series sort by time, t at ns-scale float64 — exactly what
+    applyInPandas's datetime64[ns].astype(int64) feeds the kernel. The
+    kernel itself is independently loop-pinned in tests/test_downsample.py,
+    so the arm differentially verifies the DISTRIBUTED half (grouping,
+    in-group sort, applyInPandas schema/plumbing) against a local
+    ground-truth replay. Emits (user_id, ts_us) VALUES — values join back
+    to the events table in SQL, keeping the literal small. Returns None
+    if the corpus is unreadable (arm disabled on both sides)."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from cnosdb_spark.operators.downsample import _lttb_numpy
+
+        corpus = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT user_id, epoch_us(ts), value FROM '{corpus}/events.parquet' "
+            "ORDER BY user_id, ts"
+        ).fetchall()
+        con.close()
+        by_user: dict = {}
+        for uid, t_us, v in rows:
+            by_user.setdefault(uid, ([], []))
+            by_user[uid][0].append(t_us)
+            by_user[uid][1].append(v)
+        vals = []
+        for uid, (ts_us, vs) in sorted(by_user.items()):
+            t = (np.array(ts_us, dtype=np.int64) * 1000).astype(np.float64)
+            v = np.array(
+                [float("nan") if x is None else x for x in vs], dtype=np.float64
+            )
+            for i in _lttb_numpy(t, v, n_out):
+                vals.append(f"({uid}, {ts_us[i]})")
+        return ",\n      ".join(vals)
+    except Exception:
+        return None
+
+
+_LTTB_N_OUT = 16
+_LTTB_ORACLE = _lttb_oracle_values(_LTTB_N_OUT)
 
 
 @_q(
@@ -2740,7 +2887,19 @@ def data_quality_scores(spark, sf_dir):
     FROM (SELECT *, row_number() OVER (PARTITION BY user_id, nt ORDER BY rn) AS r2
           FROM snap)
     WHERE r2 = 1)
-    """,
+    """
+    + (
+        f"""
+    UNION ALL
+    SELECT 'lttb', k.user_id, k.ts_us,
+           CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS value_e6
+    FROM (VALUES
+      {_LTTB_ORACLE}) AS k(user_id, ts_us)
+    JOIN events e ON e.user_id = k.user_id AND epoch_us(e.ts) = k.ts_us
+    """
+        if _LTTB_ORACLE
+        else ""
+    ),
 )
 def ts_value_fill_repair(spark, sf_dir):
     """Per-series sequential value transforms (SURVEY §2.6 ts_gen_func
@@ -2760,10 +2919,14 @@ def ts_value_fill_repair(spark, sf_dir):
     - tsrepair (round-7 fold of the former ts_timestamp_repair row):
       ts_gen_func timestamp_repair (reference ts_gen_func/data_repair/
       timestamp_repair.rs) — snap per-series timestamps to the modal
-      (median) interval from the series start, keep-first on collisions.
+      (median) interval from the series start, keep-first on collisions;
+    - lttb (round-9 graduation from pytest-only): Largest-Triangle-Three-
+      Buckets downsample to 16 points per series
+      (operators/downsample.py lttb) — the oracle replays the keep-set
+      locally at import (_lttb_oracle_values) and re-joins values in SQL.
     """
     from cnosdb_spark.functions.repair import timestamp_repair, value_repair
-    from cnosdb_spark.operators.downsample import ewma
+    from cnosdb_spark.operators.downsample import ewma, lttb
 
     e = _t(spark, sf_dir, "events")
     fill_in = e.withColumn(
@@ -2793,7 +2956,16 @@ def ts_value_fill_repair(spark, sf_dir):
         F.unix_micros("ts").alias("ts_us"),
         F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
     )
-    return fill.unionAll(rep).unionAll(smooth).unionAll(tsrep)
+    out = fill.unionAll(rep).unionAll(smooth).unionAll(tsrep)
+    if _LTTB_ORACLE:
+        samp = lttb(e, "ts", "value", ["user_id"], n_out=_LTTB_N_OUT).select(
+            F.lit("lttb").alias("op"),
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
+        )
+        out = out.unionAll(samp)
+    return out
 
 
 @_q(
@@ -3651,23 +3823,68 @@ def tsbs_daily_activity(spark, sf_dir):
       SELECT doc_id AS id, doc_id AS lab FROM documents
       UNION
       SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-    SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id,
-           (id = min(lab)) AS is_canonical
+    """
+    + _minhash_cte_tail()
+    + """
+    , corpus_b AS (SELECT doc_id, bucket FROM buckets WHERE doc_id % 5 <> 0),
+    batch_b AS (SELECT doc_id, bucket FROM buckets WHERE doc_id % 5 = 0)
+    SELECT 'cluster' AS op, id AS doc_id, CAST(min(lab) AS BIGINT) AS v,
+           (id = min(lab)) AS flag, '' AS src
     FROM reach GROUP BY id
+    UNION ALL
+    SELECT 'incr', id_a, id_b, TRUE, 'index' FROM (
+      SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+      FROM batch_b n JOIN corpus_b c ON n.bucket = c.bucket)
+    UNION ALL
+    SELECT 'incr', id_a, id_b, TRUE, 'batch' FROM (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM batch_b a JOIN batch_b b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
     """,
 )
 def dedup_cluster_resolution(spark, sf_dir):
-    """Near-dup pairs → connected components (min-label propagation): the
-    keep-one decision for a dedup pipeline. Iterative joins with
-    per-round localCheckpoint, no driver-side row loops; the oracle
-    computes the same components via a recursive transitive closure."""
+    """Dedup pipeline resolution family — two arms, one row:
+
+    - cluster: near-dup pairs → connected components (min-label
+      propagation): the keep-one decision for a dedup pipeline.
+      Iterative joins with per-round localCheckpoint, no driver-side row
+      loops; the oracle computes the same components via a recursive
+      transitive closure;
+    - incr (round-9 graduation of the incremental dedup index from
+      pytest-only): the production ingest loop — the corpus slice
+      (doc_id % 5 != 0, "yesterday") is reduced to its PERSISTABLE
+      minhash_band_table index, then dedup_against_index checks the new
+      batch (doc_id % 5 == 0, "today") against the index plus itself
+      WITHOUT touching corpus text; the oracle re-derives both joins
+      from the full-corpus banding CTE filtered by the same split
+      (per-doc signatures are subset-invariant, so index rows equal the
+      filtered bucket rows).
+    """
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
     ids = d.select(F.col("doc_id").alias("_id"))
     out = dedup.resolve_duplicate_clusters(ids, pairs, "_id")
-    return out.select(
-        F.col("id").alias("doc_id"), "cluster_id", "is_canonical"
+    cluster = out.select(
+        F.lit("cluster").alias("op"),
+        F.col("id").alias("doc_id"),
+        F.col("cluster_id").alias("v"),
+        F.col("is_canonical").alias("flag"),
+        F.lit("").alias("src"),
     )
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.minhash_band_table(
+        corpus, "text", "doc_id", n=3, num_hashes=16, bands=4
+    )
+    incr = dedup.dedup_against_index(
+        batch, index, "text", "doc_id", n=3, num_hashes=16, bands=4
+    ).select(
+        F.lit("incr").alias("op"),
+        F.col("id_new").alias("doc_id"),
+        F.col("id_match").alias("v"),
+        F.lit(True).alias("flag"),
+        F.col("source").alias("src"),
+    )
+    return cluster.unionAll(incr)
 
 
 def _refine_oracle() -> str | None:
@@ -3744,6 +3961,32 @@ _RC_K, _RC_ITER = 8, 2
 _REFINE_ORACLE = _refine_oracle()
 
 
+_SEMDEDUP_ORACLE = """
+    SELECT * FROM (
+      WITH cent AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+               embedding::DOUBLE[] AS c
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+      vv AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      sims AS (SELECT vv.vec_id, vv.emb, cent.cid,
+                      list_cosine_similarity(vv.emb, cent.c) AS s
+               FROM vv CROSS JOIN cent),
+      asg AS (SELECT vec_id, emb, cid AS cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY s DESC, cid) AS rn
+                FROM sims) WHERE rn = 1),
+      shadows AS (SELECT b.vec_id AS hid, min(a.vec_id) AS dup_of
+                  FROM asg a JOIN asg b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.42
+                  GROUP BY b.vec_id)
+      SELECT 'semdedup' AS op, CAST(vv.vec_id AS BIGINT) AS k,
+             (s.dup_of IS NULL) AS cosines_exact, TRUE AS recall_ok,
+             CAST(s.dup_of AS BIGINT) AS v
+      FROM vv LEFT JOIN shadows s ON s.hid = vv.vec_id)
+"""
+
+
 @_q(
     "ivf_ann_topk",
     """
@@ -3751,6 +3994,7 @@ _REFINE_ORACLE = _refine_oracle()
            CAST(NULL AS BIGINT) AS v
     FROM embeddings WHERE vec_id < 10
     """
+    + f"UNION ALL {_SEMDEDUP_ORACLE}"
     + (f"UNION ALL SELECT * FROM ({_REFINE_ORACLE})" if _REFINE_ORACLE else ""),
 )
 def ivf_ann_topk(spark, sf_dir):
@@ -3774,7 +4018,16 @@ def ivf_ann_topk(spark, sf_dir):
     - refine_cluster: per-cluster member count under the refined
       centroids must match the numpy ground truth's SQL assignment;
     - refine_inertia: avg(1 - best_cosine) after the final iteration,
-      compared at 1e-4 granularity (far above reduction-order noise)."""
+      compared at 1e-4 granularity (far above reduction-order noise).
+
+    Round-9 semdedup arm (graduated from pytest-only): SemDeDup semantic
+    dedup (similarity.semantic_dedup, Abbas et al. 2023) over UNREFINED
+    md5-seeded centroids (n_iter=0 ⇒ the centroids are exact corpus
+    vectors the oracle re-derives in pure SQL — no float-refinement
+    ambiguity); threshold 0.42 is ACTIVE on this corpus (12 within-
+    cluster shadow pairs, min |cos−0.42| margin 3.2e-3 ≫ the ~1e-15
+    engine cosine skew), and the oracle replays assignment + the
+    within-cluster shadow join + min-dup_of resolution entirely in SQL."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(emb, "embedding", n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -3826,6 +4079,15 @@ def ivf_ann_topk(spark, sf_dir):
             F.lit(None).cast("long").alias("v"),
         )
     )
+    seeds0 = similarity.ivf_centroids(emb, "embedding", n_centroids=8, n_iter=0)
+    sd = similarity.semantic_dedup(emb, seeds0, threshold=0.42).select(
+        F.lit("semdedup").alias("op"),
+        F.col("vec_id").cast("long").alias("k"),
+        F.col("is_kept").alias("cosines_exact"),
+        F.lit(True).alias("recall_ok"),
+        F.col("dup_of").cast("long").alias("v"),
+    )
+    ivf_arm = ivf_arm.unionAll(sd)
     if not _REFINE_ORACLE:
         return ivf_arm
     seeds = similarity.ivf_centroids(emb, "embedding", n_centroids=_RC_K, n_iter=0)
