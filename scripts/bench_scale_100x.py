@@ -10,9 +10,9 @@ this run derives a 100x documents+embeddings corpus (~500k docs / 200k
 vectors — the only tables these ops read; the TPC-H tables are not
 derived, saving ~10 GB of pointless replication) and measures each op
 INTERLEAVED at 10x and at 100x, so each op's 100x/10x ratio is
-host-drift-immune (the drift timescale exceeds one op's wall; memory
-note: never compare raw seconds across windows). Linear scaling predicts
-ratio ~10.
+host-drift-resistant (standing rule from BENCH_SUITE_DIFF.md: never
+compare raw seconds across measurement windows). Linear scaling
+predicts ratio ~10.
 
 Derivation reuses scripts/make_scale_data.py's perturbations: per-copy
 word prefixes keep WITHIN-copy near-dup structure exact while cross-copy
