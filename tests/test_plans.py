@@ -220,11 +220,16 @@ def test_asof_range_join_row_no_cartesian(spark):
 
 
 def test_scoring_sampling_row_plan(spark):
-    """TF-IDF arm: corpus-count scalar broadcasts (the only permissible
-    nested-loop is that 1-row join); stratified arm: a pure filter."""
+    """Every nested-loop in this row is a ONE-ROW scalar broadcast (the
+    permissible shape): tfidf carries the corpus count (1), bm25 carries
+    n_docs + avgdl (2), and the unigram-LM subtree carries its T/V totals
+    — duplicated under the union because lm_ntok and lm_lp both read it
+    (2). Anything beyond that bound means a data-sized side slipped into
+    a nested loop. Stratified arm: a pure filter, no join at all."""
     p = _plan(spark, "scoring_sampling")
     assert "BroadcastExchange" in p
-    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert p.count("BroadcastNestedLoopJoin") <= 5
+    assert "CartesianProduct" not in p
     assert "partial_count" in p  # map-side combine on the (doc,term) agg
 
 
