@@ -3004,6 +3004,9 @@ def ts_value_fill_repair(spark, sf_dir):
       FROM kept ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100)
     UNION ALL SELECT 'export', shard, n, h FROM exp
     UNION ALL SELECT 'export_verify', shard, 1, n FROM exp
+    UNION ALL
+    SELECT 'qmodel', doc_id, 1, CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1 AND trim(text) <> ''
     """,
 )
 def pipeline_curation(spark, sf_dir):
@@ -3023,7 +3026,20 @@ def pipeline_curation(spark, sf_dir):
       breaks the hash;
     - export_verify: verify_export's manifest-vs-files check must report
       ok for every shard, and the manifest's per-shard row counts must
-      equal the SQL-derived truth."""
+      equal the SQL-derived truth.
+
+    Round-9 qmodel arm (graduating the last pytest-only pipeline
+    operator): the trainable CCNet-style quality filter
+    (quality_model.py — HashingTF + stats features + distributed
+    LogisticRegression) trains on the EVEN-doc-id half of the corpus
+    against deterministically CORRUPTED twins (every word suffixed
+    '9!' — disjoint tokens, degraded stat features), then must rank
+    every held-out ODD original ABOVE its own corrupted twin. The L-BFGS
+    weights aren't bit-replicable in SQL, so the contract is the paired
+    accuracy assertion (the ivf_ann_topk pattern): v1 = 1 per holdout
+    doc, and the oracle pins the holdout doc set + the all-ones
+    expectation. Measured margin: min P(orig) − P(corrupt) ≥ 0.91 on
+    both test corpora — flips are structurally remote, not borderline."""
     import tempfile
 
     d = _t(spark, sf_dir, "documents")
@@ -3083,7 +3099,34 @@ def pipeline_curation(spark, sf_dir):
         F.col("ok").cast("long").alias("v1"),
         F.col("n_rows").cast("long").alias("v2"),
     )
-    return curate.unionAll(export).unionAll(verify)
+
+    from cnosdb_spark.operators import quality_model
+
+    def _corrupt(c):
+        return F.regexp_replace(c, r"([a-z]+)", r"$19!")
+
+    base = d.select("doc_id", "text")
+    train = base.filter("doc_id % 2 = 0")
+    model = quality_model.train_quality_classifier(
+        train.select("text"),
+        train.select(_corrupt(F.col("text")).alias("text")),
+        num_features=1024,
+        max_iter=25,
+    )
+    hold = base.filter("doc_id % 2 = 1 AND trim(text) <> ''")
+    p_orig = quality_model.score_quality(hold, model).select(
+        "doc_id", F.col("quality_prob").alias("_po")
+    )
+    p_corr = quality_model.score_quality(
+        hold.select("doc_id", _corrupt(F.col("text")).alias("text")), model
+    ).select("doc_id", F.col("quality_prob").alias("_pc"))
+    qmodel = p_orig.join(p_corr, "doc_id").select(
+        F.lit("qmodel").alias("op"),
+        F.col("doc_id").cast("long").alias("k"),
+        (F.col("_po") > F.col("_pc")).cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
+    return curate.unionAll(export).unionAll(verify).unionAll(qmodel)
 
 
 def _png_decode_oracle_values(n: int = 48, seed: int = 7) -> str:
