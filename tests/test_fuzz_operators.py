@@ -606,3 +606,109 @@ def test_fuzz_lines_to_tables_distributed_conflicts(spark, lines, nparts):
             assert tags_out == {k for k, (t, _) in resolved[m].items() if t}, label
             a = sorted(tuple(r) for r in df.collect())
             assert a == sorted(want[m]), f"{label} measurement {m}"
+
+
+# ---------------------------------------------------------------------
+# round-9 fuzzers for the graduated operators
+# ---------------------------------------------------------------------
+
+def _lttb_scalar_reference(t, v, n_out):
+    """Independent scalar-loop LTTB (no numpy vector ops): same bucket
+    bounds, same triangle-area expression, first-max selection. On
+    INTEGER-valued inputs every intermediate is exact in float64 (sums
+    < 2^53; identical operand values -> identical IEEE results), so the
+    kernel and this loop must agree index-for-index — no tie ambiguity."""
+    n = len(t)
+    if n_out >= n or n_out < 3:
+        return list(range(n))
+    import numpy as np
+
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(int).tolist()
+    kept = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo = hi
+        nhi = n - 1 if i == n_out - 3 else bounds[i + 2]
+        if nhi > nlo:
+            avg_t = sum(float(x) for x in t[nlo:nhi]) / (nhi - nlo)
+            avg_v = sum(float(x) for x in v[nlo:nhi]) / (nhi - nlo)
+        else:
+            avg_t, avg_v = float(t[n - 1]), float(v[n - 1])
+        at, av = float(t[a]), float(v[a])
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            area = abs(
+                (at - avg_t) * (float(v[j]) - av)
+                - (at - float(t[j])) * (avg_v - av)
+            )
+            if area > best_area:
+                best, best_area = j, area
+        a = best
+        kept.append(a)
+    kept.append(n - 1)
+    return kept
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    deltas=st.lists(st.integers(1, 9), min_size=2, max_size=60),
+    vals=st.lists(st.integers(-50, 50), min_size=2, max_size=60),
+    n_out=st.integers(3, 8),
+)
+def test_lttb_kernel_matches_scalar_reference(deltas, vals, n_out):
+    """The vectorized LTTB kernel (downsample._lttb_numpy: lexsort-free
+    argmax over a numpy area vector) must agree index-for-index with the
+    independent scalar loop on arbitrary integer series — pure-numpy
+    differential, no Spark."""
+    import numpy as np
+
+    from cnosdb_spark.operators.downsample import _lttb_numpy
+
+    n = min(len(deltas), len(vals))
+    t = np.cumsum(np.array(deltas[:n], dtype=np.int64))  # strictly increasing
+    v = np.array(vals[:n], dtype=np.int64)
+    got = list(_lttb_numpy(t.astype(np.float64), v.astype(np.float64), n_out))
+    want = _lttb_scalar_reference(t.tolist(), v.tolist(), n_out)
+    assert got == want
+
+
+@settings(**_FUZZ)
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+        min_size=3,
+        max_size=50,
+    ),
+)
+def test_mad_anomalies_matches_numpy(spark, series):
+    """mad_anomalies on arbitrary INTEGER series must match a numpy
+    replay exactly: Spark's percentile() is the same linear-interpolated
+    exact percentile as np.percentile, and on integer inputs every
+    median/deviation is exact in float64, so scores AND flags are
+    bit-identical (no threshold-adjacent ambiguity)."""
+    import numpy as np
+
+    from cnosdb_spark.operators.anomaly import mad_anomalies
+
+    df = spark.createDataFrame(
+        [(k, i, float(x)) for i, (k, x) in enumerate(series)],
+        ["k", "i", "value"],
+    )
+    got = {
+        (r["k"], r["i"]): (r["mad_score"], r["is_anomaly"])
+        for r in mad_anomalies(df, "value", ["k"], threshold=3.5).collect()
+    }
+    by_key: dict[int, list] = {}
+    for i, (k, x) in enumerate(series):
+        by_key.setdefault(k, []).append((i, float(x)))
+    for k, rows in by_key.items():
+        vals = np.array([x for _, x in rows])
+        med = float(np.percentile(vals, 50))
+        mad = float(np.percentile(np.abs(vals - med), 50))
+        for i, x in rows:
+            if mad > 0:
+                score = abs(x - med) / (1.4826 * mad)
+                assert got[(k, i)] == (round(score, 6), score >= 3.5), (k, i)
+            else:
+                assert got[(k, i)] == (None, False), (k, i)
