@@ -652,6 +652,57 @@ def test_sql_arrow_flight_transport_roundtrip(eng):
         eng.ARROW_RESULT_MAX_ROWS = orig
 
 
+def test_sql_arrow_stream_unbounded_roundtrip(eng):
+    """sql_arrow_stream is the uncapped Flight-DoGet shape: chunks of one
+    IPC stream whose concatenation any Arrow client reads back — for a
+    result LARGER than ARROW_RESULT_MAX_ROWS (where sql_arrow refuses),
+    with multiple batch frames, value-identical to the SQL result and
+    type-identical to the capped transport (same to_arrow_schema)."""
+    import pyarrow as pa
+
+    eng.sql("CREATE TABLE flst(v DOUBLE, TAGS(t))")
+    vals = ", ".join(
+        f"({(i + 1) * 1000000000}, 'tag{i % 3}', {i}.25)" for i in range(50)
+    )
+    eng.sql(f"INSERT INTO flst(time, t, v) VALUES {vals}")
+
+    orig = eng.ARROW_RESULT_MAX_ROWS
+    try:
+        eng.ARROW_RESULT_MAX_ROWS = 10
+        with pytest.raises(ValueError, match="exceeds limit"):
+            eng.sql_arrow("SELECT * FROM flst")
+        chunks = list(
+            eng.sql_arrow_stream(
+                "SELECT t, v FROM flst ORDER BY time", batch_rows=16
+            )
+        )
+    finally:
+        eng.ARROW_RESULT_MAX_ROWS = orig
+    assert len(chunks) >= 3  # 50 rows / 16 per batch → several frames
+    table = pa.ipc.open_stream(b"".join(chunks)).read_all()
+    assert table.num_rows == 50
+    assert table.column("v").to_pylist() == [i + 0.25 for i in range(50)]
+    # wire types match the capped transport byte-for-byte
+    capped = pa.ipc.open_stream(
+        eng.sql_arrow("SELECT t, v FROM flst ORDER BY time")
+    ).read_all()
+    assert table.schema == capped.schema
+    assert table.equals(capped)
+
+    # timestamps + DDL: tz-aware µs timestamps survive; DDL → empty stream
+    ts = pa.ipc.open_stream(
+        b"".join(eng.sql_arrow_stream("SELECT time, v FROM flst ORDER BY time"))
+    ).read_all()
+    want_ts = pa.ipc.open_stream(
+        eng.sql_arrow("SELECT time, v FROM flst ORDER BY time")
+    ).read_all()
+    assert ts.equals(want_ts)
+    empty = pa.ipc.open_stream(
+        b"".join(eng.sql_arrow_stream("CREATE TABLE flst2(v DOUBLE, TAGS(t))"))
+    ).read_all()
+    assert empty.num_rows == 0 and empty.num_columns == 0
+
+
 def test_sql_arrow_single_evaluation(eng, monkeypatch):
     """The row-count guard must not execute the statement twice: sql_arrow
     fetches at most limit+1 rows in ONE job and fails client-side. A
