@@ -673,6 +673,17 @@ class Engine:
         out.append(subst("".join(plain)))
         return "".join(out)
 
+    def _written_count(self, fmt: str, url: str, header: bool = False) -> int:
+        """Affected-rows count for a COPY export, taken from the WRITTEN
+        files instead of re-executing the exported query: the write is
+        the single evaluation (a re-run could disagree with what was
+        written under concurrent writes — the sql_arrow TOCTOU shape),
+        and for parquet the read-back count is footer metadata, no scan."""
+        reader = self.spark.read
+        if fmt == "csv":
+            return reader.option("header", str(header).lower()).csv(url).count()
+        return getattr(reader, fmt)(url).count()
+
     def _read_external(self, fmt: str, path: str, opts: dict) -> DataFrame:
         path = self._winpath(path)
         # the reference's slt corpus uses LOCATIONs relative to its repo
@@ -1247,9 +1258,16 @@ class Engine:
         inner = self._select(
             f"SELECT {time_col}, {value_col} FROM {table} {where or ''}"
         )
-        n_valid = inner.filter(
-            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
-        ).count()
+        # LIMIT-2 probe, not a full count: the guard only needs "are there
+        # at least two valid rows", and the full pass re-runs right after
+        # in data_quality anyway
+        n_valid = (
+            inner.filter(
+                F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+            )
+            .limit(2)
+            .count()
+        )
         if n_valid < 2:
             raise ValueError(
                 "Execution error: At least two non-NaN values are needed"
@@ -2238,7 +2256,9 @@ class Engine:
                 # TABLE ... WITH HEADER ROW (copy_into_location__WINDOWS.slt)
                 writer = writer.option("header", "true")
             getattr(writer, fmt)(url)
-            return self.spark.createDataFrame([(df.count(),)], ["rows"])
+            return self.spark.createDataFrame(
+                [(self._written_count(fmt, url, header=True),)], ["rows"]
+            )
         m = re.match(
             r"COPY\s+INTO\s+'([^']+)'\s+FROM\s+\"?([\w.]+)\"?\s*"
             r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*(?:=\s*)?'(\w+)'\s*\))?\s*;?\s*$",
@@ -2254,7 +2274,9 @@ class Engine:
             if fmt == "csv":
                 writer = writer.option("header", "true")
             getattr(writer, fmt)(url)
-            return self.spark.createDataFrame([(df.count(),)], ["rows"])
+            return self.spark.createDataFrame(
+                [(self._written_count(fmt, url, header=True),)], ["rows"]
+            )
         m = re.match(
             r"COPY\s+INTO\s+\"?([\w.]+)\"?\s*(?:\(([^)]*)\))?\s+FROM\s+'([^']+)'\s*"
             r"(?:FILE_FORMAT\s*=\s*\(\s*TYPE\s*(?:=\s*)?'(\w+)'(.*?)\))?\s*;?\s*$",
