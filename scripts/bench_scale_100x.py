@@ -117,7 +117,16 @@ def _pq_topk_serving(spark, sf_dir):
 
 
 CUSTOM = {"pq_topk_serving": _pq_topk_serving}
-OPS = ["minhash_lsh_pairs", "duplicate_spans", "pq_topk_serving"]
+# the three verdict-named hottest ops, plus (round-9 extension) the other
+# two high-volume text/embedding families — simhash fingerprints and the
+# stats+lang-ID+fingerprint+BPE composite — at the same 100x corpus
+OPS = [
+    "minhash_lsh_pairs",
+    "duplicate_spans",
+    "pq_topk_serving",
+    "simhash_fingerprints",
+    "text_quality_stats",
+]
 
 
 def _time_one(qs, spark, name: str, sf_dir: str, tries: int) -> float:
