@@ -712,3 +712,110 @@ def test_mad_anomalies_matches_numpy(spark, series):
                 assert got[(k, i)] == (round(score, 6), score >= 3.5), (k, i)
             else:
                 assert got[(k, i)] == (None, False), (k, i)
+
+
+_LM_TOKS = (
+    "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+_LM_DT = f"""
+    doc_terms AS (
+        SELECT doc_id AS _doc, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_LM_TOKS}) AS term
+              FROM documents WHERE trim(text) <> '')
+        GROUP BY doc_id, term)
+"""
+
+
+@settings(**_FUZZ)
+@given(texts=_corpus)
+def test_bm25_and_unigram_lm_fuzz_vs_duckdb(spark, texts):
+    """The fixed-corpus BM25/unigram-LM oracles (test_scoring_sampling,
+    and since round 9 the scoring_sampling driver arms) replayed on
+    ARBITRARY corpora: tiny-alphabet docs maximize term collisions, df
+    saturation, and empty-doc edges. Same SQL templates, DuckDB over the
+    exact same rows."""
+    import duckdb
+    import math
+
+    from cnosdb_spark.operators import scoring
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents",
+            __import__("pandas").DataFrame(
+                {"doc_id": range(len(texts)), "text": texts}
+            ),
+        )
+        terms = ["a", "dd"]
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in scoring.bm25_scores(docs, terms).collect()
+        }
+        want = dict(
+            con.execute(
+                f"""
+            WITH {_LM_DT},
+            qt AS (SELECT * FROM doc_terms WHERE term IN ('a', 'dd')),
+            lens AS (SELECT doc_id AS _doc,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len({_LM_TOKS}) END AS DOUBLE) AS dl
+                     FROM documents),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
+            avgdl AS (SELECT avg(dl) AS _avgdl FROM lens),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM qt GROUP BY term),
+            scored AS (
+              SELECT qt._doc,
+                     ln(1 + (_n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / _avgdl)) AS _s
+              FROM qt JOIN dfq ON qt.term = dfq.term
+                      JOIN lens ON qt._doc = lens._doc
+              CROSS JOIN nn CROSS JOIN avgdl)
+            SELECT _doc, round(sum(_s), 6) FROM scored GROUP BY _doc
+            """
+            ).fetchall()
+        )
+        assert got == want
+
+        lm = {
+            r["doc_id"]: (r["n_tokens"], r["lm_logprob"])
+            for r in scoring.unigram_lm_scores(docs, add_k=0.5).collect()
+        }
+        lm_want = {
+            d: (n, lp)
+            for d, n, lp in con.execute(
+                f"""
+            WITH {_LM_DT},
+            counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cw
+                       FROM doc_terms GROUP BY term),
+            tot AS (SELECT CAST(sum(cw) AS BIGINT) AS _t,
+                           CAST(count(*) AS BIGINT) AS _v FROM counts),
+            scored AS (
+              SELECT _doc, tf, tf * log10((cw + 0.5) / (_t + 0.5 * _v)) AS _lp
+              FROM doc_terms JOIN counts ON doc_terms.term = counts.term
+              CROSS JOIN tot),
+            per_doc AS (
+              SELECT _doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     sum(_lp) AS _lp_sum
+              FROM scored GROUP BY _doc)
+            SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT),
+                   round(p._lp_sum / p.n_tokens, 6)
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p._doc
+            """
+            ).fetchall()
+        }
+        for d in lm_want:
+            gn, gl = lm[d]
+            wn, wl = lm_want[d]
+            assert gn == wn, (d, gn, wn)
+            if wl is None or (isinstance(wl, float) and math.isnan(wl)):
+                assert gl is None, (d, gl, wl)
+            else:
+                assert gl == wl, (d, gl, wl)
+    finally:
+        con.close()
