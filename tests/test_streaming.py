@@ -596,3 +596,30 @@ def test_sessionize_stream_matches_batch_sessionization(spark, tmp_path):
     }
     assert ends[("u0", us(0))] == us(20 + 15)
     assert ends[("u0", us(60))] == us(75)
+
+
+def test_await_stream_times_out_loudly(spark, tmp_path):
+    """awaitTermination(timeout) returns False on timeout WITHOUT raising;
+    the driver arms' _await_stream wrapper must turn that into a loud
+    TimeoutError (and stop the query) instead of letting a slow host
+    read a partial output directory — which would surface later as a
+    baffling oracle-parity mismatch (round-9 ADVICE)."""
+    import pytest
+
+    from __spark_entry__ import _await_stream
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        with pytest.raises(TimeoutError, match="did not finish"):
+            _await_stream(q, timeout=1)
+        assert not q.isActive  # stopped on the way out
+    finally:
+        if q.isActive:
+            q.stop()
