@@ -681,7 +681,17 @@ class Engine:
         and for parquet the read-back count is footer metadata, no scan."""
         reader = self.spark.read
         if fmt == "csv":
-            return reader.option("header", str(header).lower()).csv(url).count()
+            # multiLine: the writer legally emits quoted embedded newlines;
+            # without it the read-back splits those into extra records and
+            # the affected-rows count over-reports. escape matches the
+            # writer's default ('\') so escaped quotes round-trip too.
+            return (
+                reader.option("header", str(header).lower())
+                .option("multiLine", "true")
+                .option("escape", "\\")
+                .csv(url)
+                .count()
+            )
         return getattr(reader, fmt)(url).count()
 
     def _read_external(self, fmt: str, path: str, opts: dict) -> DataFrame:
@@ -2251,13 +2261,14 @@ class Engine:
             df = self._select(query)
             fmt = (fmt or "parquet").lower()
             writer = df.write.mode("overwrite")
-            if fmt == "csv":
+            hdr = fmt == "csv"
+            if hdr:
                 # a headered export round-trips through CREATE EXTERNAL
                 # TABLE ... WITH HEADER ROW (copy_into_location__WINDOWS.slt)
                 writer = writer.option("header", "true")
             getattr(writer, fmt)(url)
             return self.spark.createDataFrame(
-                [(self._written_count(fmt, url, header=True),)], ["rows"]
+                [(self._written_count(fmt, url, header=hdr),)], ["rows"]
             )
         m = re.match(
             r"COPY\s+INTO\s+'([^']+)'\s+FROM\s+\"?([\w.]+)\"?\s*"
@@ -2271,11 +2282,12 @@ class Engine:
             df = self._select(f"SELECT * FROM {tbl}")
             fmt = (fmt or "parquet").lower()
             writer = df.write.mode("overwrite")
-            if fmt == "csv":
+            hdr = fmt == "csv"
+            if hdr:
                 writer = writer.option("header", "true")
             getattr(writer, fmt)(url)
             return self.spark.createDataFrame(
-                [(self._written_count(fmt, url, header=True),)], ["rows"]
+                [(self._written_count(fmt, url, header=hdr),)], ["rows"]
             )
         m = re.match(
             r"COPY\s+INTO\s+\"?([\w.]+)\"?\s*(?:\(([^)]*)\))?\s+FROM\s+'([^']+)'\s*"

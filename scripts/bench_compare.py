@@ -131,7 +131,9 @@ def main() -> int:
         print(f"  queries new in current: {added}")
     if drift:
         print(f"DRIFT: {drift}")
-        return 0
+        # drift excuses timing swings, never coverage loss: a run that
+        # silently dropped queries is a regression regardless of the host.
+        return 1 if missing else 0
     if not regressed and not missing:
         print(f"OK: no per-query regression > {args.threshold:.0%} "
               f"(+{args.min_abs}s abs floor)")

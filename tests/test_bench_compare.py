@@ -82,3 +82,13 @@ def test_timings_never_scaled_by_calibration(tmp_path):
         _art(dict(BASE), cal=0.20),
     )
     assert r.returncode == 0 and "OK:" in r.stdout
+
+
+def test_drift_does_not_excuse_missing_queries(tmp_path):
+    """Host drift excuses timing swings, never coverage loss: a current
+    run that silently dropped queries must exit 1 even when a uniform
+    calibration-tracked swing co-occurs (round-10 ADVICE)."""
+    curr = {f"q{i}": 1.5 for i in range(9)}  # q9 dropped
+    r = _run(tmp_path, _art(BASE, cal=0.10), _art(curr, cal=0.15))
+    assert r.returncode == 1
+    assert "DRIFT" in r.stdout and "missing" in r.stdout
