@@ -3112,19 +3112,23 @@ class Engine:
         proper: yields chunks of ONE Arrow IPC stream (schema header
         first, then record-batch frames, EOS last; concatenating the
         chunks gives exactly what ``pa.ipc.open_stream`` reads). Unlike
-        ``sql_arrow``, there is NO row cap: the driver holds at most one
-        input partition (``toLocalIterator``) plus one output batch at a
-        time, so arbitrarily large results serve in bounded memory — the
-        answer to sql_arrow's "add LIMIT or keep it distributed" error.
-        Per-batch conversion goes through the exact Arrow schema
-        ``toArrow`` would use (pyspark's to_arrow_schema), so the wire
-        types match the capped transport's. Nested STRUCT columns are
-        converted via Row.asDict."""
+        ``sql_arrow``, there is NO row cap: conversion to Arrow happens
+        EXECUTOR-side — a ``mapInArrow`` kernel slices each batch to
+        ``batch_rows`` and serializes it as a self-contained mini IPC
+        stream (schema + one batch + EOS) in a single binary cell; the
+        driver only re-frames those C-level batches under one stream
+        header (``toLocalIterator`` holds ≤1 partition + 1 frame at a
+        time), so arbitrarily large results serve in bounded memory with
+        NO per-row Python anywhere — the answer to sql_arrow's "add
+        LIMIT or keep it distributed" error. The executor batches use
+        the exact Arrow conversion ``toArrow`` uses (same schema, NaN
+        doubles stay NaN — never collapsed into NULL), so wire types
+        match the capped transport's. Reference analogue: Flight DoGet
+        streams executor-produced Arrow batches (main/src/flight_sql/)."""
         import io
 
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql import Row
 
         prev_db = self.database
         if db is not None:
@@ -3137,46 +3141,42 @@ class Engine:
             pa.schema([]) if df is None else to_arrow_schema(df.schema)
         )
 
-        def _cell(v):
-            if isinstance(v, Row):
-                return {k: _cell(x) for k, x in v.asDict().items()}
-            if isinstance(v, list):
-                return [_cell(x) for x in v]
-            return v
+        def _frames(it):
+            # runs on executors: values go Tungsten→Arrow in the JVM and
+            # stay columnar; Python only frames bytes per ≤batch_rows slice
+            import io as _io
 
-        def _batch(rows):
-            cols = [
-                pa.array(
-                    [_cell(r[i]) for r in rows],
-                    type=schema.field(i).type,
-                    from_pandas=True,
-                )
-                for i in range(len(schema))
-            ]
-            return pa.RecordBatch.from_arrays(cols, schema=schema)
+            import pyarrow as _pa
+
+            for b in it:
+                for off in range(0, b.num_rows, batch_rows):
+                    piece = b.slice(off, batch_rows)
+                    sink = _io.BytesIO()
+                    with _pa.ipc.new_stream(sink, b.schema) as w:
+                        w.write_batch(piece)
+                    yield _pa.RecordBatch.from_arrays(
+                        [_pa.array([sink.getvalue()], type=_pa.binary())],
+                        ["frame"],
+                    )
 
         def _gen():
             sink = io.BytesIO()
-            writer = pa.ipc.new_stream(sink, schema)
-
-            def emit():
-                data = sink.getvalue()
-                sink.seek(0)
-                sink.truncate(0)
-                return data
-
+            writer = None
             if df is not None:
-                buf: list = []
-                for row in df.toLocalIterator(prefetchPartitions=False):
-                    buf.append(row)
-                    if len(buf) >= batch_rows:
-                        writer.write_batch(_batch(buf))
-                        buf = []
-                        yield emit()
-                if buf:
-                    writer.write_batch(_batch(buf))
+                frames = df.mapInArrow(_frames, "frame binary")
+                for row in frames.toLocalIterator(prefetchPartitions=False):
+                    for b in pa.ipc.open_stream(row.frame):
+                        if writer is None:
+                            writer = pa.ipc.new_stream(sink, b.schema)
+                        writer.write_batch(b)
+                        data = sink.getvalue()
+                        sink.seek(0)
+                        sink.truncate(0)
+                        yield data
+            if writer is None:  # DDL/DML or zero-row result
+                writer = pa.ipc.new_stream(sink, schema)
             writer.close()
-            yield emit()
+            yield sink.getvalue()
 
         return _gen()
 

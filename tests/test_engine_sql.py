@@ -702,6 +702,23 @@ def test_sql_arrow_stream_unbounded_roundtrip(eng):
     ).read_all()
     assert empty.num_rows == 0 and empty.num_columns == 0
 
+    # NaN stays NaN on the wire (never collapsed into NULL): the engine
+    # distinguishes the two elsewhere (isNotNull & ~isnan guards), so the
+    # transport must too (round-10 ADVICE medium).
+    import math
+
+    nan_tbl = pa.ipc.open_stream(
+        b"".join(
+            eng.sql_arrow_stream(
+                "SELECT CAST('NaN' AS DOUBLE) AS nanv,"
+                " CAST(NULL AS DOUBLE) AS nullv"
+            )
+        )
+    ).read_all()
+    assert nan_tbl.column("nanv").null_count == 0
+    assert math.isnan(nan_tbl.column("nanv").to_pylist()[0])
+    assert nan_tbl.column("nullv").null_count == 1
+
 
 def test_sql_arrow_single_evaluation(eng, monkeypatch):
     """The row-count guard must not execute the statement twice: sql_arrow
