@@ -93,6 +93,16 @@ def main():
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]
             rec["spark_rows"] = len(srows)
+            if "op" in scols:
+                # per-arm row-count manifest: multi-arm rows fold several
+                # operator families behind one 'op' discriminator — a
+                # silently-vanished arm shows up here as a missing key
+                # even while rows/schema/hash stay green on what's left.
+                oi = scols.index("op")
+                arms: dict[str, int] = {}
+                for r in srows:
+                    arms[str(r[oi])] = arms.get(str(r[oi]), 0) + 1
+                rec["arms"] = dict(sorted(arms.items()))
             if name in oracles:
                 ores = con.execute(oracles[name])
                 ocols = [d[0] for d in ores.description]
