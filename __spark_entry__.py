@@ -225,11 +225,27 @@ def tpch_q5(spark, sf_dir):
     SELECT 'anti', c_nationkey, CAST(count(*) AS BIGINT)
     FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     GROUP BY c_nationkey
+    UNION ALL
+    SELECT 'salted', c_nationkey, CAST(count(*) AS BIGINT)
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    UNION ALL
+    SELECT 'salted_left', c_nationkey, CAST(count(*) AS BIGINT)
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey
     """,
 )
 def join_semi_anti(spark, sf_dir):
     """LEFT SEMI (= IN/EXISTS) and LEFT ANTI (= NOT IN/NOT EXISTS) joins
-    (SURVEY §2.3 decorrelation), one arm each."""
+    (SURVEY §2.3 decorrelation), one arm each.
+
+    Round-10 salted/salted_left arms: skew.salted_join's contract is that
+    the output MULTISET equals the plain join (salt columns are internal);
+    the oracle computes the plain inner/left join directly in DuckDB, so
+    any salting bug that drops, duplicates, or mis-NULL-pads a row breaks
+    the per-nation counts."""
+    from cnosdb_spark.operators.skew import salted_join
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
 
@@ -241,7 +257,26 @@ def join_semi_anti(spark, sf_dir):
             .select(F.lit(kind).alias("op"), "c_nationkey", "n_customers")
         )
 
-    return arm("semi", "left_semi").unionAll(arm("anti", "left_anti"))
+    ok = o.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    ck = c.select("c_custkey", "c_nationkey")
+    salted = (
+        salted_join(ok, ck, "c_custkey", n_salts=8, how="inner")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("salted").alias("op"), "c_nationkey", "n_customers")
+    )
+    salted_left = (
+        salted_join(ck, ok, "c_custkey", n_salts=8, how="left")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("salted_left").alias("op"), "c_nationkey", "n_customers")
+    )
+    return (
+        arm("semi", "left_semi")
+        .unionAll(arm("anti", "left_anti"))
+        .unionAll(salted)
+        .unionAll(salted_left)
+    )
 
 
 @_q(
@@ -2618,6 +2653,38 @@ _STRAT_CASE = " ".join(
       UNION ALL
       SELECT 'lm_lp', d.doc_id, round(p._lp_sum / p.n_tokens, 6)
       FROM documents d LEFT JOIN per_doc p ON d.doc_id = p._doc)
+    UNION ALL
+    SELECT 'mix', doc_id, source, CAST(n_chars AS DOUBLE) FROM (
+      WITH st AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS stoks
+                  FROM documents GROUP BY source),
+      rt AS (SELECT source,
+                    least(1.0, (CASE source WHEN 'src0' THEN 0.2
+                                            WHEN 'src1' THEN 0.2
+                                            WHEN 'src3' THEN 0.6
+                                            ELSE 0.0 END) * 15000 / stoks) AS rate
+             FROM st WHERE stoks > 0)
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM documents d JOIN rt ON d.source = rt.source
+      WHERE (('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             / 4294967296.0) < rate)
+    UNION ALL
+    SELECT 'pack', doc_id, s, CAST(seq_start AS DOUBLE) FROM (
+      WITH p AS (
+        SELECT doc_id, n_chars,
+               md5('pack|' || CAST(doc_id AS VARCHAR)) AS h,
+               (('0x' || substring(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                % 8) AS shard
+        FROM documents WHERE n_chars > 0),
+      q AS (
+        SELECT doc_id, shard, n_chars,
+               coalesce(sum(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start
+        FROM p)
+      SELECT doc_id,
+             shard || ':' || CAST(seq_start // 2048 AS VARCHAR) || ':'
+                   || CAST((seq_start + n_chars - 1) // 2048 AS VARCHAR) AS s,
+             seq_start
+      FROM q)
     """,
 )
 def scoring_sampling(spark, sf_dir):
@@ -2636,7 +2703,17 @@ def scoring_sampling(spark, sf_dir):
       the oracle, same expression shapes;
     - lm_ntok / lm_lp (round-9): self-trained add-0.5 unigram LM token
       count and mean log10-probability per doc (scoring.py
-      unigram_lm_scores); empty docs carry NULL lm_lp on both sides.
+      unigram_lm_scores); empty docs carry NULL lm_lp on both sides;
+    - mix (round-10): mixture_sample data-mixing keep-set — per-stratum
+      rate = min(1, weight-share-of-budget / stratum tokens), keep iff
+      md5 id-hash fraction below it; weights name 3 of 20 sources and
+      src3's allocation exceeds its size so the rate-cap-at-1 branch is
+      ACTIVE; the oracle re-derives rates and keep decisions in SQL;
+    - pack (round-10): pack_sequences concat-then-chunk packing —
+      deterministic (shard, md5-hash, id) layout, per-shard running
+      token offset, bin ids from one windowed cumsum; the oracle replays
+      the exact window in SQL (s carries shard:first_bin:last_bin, val
+      the shard-local token offset).
     """
     d = _t(spark, sf_dir, "documents")
     tfidf = scoring.tf_idf_topk_terms(d, k=2).select(
@@ -2670,7 +2747,33 @@ def scoring_sampling(spark, sf_dir):
         F.lit("").alias("s"),
         F.col("lm_logprob").alias("val"),
     )
-    return tfidf.unionAll(strat).unionAll(bm25).unionAll(lm_ntok).unionAll(lm_lp)
+    mix = curation.mixture_sample(
+        d,
+        "source",
+        {"src0": 0.2, "src1": 0.2, "src3": 0.6},
+        budget_tokens=15000,
+        token_col="n_chars",
+        salt="mix",
+    ).select(
+        F.lit("mix").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.col("source").alias("s"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    pack = curation.pack_sequences(
+        d, "n_chars", capacity=2048, shards=8, salt="pack"
+    ).select(
+        F.lit("pack").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.concat_ws(
+            ":", F.col("shard"), F.col("first_bin"), F.col("last_bin")
+        ).alias("s"),
+        F.col("seq_start").cast("double").alias("val"),
+    )
+    return (
+        tfidf.unionAll(strat).unionAll(bm25).unionAll(lm_ntok).unionAll(lm_lp)
+        .unionAll(mix).unionAll(pack)
+    )
 
 
 # =====================================================================
@@ -3031,6 +3134,134 @@ def ts_value_fill_repair(spark, sf_dir):
     SELECT 'qmodel', doc_id, 1, CAST(NULL AS BIGINT)
     FROM documents
     WHERE doc_id % 2 = 1 AND regexp_matches(text, '[a-z]')
+    UNION ALL
+    SELECT 'decon', k, v1, v2 FROM (
+      WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+                    ELSE [array_to_string(tk[i+1:i+8], ' ')
+                          FOR i IN generate_series(0, len(tk)-8)] END)) AS g
+             FROM toks),
+      bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 53 = 0),
+      m AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS mn
+            FROM sh JOIN bench USING (g) GROUP BY sh.doc_id)
+      SELECT doc_id AS k, mn AS v1, CAST(1 AS BIGINT) AS v2 FROM m
+      UNION ALL
+      SELECT -1, (SELECT count(*) FROM documents) - (SELECT count(*) FROM m),
+             0)
+    UNION ALL
+    SELECT 'bp', doc_id, v1, v2 FROM (
+      WITH src AS (
+        SELECT doc_id,
+               text || chr(10) || chr(10) || 'Shared Footer Alpha 2024.'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || chr(10)
+                                 || 'Shared footer beta terms apply.'
+                            ELSE '' END AS t
+        FROM documents),
+      pl AS (SELECT doc_id,
+                    list_filter(list_transform(string_split_regex(t, '\\n{{2,}}'),
+                                               x -> trim(x)),
+                                x -> x <> '') AS parts
+             FROM src),
+      ph AS (SELECT doc_id,
+                    unnest(list_transform(parts,
+                      p -> md5(trim(regexp_replace(lower(p), '\\s+', ' ', 'g'))))) AS h
+             FROM pl),
+      bpset AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      bl AS (SELECT coalesce(list(h), []) AS hs FROM bpset),
+      kept AS (
+        SELECT doc_id,
+               list_filter(parts,
+                 p -> NOT list_contains(hs,
+                        md5(trim(regexp_replace(lower(p), '\\s+', ' ', 'g'))))) AS keeps,
+               len(parts) AS ntot
+        FROM pl CROSS JOIN bl)
+      SELECT doc_id,
+             CAST(len(keeps) * 1000 + ntot AS BIGINT) AS v1,
+             ('0x' || substr(md5(array_to_string(keeps, chr(10) || chr(10))), 1, 8))::BIGINT AS v2
+      FROM kept)
+    UNION ALL
+    SELECT 'rep', doc_id, v1, v2 FROM (
+      WITH rsrc AS (
+        SELECT doc_id,
+               text || chr(10) || substr(text, 1, 50)
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || substr(text, 1, 50) ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN chr(10) || chr(10) || substr(text, 1, 80)
+                                 || chr(10) || chr(10) || substr(text, 1, 80)
+                            ELSE '' END AS rt
+        FROM documents),
+      seg AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split_regex(rt, '\\n'),
+                                          x -> trim(x)), x -> x <> '') AS ls,
+               list_filter(list_transform(string_split_regex(rt, '\\n{{2,}}'),
+                                          x -> trim(x)), x -> x <> '') AS ps
+        FROM rsrc),
+      fr AS (
+        SELECT doc_id,
+          CASE WHEN len(ls) > 0
+               THEN (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)
+               ELSE 0.0 END AS dlf,
+          CASE WHEN list_sum(list_transform(ls, x -> length(x))) > 0
+               THEN (list_sum(list_transform(ls, x -> length(x)))
+                     - list_sum(list_transform(list_distinct(ls), x -> length(x))))
+                    * 1.0 / list_sum(list_transform(ls, x -> length(x)))
+               ELSE 0.0 END AS dlcf,
+          CASE WHEN len(ps) > 0
+               THEN (len(ps) - len(list_distinct(ps))) * 1.0 / len(ps)
+               ELSE 0.0 END AS dpf,
+          CASE WHEN list_sum(list_transform(ps, x -> length(x))) > 0
+               THEN (list_sum(list_transform(ps, x -> length(x)))
+                     - list_sum(list_transform(list_distinct(ps), x -> length(x))))
+                    * 1.0 / list_sum(list_transform(ps, x -> length(x)))
+               ELSE 0.0 END AS dpcf
+        FROM seg)
+      SELECT doc_id,
+             CAST(floor(dlf * 1000000 + 0.5) * 10000000
+                  + floor(dlcf * 1000000 + 0.5) AS BIGINT) AS v1,
+             CAST(floor(dpf * 1000000 + 0.5) * 10000000
+                  + floor(dpcf * 1000000 + 0.5) AS BIGINT) AS v2
+      FROM fr)
+    UNION ALL
+    SELECT 'pii', doc_id, v1, v2 FROM (
+      WITH psrc AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com now' ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0
+                            THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                                 || '.17 up' ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' call +1 (555) 010-'
+                                 || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                                 || ' today' ELSE '' END AS pt
+        FROM documents),
+      r1 AS (SELECT doc_id,
+                    CAST(len(regexp_extract_all(pt,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS ne,
+                    regexp_replace(pt,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                      '<EMAIL>', 'g') AS t1
+             FROM psrc),
+      r2 AS (SELECT doc_id, ne,
+                    CAST(len(regexp_extract_all(t1,
+                      '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT) AS ni,
+                    regexp_replace(t1, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b',
+                                   '<IP>', 'g') AS t2
+             FROM r1),
+      r3 AS (SELECT doc_id, ne, ni,
+                    CAST(len(regexp_extract_all(t2,
+                      '\\+?\\d[\\d\\s().-]{{7,}}\\d\\b')) AS BIGINT) AS np,
+                    regexp_replace(t2, '\\+?\\d[\\d\\s().-]{{7,}}\\d\\b',
+                                   '<PHONE>', 'g') AS t3
+             FROM r2)
+      SELECT doc_id, ne * 1000000 + ni * 1000 + np AS v1,
+             ('0x' || substr(md5(t3), 1, 8))::BIGINT AS v2
+      FROM r3)
     """,
 )
 def pipeline_curation(spark, sf_dir):
@@ -3153,7 +3384,138 @@ def pipeline_curation(spark, sf_dir):
         (F.col("_po") > F.col("_pc")).cast("long").alias("v1"),
         F.lit(None).cast("long").alias("v2"),
     )
-    return curate.unionAll(export).unionAll(verify).unionAll(qmodel)
+
+    # round-10 arms: the four remaining pytest-only curation staples.
+    # decon: 8-gram benchmark decontamination — the "benchmark" is the
+    # doc_id%53 slice of the corpus itself, so every benchmark doc
+    # self-matches and the broadcast probe join is provably ACTIVE.
+    bench = base.filter(F.col("doc_id") % 53 == 0).select("text")
+    dec = curation.decontaminate(base, bench, "text", "doc_id", n=8)
+    dec_hits = dec.filter("contaminated").select(
+        F.lit("decon").alias("op"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("matched_ngrams").cast("long").alias("v1"),
+        F.lit(1).cast("long").alias("v2"),
+    )
+    dec_clean = (
+        dec.filter(~F.col("contaminated"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v1"))
+        .select(
+            F.lit("decon").alias("op"),
+            F.lit(-1).cast("long").alias("k"),
+            "v1",
+            F.lit(0).cast("long").alias("v2"),
+        )
+    )
+
+    # bp: cross-document boilerplate stripping over a corpus with
+    # CONSTRUCTED shared footers (the raw corpus has no multi-paragraph
+    # docs), so the min_docs>=2 threshold and the position-sorted
+    # reassembly are both active; v2 hashes the rebuilt text.
+    bp_in = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nShared Footer Alpha 2024."),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\n\nShared footer beta terms apply."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bpo = curation.strip_boilerplate(bp_in, "text", "doc_id", min_docs=2)
+    bp_arm = bpo.select(
+        F.lit("bp").alias("op"),
+        F.col("doc_id").cast("long").alias("k"),
+        (F.col("n_paras_kept") * 1000 + F.col("n_paras_total"))
+        .cast("long")
+        .alias("v1"),
+        F.conv(F.substring(F.md5("text_clean"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("v2"),
+    )
+
+    # rep: Gopher-style duplicate line/paragraph fractions over text with
+    # CONSTRUCTED repeats (doc_id%2 duplicates a line, doc_id%5 a
+    # paragraph); the four ratios pack into two scaled-int columns.
+    rt = F.concat(
+        F.col("text"),
+        F.lit("\n"),
+        F.substring("text", 1, 50),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("\n"), F.substring("text", 1, 50)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("\n\n"), F.substring("text", 1, 80),
+                F.lit("\n\n"), F.substring("text", 1, 80),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rep_in = base.select("doc_id", rt.alias("text"))
+    reps = curation.repetition_stats(rep_in, "text")
+    _e6 = lambda c: F.floor(F.col(c) * 1000000 + 0.5)  # noqa: E731
+    rep_arm = reps.select(
+        F.lit("rep").alias("op"),
+        F.col("doc_id").cast("long").alias("k"),
+        (_e6("dup_line_frac") * 10000000 + _e6("dup_line_char_frac"))
+        .cast("long")
+        .alias("v1"),
+        (_e6("dup_para_frac") * 10000000 + _e6("dup_para_char_frac"))
+        .cast("long")
+        .alias("v2"),
+    )
+
+    # pii: typed-placeholder redaction over text with CONSTRUCTED PII
+    # (email/IP/phone appended on disjoint doc_id residues); v1 packs the
+    # three progressive counts, v2 hashes the fully redacted text.
+    pt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".17 up"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1 (555) 010-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pii_in = base.select("doc_id", pt.alias("text"))
+    piid = curation.redact_pii(pii_in, "text")
+    pii_arm = piid.select(
+        F.lit("pii").alias("op"),
+        F.col("doc_id").cast("long").alias("k"),
+        (F.col("n_email") * 1000000 + F.col("n_ip") * 1000 + F.col("n_phone"))
+        .cast("long")
+        .alias("v1"),
+        F.conv(F.substring(F.md5("text_redacted"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("v2"),
+    )
+
+    return (
+        curate.unionAll(export).unionAll(verify).unionAll(qmodel)
+        .unionAll(dec_hits).unionAll(dec_clean).unionAll(bp_arm)
+        .unionAll(rep_arm).unionAll(pii_arm)
+    )
 
 
 def _png_decode_oracle_values(n: int = 48, seed: int = 7) -> str:

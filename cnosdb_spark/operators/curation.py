@@ -140,7 +140,11 @@ def redact_pii(
 
 
 def _nonblank(parts: Column) -> Column:
-    return F.filter(F.transform(parts, F.trim), lambda x: x != "")
+    # NOT `F.transform(parts, F.trim)`: F.trim has an optional second
+    # parameter (the trim-character set), so transform's arity sniffing
+    # passes the ELEMENT INDEX there — trimming each part of its index
+    # digits instead of whitespace. A 1-arg lambda pins the intent.
+    return F.filter(F.transform(parts, lambda x: F.trim(x)), lambda x: x != "")
 
 
 def _char_sum(parts: Column) -> Column:

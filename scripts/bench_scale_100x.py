@@ -100,6 +100,33 @@ def derive_docs_embeddings(spark, src_dir: str, out_dir: str, copies: int) -> No
         print(f"  {name}: {n} rows", flush=True)
 
 
+def derive_events(spark, src_dir: str, out_dir: str, copies: int) -> None:
+    """events at ``copies``x — same strategy as make_scale_data.derive:
+    event_id/user_id shift per copy (series count grows with data — how
+    sharding actually scales) and ts shifts by copy*32 days (extends the
+    range; per-series cadence, and therefore per-series gapfill spine
+    density, stays that of the base corpus)."""
+    os.makedirs(out_dir, exist_ok=True)
+    e = read_table(spark, src_dir, "events")
+    e_base = e.agg(F.max("event_id")).first()[0] + 1
+    u_base = e.agg(F.max("user_id")).first()[0] + 1
+    outs = []
+    for i in range(copies):
+        outs.append(
+            e.withColumn("event_id", F.col("event_id") + F.lit(i * e_base))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * u_base))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 32} DAYS"))
+        )
+    u = outs[0]
+    for c in outs[1:]:
+        u = u.unionAll(c)
+    u.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    n = spark.read.parquet(os.path.join(out_dir, "events.parquet")).count()
+    print(f"  events: {n} rows", flush=True)
+
+
 def _pq_topk_serving(spark, sf_dir):
     """The PQ serving path end-to-end: codebook training (md5-sampled
     2048 vectors — flat cost at any corpus size), corpus encode (linear,
@@ -116,7 +143,50 @@ def _pq_topk_serving(spark, sf_dir):
     return similarity.pq_topk(codes, queries, books, k=10, refine=100)
 
 
-CUSTOM = {"pq_topk_serving": _pq_topk_serving}
+def _asof_range_batch(spark, sf_dir):
+    """asof_range_join's BATCH arms (asof, asof_tol, range) — the
+    registry row also runs a stream-stream arm through writeStream
+    availableNow with per-call file staging, which at 100x would
+    measure Structured Streaming setup rather than join scaling."""
+    from cnosdb_spark.operators import temporal
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+
+    def asof_arm(op, tolerance):
+        return temporal.asof_join(
+            purchases, clicks, key="user_id", left_time="ts",
+            right_time="ts", value_cols=["value"], tolerance=tolerance,
+        ).select(
+            F.lit(op).alias("op"),
+            F.col("event_id").alias("k"),
+            F.round("value_right", 6).alias("val"),
+        )
+
+    iv = e.groupBy("user_id").agg(F.min("ts").alias("s")).select(
+        "user_id", "s", (F.col("s") + F.expr("INTERVAL 6 HOURS")).alias("e")
+    )
+    rng = (
+        temporal.interval_range_join(
+            e.select("user_id", "ts"), iv, point_time="ts",
+            start_col="s", end_col="e", key="user_id", bucket="1 hour",
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("val"))
+        .select(F.lit("range").alias("op"), F.col("user_id").alias("k"), "val")
+    )
+    return asof_arm("asof", None).unionAll(asof_arm("asof_tol", "1 HOUR")).unionAll(rng)
+
+
+CUSTOM = {
+    "pq_topk_serving": _pq_topk_serving,
+    "asof_range_batch": _asof_range_batch,
+}
 # the three verdict-named hottest ops, plus (round-9 extension) the other
 # two high-volume text/embedding families — simhash fingerprints and the
 # stats+lang-ID+fingerprint+BPE composite — at the same 100x corpus
@@ -126,6 +196,13 @@ OPS = [
     "pq_topk_serving",
     "simhash_fingerprints",
     "text_quality_stats",
+    # round-10 extension: the TSDB read-path surface at 100x events —
+    # lww merge-on-read is THE read-path tax, gapfill is the spine
+    # fan-out, asof is the heaviest temporal join (reference analogue:
+    # benchmark/tsbs scale=4000)
+    "lww_dedup_merge",
+    "gapfill_locf_interpolate",
+    "asof_range_batch",
 ]
 
 
@@ -148,6 +225,9 @@ def main() -> None:
     if not os.path.exists(os.path.join(out100, "embeddings.parquet")):
         print(f"deriving {COPIES}x documents+embeddings -> {out100}", flush=True)
         derive_docs_embeddings(spark, SRC, out100, COPIES)
+    if not os.path.exists(os.path.join(out100, "events.parquet")):
+        print(f"deriving {COPIES}x events -> {out100}", flush=True)
+        derive_events(spark, SRC, out100, COPIES)
     if not os.path.exists(os.path.join(dir10, "documents.parquet")):
         print(f"10x dir {dir10} missing — run scripts/make_scale_data.py first")
         sys.exit(1)

@@ -25,6 +25,9 @@ import __spark_entry__ as entry_mod
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 EXPECTED_ARMS = {
+    # NB: the "anti" arm is legitimately absent at sf0.01 (every customer
+    # has orders), so join_semi_anti pins only the arms that emit rows.
+    "join_semi_anti_customers": ["salted", "salted_left", "semi"],
     "set_ops_nations": ["cross", "intersect", "limit", "union"],
     "mode_increase_per_series": ["mad", "mode_inc", "zscore"],
     "topk_bottom_values": ["bottom", "offset", "sample", "topk"],
@@ -34,9 +37,14 @@ EXPECTED_ARMS = {
     "duplicate_spans": ["remove", "span"],
     "rollup_two_tier": ["hist_quantile", "two_tier"],
     "asof_range_join": ["asof", "asof_stream", "asof_tol", "range"],
-    "scoring_sampling": ["bm25", "lm_lp", "lm_ntok", "strat", "tfidf"],
+    "scoring_sampling": [
+        "bm25", "lm_lp", "lm_ntok", "mix", "pack", "strat", "tfidf",
+    ],
     "ts_value_fill_repair": ["ewma", "fill", "lttb", "repair", "tsrepair"],
-    "pipeline_curation": ["curate", "export", "export_verify", "qmodel"],
+    "pipeline_curation": [
+        "bp", "curate", "decon", "export", "export_verify", "pii",
+        "qmodel", "rep",
+    ],
     "multimodal_features": [
         "afp", "dh_drop", "dh_pairs", "dhash", "png_decode", "stub",
         "wav_decode",
