@@ -2685,6 +2685,45 @@ _STRAT_CASE = " ".join(
                    || CAST((seq_start + n_chars - 1) // 2048 AS VARCHAR) AS s,
              seq_start
       FROM q)
+    UNION ALL
+    SELECT 'split', doc_id,
+           CASE WHEN (('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      / 4294967296.0) < 0.8 THEN 'train'
+                WHEN (('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      / 4294967296.0) < 0.9 THEN 'val'
+                ELSE 'test' END,
+           CAST(n_chars AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'cap', doc_id, source, CAST(n_chars AS DOUBLE) FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents) WHERE rk <= 5
+    UNION ALL
+    SELECT 'chunk', doc_id, s, CAST(slice_len AS DOUBLE) FROM (
+      WITH p AS (
+        SELECT doc_id, n_chars,
+               md5('pack|' || CAST(doc_id AS VARCHAR)) AS h,
+               (('0x' || substring(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                % 8) AS shard
+        FROM documents WHERE n_chars > 0),
+      q AS (
+        SELECT doc_id, shard, n_chars,
+               coalesce(sum(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start
+        FROM p),
+      b AS (
+        SELECT doc_id, shard, n_chars, seq_start,
+               unnest(generate_series(CAST(seq_start // 2048 AS BIGINT),
+                                      CAST((seq_start + n_chars - 1) // 2048 AS BIGINT))) AS bin
+        FROM q)
+      SELECT doc_id,
+             shard || ':' || CAST(bin AS VARCHAR) || ':'
+                   || CAST(greatest(bin * 2048 - seq_start, 0) AS VARCHAR) AS s,
+             least((bin + 1) * 2048 - seq_start, n_chars)
+               - greatest(bin * 2048 - seq_start, 0) AS slice_len
+      FROM b)
     """,
 )
 def scoring_sampling(spark, sf_dir):
@@ -2713,7 +2752,12 @@ def scoring_sampling(spark, sf_dir):
       deterministic (shard, md5-hash, id) layout, per-shard running
       token offset, bin ids from one windowed cumsum; the oracle replays
       the exact window in SQL (s carries shard:first_bin:last_bin, val
-      the shard-local token offset).
+      the shard-local token offset);
+    - split / cap / chunk (round-10): split_dataset's deterministic
+      train/val/test id-hash assignment, cap_per_stratum's top-k-per-
+      domain window cap, and pack_chunks' per-(doc,bin) slice manifest
+      (slice offsets + lengths from the same packing window, exploded
+      per occupied bin) — all replayed in SQL.
     """
     d = _t(spark, sf_dir, "documents")
     tfidf = scoring.tf_idf_topk_terms(d, k=2).select(
@@ -2770,9 +2814,33 @@ def scoring_sampling(spark, sf_dir):
         ).alias("s"),
         F.col("seq_start").cast("double").alias("val"),
     )
+    split = curation.split_dataset(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    ).select(
+        F.lit("split").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.col("split").alias("s"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    cap = curation.cap_per_stratum(d, "source", "n_chars", k=5).select(
+        F.lit("cap").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.col("source").alias("s"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    chunk = curation.pack_chunks(
+        d, "n_chars", capacity=2048, shards=8, salt="pack"
+    ).select(
+        F.lit("chunk").alias("op"),
+        F.col("doc_id").alias("k"),
+        F.concat_ws(":", F.col("shard"), F.col("bin"), F.col("slice_start"))
+        .alias("s"),
+        F.col("slice_len").cast("double").alias("val"),
+    )
     return (
         tfidf.unionAll(strat).unionAll(bm25).unionAll(lm_ntok).unionAll(lm_lp)
-        .unionAll(mix).unionAll(pack)
+        .unionAll(mix).unionAll(pack).unionAll(split).unionAll(cap)
+        .unionAll(chunk)
     )
 
 

@@ -38,7 +38,8 @@ EXPECTED_ARMS = {
     "rollup_two_tier": ["hist_quantile", "two_tier"],
     "asof_range_join": ["asof", "asof_stream", "asof_tol", "range"],
     "scoring_sampling": [
-        "bm25", "lm_lp", "lm_ntok", "mix", "pack", "strat", "tfidf",
+        "bm25", "cap", "chunk", "lm_lp", "lm_ntok", "mix", "pack",
+        "split", "strat", "tfidf",
     ],
     "ts_value_fill_repair": ["ewma", "fill", "lttb", "repair", "tsrepair"],
     "pipeline_curation": [
