@@ -684,11 +684,11 @@ class Engine:
             # multiLine: the writer legally emits quoted embedded newlines;
             # without it the read-back splits those into extra records and
             # the affected-rows count over-reports. escape matches the
-            # writer's default ('\') so escaped quotes round-trip too.
+            # RFC 4180 convention the export writer uses.
             return (
                 reader.option("header", str(header).lower())
                 .option("multiLine", "true")
-                .option("escape", "\\")
+                .option("escape", '"')
                 .csv(url)
                 .count()
             )
@@ -712,6 +712,13 @@ class Engine:
             )
         if fmt == "csv":
             reader = reader.option("header", str(opts.get("header", False)).lower())
+            # RFC 4180 semantics, matching the reference's arrow-csv
+            # parser: quoted fields may embed newlines (multiLine) and
+            # escape quotes by doubling (escape='"'). multiLine makes a
+            # single file non-splittable — per-FILE parallelism remains,
+            # and external-table ingest is the staging path, not the hot
+            # scan path (convert to parquet for repeated scans).
+            reader = reader.option("multiLine", "true").option("escape", '"')
             if not decl:
                 reader = reader.option("inferSchema", "true")
             if "delimiter" in opts:
@@ -2264,8 +2271,11 @@ class Engine:
             hdr = fmt == "csv"
             if hdr:
                 # a headered export round-trips through CREATE EXTERNAL
-                # TABLE ... WITH HEADER ROW (copy_into_location__WINDOWS.slt)
-                writer = writer.option("header", "true")
+                # TABLE ... WITH HEADER ROW (copy_into_location__WINDOWS.slt);
+                # escape='"' writes RFC 4180 doubled quotes so the external
+                # CSV reader (same convention) round-trips embedded
+                # quotes/newlines byte-exactly
+                writer = writer.option("header", "true").option("escape", '"')
             getattr(writer, fmt)(url)
             return self.spark.createDataFrame(
                 [(self._written_count(fmt, url, header=hdr),)], ["rows"]
@@ -2284,7 +2294,7 @@ class Engine:
             writer = df.write.mode("overwrite")
             hdr = fmt == "csv"
             if hdr:
-                writer = writer.option("header", "true")
+                writer = writer.option("header", "true").option("escape", '"')
             getattr(writer, fmt)(url)
             return self.spark.createDataFrame(
                 [(self._written_count(fmt, url, header=hdr),)], ["rows"]

@@ -740,3 +740,22 @@ def test_sql_arrow_single_evaluation(eng, monkeypatch):
     buf = eng.sql_arrow("SELECT t, v FROM fl1e")
     table = pa.ipc.open_stream(buf).read_all()
     assert table.num_rows == 1 and table.column("v").to_pylist() == [1.5]
+
+
+def test_copy_export_affected_rows_with_embedded_newlines(eng, tmp_path):
+    """COPY-export affected-rows are counted from the WRITTEN csv files;
+    the read-back must use multiLine, or string values with quoted
+    embedded newlines (which Spark's CSV writer emits legally) split
+    into extra records and the count over-reports (round-10 ADVICE)."""
+    src = str(tmp_path / "nl.csv")
+    with open(src, "w") as f:
+        f.write('a,b\n1,"line one\nline two"\n2,plain\n3,"x\ny\nz"\n')
+    eng.sql(
+        f"CREATE EXTERNAL TABLE nlx STORED AS CSV WITH HEADER ROW LOCATION '{src}'"
+    )
+    out_dir = str(tmp_path / "out_csv")
+    n = eng.sql(
+        f"COPY INTO '{out_dir}' FROM (SELECT a, b FROM nlx) "
+        "FILE_FORMAT = (TYPE = 'CSV')"
+    ).collect()[0]["rows"]
+    assert n == 3
