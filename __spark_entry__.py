@@ -1949,7 +1949,7 @@ _PQ_ADC_K, _PQ_SHORTLIST, _PQ_FINAL_K = 5, 150, 10
 _IVF_NC = 8
 
 
-def _pq_oracle() -> str | None:
+def _pq_oracle(corpus: str | None = None) -> str | None:
     """Differential oracle for the PQ/ADC pipeline: train the IDENTICAL
     codebooks from the identical md5-ordered sample (pure numpy —
     similarity._train_codebooks, the same function the Spark path calls),
@@ -1959,18 +1959,21 @@ def _pq_oracle() -> str | None:
     differences between engines cannot flip the hash.  Returns None ONLY
     when the corpus file is genuinely absent (row degrades to the
     rows-only check); any other failure RAISES — silent disabling would
-    shrink correctness coverage invisibly."""
-    import duckdb
-    import numpy as np
-
+    shrink correctness coverage invisibly. The existence check runs
+    BEFORE the imports so a host with no corpus AND no duckdb/numpy
+    still degrades instead of failing at module import."""
     # the driver evaluates oracles at sf0.01; local sweeps at another
     # SF set SPARK_GRAFT_ORACLE_SF_DIR so the literal codebooks train
     # on the same corpus the Spark side will see
-    corpus = os.environ.get(
+    corpus = corpus or os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
         return None
+
+    import duckdb
+    import numpy as np
+
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT embedding::DOUBLE[] FROM '{corpus}/embeddings.parquet' "
@@ -2306,7 +2309,7 @@ def _langid_per_doc_sql() -> str:
 _LANGID_PER_DOC_SQL = _langid_per_doc_sql()
 
 
-def _bpe_oracle_values() -> str | None:
+def _bpe_oracle_values(corpus: str | None = None) -> str | None:
     """Expected per-document REAL-BPE token counts for text_quality_stats'
     bpe column, computed at import with the same ground-truth-from-shared-
     code contract as _dhash_oracle_values: word counting is replicated in
@@ -2319,18 +2322,21 @@ def _bpe_oracle_values() -> str | None:
     merge ranks or the batch encode plumbing breaks the hash. Returns
     None (column dropped on both sides) ONLY if the corpus file is
     genuinely absent at import; any other failure RAISES — silent
-    disabling would shrink correctness coverage invisibly."""
+    disabling would shrink correctness coverage invisibly. The existence
+    check runs BEFORE the imports so a host with no corpus AND no duckdb
+    still degrades instead of failing at module import."""
+    corpus = corpus or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if not os.path.exists(os.path.join(corpus, "documents.parquet")):
+        return None
+
     import re
 
     import duckdb
 
     from cnosdb_spark.operators.tokenizer import _encode_word, train_bpe
 
-    corpus = os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    if not os.path.exists(os.path.join(corpus, "documents.parquet")):
-        return None
     con = duckdb.connect()
     docs = con.execute(
         f"SELECT doc_id, text FROM '{corpus}/documents.parquet' ORDER BY doc_id"

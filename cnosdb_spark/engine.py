@@ -2317,7 +2317,12 @@ class Engine:
                 src = self._read_external(fmt, url, {"header": True} if fmt == "csv" else {})
                 writer = src.write.mode("append")
                 if efmt == "csv":
-                    writer = writer.option("header", str(eopts.get("header", False)).lower())
+                    # escape='"' matches _read_external's RFC 4180 parsing —
+                    # the default backslash escape would corrupt values with
+                    # embedded quotes on read-back of our own appended files
+                    writer = writer.option(
+                        "header", str(eopts.get("header", False)).lower()
+                    ).option("escape", '"')
                 getattr(writer, efmt)(self._winpath(epath))
                 self._dirty.add(("", name))
                 return self.spark.createDataFrame([(src.count(),)], ["rows"])

@@ -101,28 +101,15 @@ def derive_docs_embeddings(spark, src_dir: str, out_dir: str, copies: int) -> No
 
 
 def derive_events(spark, src_dir: str, out_dir: str, copies: int) -> None:
-    """events at ``copies``x — same strategy as make_scale_data.derive:
-    event_id/user_id shift per copy (series count grows with data — how
-    sharding actually scales) and ts shifts by copy*32 days (extends the
-    range; per-series cadence, and therefore per-series gapfill spine
-    density, stays that of the base corpus)."""
+    """events at ``copies``x — the derivation strategy itself lives in
+    make_scale_data.events_copies (shared with the 10x corpus, so the
+    two rehearsal corpora can never silently diverge)."""
+    from make_scale_data import events_copies
+
     os.makedirs(out_dir, exist_ok=True)
-    e = read_table(spark, src_dir, "events")
-    e_base = e.agg(F.max("event_id")).first()[0] + 1
-    u_base = e.agg(F.max("user_id")).first()[0] + 1
-    outs = []
-    for i in range(copies):
-        outs.append(
-            e.withColumn("event_id", F.col("event_id") + F.lit(i * e_base))
-            .withColumn("user_id", F.col("user_id") + F.lit(i * u_base))
-            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 32} DAYS"))
-        )
-    u = outs[0]
-    for c in outs[1:]:
-        u = u.unionAll(c)
-    u.repartition(64).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "events.parquet")
-    )
+    events_copies(spark, src_dir, copies).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "events.parquet"))
     n = spark.read.parquet(os.path.join(out_dir, "events.parquet")).count()
     print(f"  events: {n} rows", flush=True)
 

@@ -39,6 +39,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+def events_copies(spark, src_dir: str, copies: int):
+    """The events-table derivation, shared by derive() (10x) and
+    scripts/bench_scale_100x.py (100x): event_id/user_id shift per copy
+    (series count grows with data — how sharding actually scales) and
+    ts shifts by copy*32 days (extends the range; per-series cadence,
+    and therefore per-series gapfill spine density, stays that of the
+    base corpus). Changing the strategy here changes BOTH rehearsal
+    corpora together."""
+    from cnosdb_spark.session import read_table
+
+    e = read_table(spark, src_dir, "events")
+    bases = e.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).first()
+    e_base, u_base = bases["e"] + 1, bases["u"] + 1
+    outs = [
+        e.withColumn("event_id", F.col("event_id") + F.lit(i * e_base))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * u_base))
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 32} DAYS"))
+        for i in range(copies)
+    ]
+    u = outs[0]
+    for c in outs[1:]:
+        u = u.unionAll(c)
+    return u
+
+
 def derive(spark, src_dir: str, out_dir: str, copies: int) -> None:
     from cnosdb_spark.session import read_table
 
@@ -61,8 +88,6 @@ def derive(spark, src_dir: str, out_dir: str, copies: int) -> None:
         "o": t("orders").agg(F.max("o_orderkey")).first()[0] + 1,
         "s": t("supplier").agg(F.max("s_suppkey")).first()[0] + 1,
         "p": t("part").agg(F.max("p_partkey")).first()[0] + 1,
-        "e": t("events").agg(F.max("event_id")).first()[0] + 1,
-        "u": t("events").agg(F.max("user_id")).first()[0] + 1,
         "d": t("documents").agg(F.max("doc_id")).first()[0] + 1,
         "v": t("embeddings").agg(F.max("vec_id")).first()[0] + 1,
     }
@@ -97,17 +122,7 @@ def derive(spark, src_dir: str, out_dir: str, copies: int) -> None:
         "lineitem",
         parts=32,
     )
-    write(
-        copies_of(
-            t("events"),
-            {"event_id": maxes["e"], "user_id": maxes["u"]},
-            extra=lambda c, i: c.withColumn(
-                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 32} DAYS")
-            ),
-        ),
-        "events",
-        parts=16,
-    )
+    write(events_copies(spark, src_dir, copies), "events", parts=16)
     write(
         copies_of(
             t("documents"),

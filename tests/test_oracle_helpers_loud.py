@@ -21,6 +21,8 @@ CORPUS = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 def test_absent_corpus_disables_quietly(tmp_path):
     assert entry_mod._lttb_oracle_values(16, str(tmp_path)) is None
     assert entry_mod._refine_oracle(str(tmp_path)) is None
+    assert entry_mod._pq_oracle(str(tmp_path)) is None
+    assert entry_mod._bpe_oracle_values(str(tmp_path)) is None
 
 
 def test_lttb_broken_replay_raises(monkeypatch):
