@@ -4345,6 +4345,14 @@ def tsbs_daily_activity(spark, sf_dir):
     SELECT 'incr', id_a, id_b, TRUE, 'batch' FROM (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM batch_b a JOIN batch_b b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    UNION ALL
+    SELECT 'sdedup', id_a, id_b, TRUE, 'index' FROM (
+      SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+      FROM batch_b n JOIN corpus_b c ON n.bucket = c.bucket)
+    UNION ALL
+    SELECT 'sdedup', id_a, id_b, TRUE, 'batch' FROM (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM batch_b a JOIN batch_b b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
     """,
 )
 def dedup_cluster_resolution(spark, sf_dir):
@@ -4363,7 +4371,12 @@ def dedup_cluster_resolution(spark, sf_dir):
       WITHOUT touching corpus text; the oracle re-derives both joins
       from the full-corpus banding CTE filtered by the same split
       (per-doc signatures are subset-invariant, so index rows equal the
-      filtered bucket rows).
+      filtered bucket rows);
+    - sdedup (round-10): the same ingest check executed through the
+      ALWAYS-ON streaming wrapper (dedup_stream_against_index:
+      readStream → foreachBatch → parquet append with checkpoint) in one
+      availableNow tick — the streamed flag set must byte-match the
+      batch path's.
     """
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
@@ -4390,7 +4403,37 @@ def dedup_cluster_resolution(spark, sf_dir):
         F.lit(True).alias("flag"),
         F.col("source").alias("src"),
     )
-    return cluster.unionAll(incr)
+
+    # sdedup (round-10): the SAME ingest check run through the always-on
+    # streaming wrapper for real — staged batch files, readStream →
+    # foreachBatch(dedup_against_index) → parquet append, availableNow in
+    # one tick so the flagged pairs must equal the one-shot incr result
+    # (the oracle replays them independently). Multi-tick semantics (the
+    # self-updating index) are pinned in tests/test_streaming.py.
+    import tempfile
+
+    sbase = tempfile.mkdtemp(prefix="sdedup_row_")
+    batch.select("doc_id", "text").write.parquet(f"{sbase}/in")
+    b_stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        f"{sbase}/in"
+    )
+    q = (
+        dedup.dedup_stream_against_index(
+            b_stream, index, f"{sbase}/out", f"{sbase}/ck",
+            "text", "doc_id", n=3, num_hashes=16, bands=4,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, 300)
+    sdedup = spark.read.parquet(f"{sbase}/out").select(
+        F.lit("sdedup").alias("op"),
+        F.col("id_new").alias("doc_id"),
+        F.col("id_match").alias("v"),
+        F.lit(True).alias("flag"),
+        F.col("source").alias("src"),
+    )
+    return cluster.unionAll(incr).unionAll(sdedup)
 
 
 def _refine_oracle(corpus: str | None = None) -> str | None:

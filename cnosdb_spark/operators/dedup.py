@@ -931,3 +931,63 @@ def dedup_against_index(
         F.lit("batch").alias("source"),
     )
     return vs_index.unionByName(within)
+
+
+def dedup_stream_against_index(
+    stream_df: DataFrame,
+    index: DataFrame | None,
+    out_path: str,
+    checkpoint: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    update_index_path: str | None = None,
+):
+    """Always-on ingest dedup: near-dup-check every arriving micro-batch
+    of a STREAMING DataFrame against the persisted ``minhash_band_table``
+    index (and within itself), appending flagged pairs to ``out_path``.
+
+    Shape: ``foreachBatch(dedup_against_index)`` — each micro-batch is a
+    bounded static frame, so the full batch operator (including its
+    ``distinct``) reuses verbatim with no unbounded streaming state; the
+    checkpoint gives exactly-once batch replay and the parquet append is
+    idempotent per ``_batch_id``. The index side is static and (when
+    bucketed on ``_bucket``) co-locates with each batch's band table —
+    the corpus text is never rescanned, which is the property that keeps
+    an always-on dedup feed viable at 100 TB corpus scale.
+
+    With ``update_index_path`` set, each processed batch's band table is
+    APPENDED to that parquet index after checking, so later ticks flag
+    duplicates of earlier ticks' documents — the self-maintaining ingest
+    loop. Pass ``index=None`` then: the index is RE-READ per tick (a
+    static DataFrame pins its file listing at creation and would never
+    see the appends). Ticks never re-check against their own batch's
+    index rows: the check runs before the append within the same
+    foreachBatch call.
+
+    Returns the configured ``DataStreamWriter`` — caller picks the
+    trigger and calls ``.start()``.
+    """
+    if index is None and not update_index_path:
+        raise ValueError("pass an index DataFrame or update_index_path")
+
+    def _batch(batch_df, batch_id: int):
+        ix = index
+        if ix is None:
+            ix = batch_df.sparkSession.read.parquet(update_index_path)
+        out = dedup_against_index(
+            batch_df, ix, text_col, id_col, n, num_hashes, bands
+        )
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        if update_index_path:
+            minhash_band_table(
+                batch_df, text_col, id_col, n, num_hashes, bands
+            ).write.mode("append").parquet(update_index_path)
+
+    return stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )

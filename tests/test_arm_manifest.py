@@ -50,7 +50,7 @@ EXPECTED_ARMS = {
         "afp", "dh_drop", "dh_pairs", "dhash", "png_decode", "stub",
         "wav_decode",
     ],
-    "dedup_cluster_resolution": ["cluster", "incr"],
+    "dedup_cluster_resolution": ["cluster", "incr", "sdedup"],
     "ivf_ann_topk": ["ivf", "refine_cluster", "refine_inertia", "semdedup"],
 }
 

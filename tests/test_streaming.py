@@ -623,3 +623,69 @@ def test_await_stream_times_out_loudly(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_dedup_stream_against_index_two_ticks(spark, tmp_path):
+    """The always-on ingest dedup (dedup_stream_against_index) with the
+    self-updating index: tick 2 must flag duplicates of documents that
+    arrived in tick 1 (whose band table was appended to the index), and
+    no tick flags against its own batch's index rows. Two availableNow
+    runs over the same checkpoint = two deterministic ingest ticks (the
+    second run processes only files added after the first)."""
+    from cnosdb_spark.operators import dedup
+    from __spark_entry__ import _await_stream
+
+    ix_path = str(tmp_path / "ix")
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated document about spark plans")],
+        ["doc_id", "text"],
+    )
+    dedup.minhash_band_table(
+        corpus, "text", "doc_id", n=3, num_hashes=16, bands=4
+    ).write.parquet(ix_path)
+
+    def run_tick(rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(in_path)
+        q = (
+            dedup.dedup_stream_against_index(
+                spark.readStream.schema("doc_id bigint, text string")
+                .parquet(in_path),
+                None,  # self-updating: re-read the index per tick
+                out_path,
+                str(tmp_path / "ck"),
+                "text",
+                "doc_id",
+                n=3,
+                num_hashes=16,
+                bands=4,
+                update_index_path=ix_path,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 120)
+
+    # tick 1: doc 10 duplicates corpus doc 1; doc 11 is novel
+    run_tick([
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "a brand new document with its own words entirely"),
+    ])
+    # tick 2: doc 20 duplicates doc 11 — which arrived in TICK 1, not
+    # in the pre-built corpus index
+    run_tick([(20, "a brand new document with its own words entirely")])
+
+    got = {
+        (r.id_new, r.id_match, r.source)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert (10, 1, "index") in got
+    assert (20, 11, "index") in got  # tick-2 doc flagged vs tick-1 doc
+    assert (20, 10, "index") not in got  # dissimilar tick-1 doc: no flag
+    # no self-matches: a tick's own index append happens after its check
+    assert not {(a, b, s) for (a, b, s) in got if a == b}
