@@ -33,6 +33,12 @@ EXTRA = [
     "ngram_jaccard_pairs",
     "sign_lsh_similarity",
     "pq_ivf_ann",
+    # round-10: the rows that grew arms this round — decon's broadcast
+    # probe join, bp's keyed reassembly, mix/pack's windows, and the
+    # streaming sdedup tick all ride these composites
+    "scoring_sampling",
+    "pipeline_curation",
+    "dedup_cluster_resolution",
 ]
 
 
