@@ -819,3 +819,138 @@ def test_bm25_and_unigram_lm_fuzz_vs_duckdb(spark, texts):
                 assert gl == wl, (d, gl, wl)
     finally:
         con.close()
+
+
+_line = st.lists(_word, min_size=0, max_size=5).map(" ".join)
+_ml_doc = st.lists(
+    st.tuples(st.sampled_from(["\n", "\n\n", " "]), _line),
+    min_size=1,
+    max_size=7,
+).map(lambda parts: "".join(s + l for s, l in parts))
+
+
+@settings(**_FUZZ)
+@given(texts=st.lists(_ml_doc, min_size=1, max_size=8))
+def test_repetition_stats_fuzz_vs_duckdb(spark, texts):
+    """The pipeline_curation rep arm's SQL replay on ARBITRARY multiline
+    docs: tiny-alphabet lines maximize duplicate lines/paragraphs, blank
+    segments, and whitespace-only edge cases. Exact equality on the four
+    scaled-int-packed ratios (the arm's own representation)."""
+    import duckdb
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    reps = curation.repetition_stats(docs, "text")
+    e6 = lambda c: F.floor(F.col(c) * 1000000 + 0.5)  # noqa: E731
+    got = {
+        r["doc_id"]: (r["v1"], r["v2"])
+        for r in reps.select(
+            "doc_id",
+            (e6("dup_line_frac") * 10000000 + e6("dup_line_char_frac"))
+            .cast("long")
+            .alias("v1"),
+            (e6("dup_para_frac") * 10000000 + e6("dup_para_char_frac"))
+            .cast("long")
+            .alias("v2"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                r"""
+            WITH seg AS (
+              SELECT doc_id,
+                list_filter(list_transform(string_split_regex(text, '\n'),
+                                           x -> trim(x)), x -> x <> '') AS ls,
+                list_filter(list_transform(string_split_regex(text, '\n{2,}'),
+                                           x -> trim(x)), x -> x <> '') AS ps
+              FROM documents),
+            fr AS (
+              SELECT doc_id,
+                CASE WHEN len(ls) > 0
+                     THEN (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)
+                     ELSE 0.0 END AS dlf,
+                CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) > 0
+                     THEN (list_sum(list_transform(ls, x -> length(x)))
+                           - list_sum(list_transform(list_distinct(ls), x -> length(x))))
+                          * 1.0 / list_sum(list_transform(ls, x -> length(x)))
+                     ELSE 0.0 END AS dlcf,
+                CASE WHEN len(ps) > 0
+                     THEN (len(ps) - len(list_distinct(ps))) * 1.0 / len(ps)
+                     ELSE 0.0 END AS dpf,
+                CASE WHEN coalesce(list_sum(list_transform(ps, x -> length(x))), 0) > 0
+                     THEN (list_sum(list_transform(ps, x -> length(x)))
+                           - list_sum(list_transform(list_distinct(ps), x -> length(x))))
+                          * 1.0 / list_sum(list_transform(ps, x -> length(x)))
+                     ELSE 0.0 END AS dpcf
+              FROM seg)
+            SELECT doc_id,
+                   CAST(floor(dlf * 1000000 + 0.5) * 10000000
+                        + floor(dlcf * 1000000 + 0.5) AS BIGINT),
+                   CAST(floor(dpf * 1000000 + 0.5) * 10000000
+                        + floor(dpcf * 1000000 + 0.5) AS BIGINT)
+            FROM fr
+            """
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        con.close()
+
+
+_PII_FRAG = st.sampled_from([
+    "hello", "world", "a@b", "u1@example.com", "x.y@mail-host.org",
+    "10.0.0.1", "255.255.255.255", "1.2.3", "999.999.999.999",
+    "+1 (555) 010-1234", "5551234", "+44 20 7946 0958", "(1)2-3",
+    "12345678901", "v1.2.3.4-rc", "no-reply@a.co.uk", "..", "@",
+])
+
+
+@settings(**_FUZZ)
+@given(frags=st.lists(_PII_FRAG, min_size=0, max_size=10))
+def test_redact_pii_fuzz_vs_duckdb(spark, frags):
+    """The pipeline_curation pii arm cross-engine on adversarial
+    near-matches (broken emails, out-of-range IPs, version strings,
+    short digit runs): Java regex and RE2 must agree on the three
+    progressive counts AND the byte-exact redacted text."""
+    import duckdb
+    import pandas as pd
+
+    text = " ".join(frags)
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    r = curation.redact_pii(docs, "text").collect()[0]
+    got = (r["n_email"], r["n_ip"], r["n_phone"], r["text_redacted"])
+    con = duckdb.connect()
+    try:
+        con.register("documents", pd.DataFrame({"doc_id": [0], "text": [text]}))
+        w = con.execute(
+            r"""
+        WITH r1 AS (SELECT
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS ne,
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS t1
+            FROM documents),
+        r2 AS (SELECT ne,
+              CAST(len(regexp_extract_all(t1,
+                '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS ni,
+              regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+            FROM r1)
+        SELECT ne, ni,
+               CAST(len(regexp_extract_all(t2,
+                 '\+?\d[\d\s().-]{7,}\d\b')) AS BIGINT),
+               regexp_replace(t2, '\+?\d[\d\s().-]{7,}\d\b', '<PHONE>', 'g')
+        FROM r2
+        """
+        ).fetchone()
+        assert got == tuple(w), (text, got, tuple(w))
+    finally:
+        con.close()
