@@ -3253,7 +3253,7 @@ def ts_value_fill_repair(spark, sf_dir):
         FROM pl CROSS JOIN bl)
       SELECT doc_id,
              CAST(len(keeps) * 1000 + ntot AS BIGINT) AS v1,
-             ('0x' || substr(md5(array_to_string(keeps, chr(10) || chr(10))), 1, 8))::BIGINT AS v2
+             ('0x' || substr(md5(coalesce(array_to_string(keeps, chr(10) || chr(10)), '')), 1, 8))::BIGINT AS v2
       FROM kept)
     UNION ALL
     SELECT 'rep', doc_id, v1, v2 FROM (

@@ -954,3 +954,157 @@ def test_redact_pii_fuzz_vs_duckdb(spark, frags):
         assert got == tuple(w), (text, got, tuple(w))
     finally:
         con.close()
+
+
+@settings(**_FUZZ)
+@given(texts=st.lists(_doc, min_size=1, max_size=10), n=st.integers(2, 3))
+def test_decontaminate_fuzz_vs_duckdb(spark, texts, n):
+    """The pipeline_curation decon arm's shingle replay on ARBITRARY
+    corpora and n-gram widths: short docs exercise the whole-text
+    shingle branch, the tiny alphabet exercises bench-set collisions.
+    The benchmark is every 3rd doc — matched-count equality per doc."""
+    import duckdb
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    bench = docs.filter(F.col("doc_id") % 3 == 0).select("text")
+    got = {
+        r["doc_id"]: r["matched_ngrams"]
+        for r in curation.decontaminate(docs, bench, "text", "doc_id", n=n).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        want = {
+            r[0]: r[1]
+            for r in con.execute(
+                rf"""
+            WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+                     CASE WHEN len(tk) < {n} THEN [array_to_string(tk, ' ')]
+                          ELSE [array_to_string(tk[i+1:i+{n}], ' ')
+                                FOR i IN generate_series(0, len(tk)-{n})] END)) AS g
+                   FROM toks),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 3 = 0),
+            m AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS mn
+                  FROM sh JOIN bench USING (g) GROUP BY sh.doc_id)
+            SELECT d.doc_id, coalesce(m.mn, 0)
+            FROM documents d LEFT JOIN m USING (doc_id)
+            """
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        con.close()
+
+
+@settings(**_FUZZ)
+@given(texts=st.lists(_ml_doc, min_size=1, max_size=8))
+def test_strip_boilerplate_fuzz_vs_duckdb(spark, texts):
+    """The pipeline_curation bp arm replay on ARBITRARY multi-paragraph
+    corpora: tiny-alphabet paragraphs collide across docs constantly, so
+    the >=2-docs boilerplate threshold, the within-doc-repeat exemption,
+    and the position-ordered reassembly all fire. Byte-exact text_clean
+    plus both counts."""
+    import duckdb
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_paras_kept"], r["n_paras_total"], r["text_clean"])
+        for r in curation.strip_boilerplate(docs, "text", "doc_id", min_docs=2).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(
+                r"""
+            WITH pl AS (SELECT doc_id,
+                list_filter(list_transform(string_split_regex(text, '\n{2,}'),
+                                           x -> trim(x)), x -> x <> '') AS parts
+              FROM documents),
+            ph AS (SELECT doc_id, unnest(list_transform(parts,
+                     p -> md5(trim(regexp_replace(lower(p), '\s+', ' ', 'g'))))) AS h
+                   FROM pl),
+            bpset AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            bl AS (SELECT coalesce(list(h), []) AS hs FROM bpset),
+            kept AS (SELECT doc_id,
+                list_filter(parts, p -> NOT list_contains(hs,
+                    md5(trim(regexp_replace(lower(p), '\s+', ' ', 'g'))))) AS keeps,
+                len(parts) AS ntot
+              FROM pl CROSS JOIN bl)
+            SELECT doc_id, CAST(len(keeps) AS BIGINT), CAST(ntot AS BIGINT),
+                   coalesce(array_to_string(keeps, chr(10) || chr(10)), '')
+            FROM kept
+            """
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        con.close()
+
+
+@settings(**_FUZZ)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), st.integers(1, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(1, 300),
+)
+def test_mixture_sample_fuzz_vs_duckdb(spark, rows, budget):
+    """The scoring_sampling mix arm replay on ARBITRARY stratum/token
+    shapes: random budgets drive rates through the cap-at-1 branch and
+    deep fractions; the md5 keep arithmetic must agree row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    docs = spark.createDataFrame(data, ["doc_id", "source", "n_tok"])
+    weights = {"s0": 0.5, "s2": 0.5}
+    got = {
+        r["doc_id"]
+        for r in curation.mixture_sample(
+            docs, "source", weights, budget_tokens=budget,
+            token_col="n_tok", salt="mix",
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents",
+            pd.DataFrame(data, columns=["doc_id", "source", "n_tok"]),
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                f"""
+            WITH st AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS stoks
+                        FROM documents GROUP BY source),
+            rt AS (SELECT source,
+                          least(1.0, (CASE source WHEN 's0' THEN 0.5
+                                                  WHEN 's2' THEN 0.5
+                                                  ELSE 0.0 END) * {budget} / stoks) AS rate
+                   FROM st WHERE stoks > 0)
+            SELECT d.doc_id FROM documents d JOIN rt ON d.source = rt.source
+            WHERE (('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   / 4294967296.0) < rate
+            """
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        con.close()
