@@ -1108,3 +1108,150 @@ def test_mixture_sample_fuzz_vs_duckdb(spark, rows, budget):
         assert got == want
     finally:
         con.close()
+
+
+@settings(**_FUZZ)
+@given(
+    n_docs=st.integers(1, 25),
+    weights=st.lists(st.integers(1, 9), min_size=1, max_size=4),
+)
+def test_split_dataset_fuzz_vs_duckdb(spark, n_docs, weights):
+    """The scoring_sampling split arm replay on ARBITRARY weight vectors:
+    random unnormalized weights drive the cumulative-boundary arithmetic
+    (including a single-split degenerate case where everything lands in
+    the last bucket); the md5-fraction bucketing must agree row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    names = [f"sp{i}" for i in range(len(weights))]
+    wmap = dict(zip(names, [float(w) for w in weights]))
+    docs = spark.createDataFrame([(i,) for i in range(n_docs)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in curation.split_dataset(docs, "doc_id", wmap, salt="split").collect()
+    }
+    total = sum(weights)
+    cum, bounds = 0.0, []
+    for nm, w in zip(names[:-1], weights[:-1]):
+        cum += w / total
+        bounds.append((nm, cum))
+    case = " ".join(
+        f"WHEN frac < {c!r} THEN '{nm}'" for nm, c in bounds
+    )
+    expr = f"CASE {case} ELSE '{names[-1]}' END" if bounds else f"'{names[-1]}'"
+    con = duckdb.connect()
+    try:
+        con.register("documents", pd.DataFrame({"doc_id": range(n_docs)}))
+        want = {
+            r[0]: r[1]
+            for r in con.execute(
+                f"""
+            WITH fr AS (SELECT doc_id,
+                (('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 / 4294967296.0) AS frac
+              FROM documents)
+            SELECT doc_id, {expr} FROM fr
+            """
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        con.close()
+
+
+@settings(**_FUZZ)
+@given(
+    toks=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    capacity=st.integers(1, 16),
+    shards=st.sampled_from([1, 2, 4]),
+)
+def test_pack_sequences_fuzz_vs_duckdb(spark, toks, capacity, shards):
+    """The scoring_sampling pack arm replay on ARBITRARY token shapes:
+    zero-token docs must vanish, capacity-aligned docs exercise the
+    closed-bin boundary (seq_start + tok == bin edge), and the per-shard
+    hash-ordered running offset must agree with the window replay exactly."""
+    import duckdb
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], ["doc_id", "n_tok"]
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_start"], r["first_bin"], r["last_bin"], r["n_bins"])
+        for r in curation.pack_sequences(
+            docs, "n_tok", capacity, "doc_id", shards=shards, salt="pack"
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(toks)), "n_tok": toks}),
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3], r[4], r[5])
+            for r in con.execute(
+                f"""
+            WITH d AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS t,
+                              md5('pack|' || CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents WHERE n_tok > 0),
+            s AS (SELECT *, CAST(('0x' || substr(h, 1, 4))::UBIGINT % {shards} AS INT) AS shard
+                  FROM d),
+            o AS (SELECT *, coalesce(sum(t) OVER (PARTITION BY shard ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start
+                  FROM s)
+            SELECT doc_id, shard, seq_start,
+                   seq_start // {capacity} AS first_bin,
+                   (seq_start + t - 1) // {capacity} AS last_bin,
+                   (seq_start + t - 1) // {capacity} - seq_start // {capacity} + 1 AS n_bins
+            FROM o
+            """
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        con.close()
+
+
+@settings(**_FUZZ)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(1, 4),
+)
+def test_cap_per_stratum_fuzz_vs_duckdb(spark, rows, k):
+    """The scoring_sampling cap arm replay on ARBITRARY stratum/score
+    shapes: the tiny score range forces constant ties, so the id-asc
+    tie-break is what the equality actually exercises."""
+    import duckdb
+    import pandas as pd
+
+    data = [(i, s, sc) for i, (s, sc) in enumerate(rows)]
+    docs = spark.createDataFrame(data, ["doc_id", "source", "score"])
+    got = {
+        r["doc_id"]
+        for r in curation.cap_per_stratum(docs, "source", "score", k, "doc_id").collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents", pd.DataFrame(data, columns=["doc_id", "source", "score"])
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id ASC) AS rk
+              FROM documents)
+            WHERE rk <= {k}
+            """
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        con.close()
