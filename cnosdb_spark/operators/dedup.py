@@ -16,6 +16,7 @@ Design constraints honored everywhere:
 from __future__ import annotations
 
 import numpy as np
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import normalize, tokens
@@ -951,18 +952,27 @@ def dedup_stream_against_index(
 
     Shape: ``foreachBatch(dedup_against_index)`` — each micro-batch is a
     bounded static frame, so the full batch operator (including its
-    ``distinct``) reuses verbatim with no unbounded streaming state; the
-    checkpoint gives exactly-once batch replay and the parquet append is
-    idempotent per ``_batch_id``. The index side is static and (when
-    bucketed on ``_bucket``) co-locates with each batch's band table —
-    the corpus text is never rescanned, which is the property that keeps
-    an always-on dedup feed viable at 100 TB corpus scale.
+    ``distinct``) reuses verbatim with no unbounded streaming state. The
+    flagged-pair output is written as a dynamic partition OVERWRITE of
+    the ``_batch_id=<n>`` partition, so a checkpoint-replayed batch
+    rewrites its own partition instead of appending duplicates —
+    exactly-once output without a downstream dedup pass. The index side
+    is static and (when bucketed on ``_bucket``) co-locates with each
+    batch's band table — the corpus text is never rescanned, which is
+    the property that keeps an always-on dedup feed viable at 100 TB
+    corpus scale.
 
     With ``update_index_path`` set, each processed batch's band table is
     APPENDED to that parquet index after checking, so later ticks flag
     duplicates of earlier ticks' documents — the self-maintaining ingest
-    loop. Pass ``index=None`` then: the index is RE-READ per tick (a
-    static DataFrame pins its file listing at creation and would never
+    loop; if the path does not exist yet, the first tick bootstraps an
+    EMPTY index (within-batch pairs only) and creates it.  A replayed
+    batch appends its band rows twice — harmless for correctness
+    (``dedup_against_index`` emits candidate pairs through a
+    ``distinct``) but the index carries dead rows; compact it offline if
+    replays are frequent. Pass ``index=None`` then: the index is RE-READ
+    per tick (a static DataFrame pins its file listing at creation and
+    would never
     see the appends). Ticks never re-check against their own batch's
     index rows: the check runs before the append within the same
     foreachBatch call.
@@ -976,12 +986,23 @@ def dedup_stream_against_index(
     def _batch(batch_df, batch_id: int):
         ix = index
         if ix is None:
-            ix = batch_df.sparkSession.read.parquet(update_index_path)
+            try:
+                ix = batch_df.sparkSession.read.parquet(update_index_path)
+            except AnalysisException:
+                # first tick ever, no prior corpus: bootstrap with an
+                # empty index of the batch's own band-table schema
+                ix = minhash_band_table(
+                    batch_df.limit(0), text_col, id_col, n, num_hashes, bands
+                )
         out = dedup_against_index(
             batch_df, ix, text_col, id_col, n, num_hashes, bands
         )
+        # dynamic overwrite of THIS batch's partition: a checkpoint
+        # replay rewrites _batch_id=<n> instead of appending duplicates
         out.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_batch_id"
         ).parquet(out_path)
         if update_index_path:
             minhash_band_table(

@@ -689,3 +689,115 @@ def test_dedup_stream_against_index_two_ticks(spark, tmp_path):
     assert (20, 10, "index") not in got  # dissimilar tick-1 doc: no flag
     # no self-matches: a tick's own index append happens after its check
     assert not {(a, b, s) for (a, b, s) in got if a == b}
+
+
+def test_dedup_stream_bootstrap_empty_index(spark, tmp_path):
+    """Self-updating mode with NO pre-built index: the first tick ever
+    bootstraps an empty index (within-batch pairs only, no crash on the
+    missing path), creates it, and the second tick flags against tick-1
+    documents."""
+    from cnosdb_spark.operators import dedup
+    from __spark_entry__ import _await_stream
+
+    ix_path = str(tmp_path / "ix")  # never created up front
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+
+    def run_tick(rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(in_path)
+        q = (
+            dedup.dedup_stream_against_index(
+                spark.readStream.schema("doc_id bigint, text string")
+                .parquet(in_path),
+                None,
+                out_path,
+                str(tmp_path / "ck"),
+                "text",
+                "doc_id",
+                n=3,
+                num_hashes=16,
+                bands=4,
+                update_index_path=ix_path,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 120)
+
+    # tick 1 (bootstrap): 30/31 duplicate each other within the batch
+    run_tick([
+        (30, "the quick brown fox jumps over the lazy dog"),
+        (31, "the quick brown fox jumps over the lazy dog"),
+    ])
+    got1 = {
+        (r.id_new, r.id_match, r.source)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert (30, 31, "batch") in got1
+    assert not {t for t in got1 if t[2] == "index"}  # empty bootstrap index
+    # tick 2: duplicates a tick-1 doc — the bootstrapped index caught up
+    run_tick([(40, "the quick brown fox jumps over the lazy dog")])
+    got2 = {
+        (r.id_new, r.id_match, r.source)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert {(40, 30, "index"), (40, 31, "index")} <= got2
+
+
+def test_dedup_stream_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch must REWRITE its _batch_id partition, not append
+    a duplicate copy: re-running the same input through a FRESH
+    checkpoint (the worst-case replay — every batch re-executes) leaves
+    the flagged-pair output byte-identical, not doubled."""
+    from cnosdb_spark.operators import dedup
+    from __spark_entry__ import _await_stream
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    index = dedup.minhash_band_table(
+        corpus, "text", "doc_id", n=3, num_hashes=16, bands=4
+    )
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    ).write.parquet(in_path)
+
+    def run(ck):
+        q = (
+            dedup.dedup_stream_against_index(
+                spark.readStream.schema("doc_id bigint, text string")
+                .parquet(in_path),
+                index,
+                out_path,
+                str(tmp_path / ck),
+                "text",
+                "doc_id",
+                n=3,
+                num_hashes=16,
+                bands=4,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 120)
+
+    run("ck1")
+    first = sorted(
+        (r.id_new, r.id_match, r.source)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert first  # the dedup actually flagged pairs
+    run("ck2")  # fresh checkpoint: batch 0 replays over the same files
+    second = sorted(
+        (r.id_new, r.id_match, r.source)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert second == first  # overwritten in place, not doubled
