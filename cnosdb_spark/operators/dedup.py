@@ -1012,3 +1012,46 @@ def dedup_stream_against_index(
     return stream_df.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint
     )
+
+
+def compact_band_index(spark, path: str, out_path: str | None = None) -> int:
+    """Rewrite a ``minhash_band_table`` index with duplicate rows removed
+    — the offline maintenance pass for a ``dedup_stream_against_index``
+    self-updating index whose appends accumulated replayed band rows.
+
+    Duplicate (id, bucket) rows never change flagged pairs (the
+    candidate join is distinct) — compaction is purely a read-cost
+    optimization, so it can run any time, including while ingest ticks
+    keep appending: a tick that lands between read and swap is the ONLY
+    data loss window, which is why the swap is a directory rename (the
+    atomic unit on HDFS/local filesystems), not a file-by-file rewrite.
+
+    With ``out_path`` the compacted snapshot is written there and the
+    source is left untouched (the right shape on object stores, where
+    rename is copy-and-delete — point the next reader at the snapshot).
+    Without it, the compacted rows are staged in a ``<path>__compact``
+    sibling and swapped in via two renames. Returns the compacted row
+    count.
+    """
+    rows = spark.read.parquet(path).distinct()
+    if out_path:
+        rows.write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path).count()
+    staged = path.rstrip("/") + "__compact"
+    rows.write.mode("overwrite").parquet(staged)
+    n = spark.read.parquet(staged).count()
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(p, old):
+        raise IOError(f"compact_band_index: could not stage {path} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), p):
+        # roll back so the index is never left missing
+        fs.rename(old, p)
+        raise IOError(f"compact_band_index: could not swap in {staged}")
+    fs.delete(old, True)
+    return n

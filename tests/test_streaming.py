@@ -801,3 +801,47 @@ def test_dedup_stream_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     )
     assert second == first  # overwritten in place, not doubled
+
+
+def test_compact_band_index_in_place_and_snapshot(spark, tmp_path):
+    """compact_band_index removes replay-duplicated band rows without
+    changing the flagged-pair result: in-place swap keeps the path
+    readable with the distinct row multiset; snapshot mode leaves the
+    source untouched."""
+    from cnosdb_spark.operators import dedup
+
+    ix_path = str(tmp_path / "ix")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated document about spark plans")],
+        ["doc_id", "text"],
+    )
+    band = dedup.minhash_band_table(corpus, "text", "doc_id")
+    band.write.parquet(ix_path)
+    band.write.mode("append").parquet(ix_path)  # a replayed append
+    before = spark.read.parquet(ix_path)
+    distinct_rows = {tuple(r) for r in before.distinct().collect()}
+    assert before.count() == 2 * len(distinct_rows)
+
+    snap = str(tmp_path / "snap")
+    n_snap = dedup.compact_band_index(spark, ix_path, out_path=snap)
+    assert n_snap == len(distinct_rows)
+    assert spark.read.parquet(ix_path).count() == 2 * len(distinct_rows)  # untouched
+
+    n = dedup.compact_band_index(spark, ix_path)
+    after = spark.read.parquet(ix_path)
+    assert n == len(distinct_rows)
+    assert {tuple(r) for r in after.collect()} == distinct_rows
+    assert after.count() == len(distinct_rows)
+
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_new, r.id_match)
+        for r in dedup.dedup_against_index(
+            batch, after, "text", "doc_id"
+        ).collect()
+    }
+    assert (10, 1) in got and (10, 2) not in got
