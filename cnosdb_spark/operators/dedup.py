@@ -281,14 +281,21 @@ def minhash_lsh_pairs(
         "_id",
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bucket"),
     )
-    # pair generation: one aggregation per bucket, then an in-bucket
-    # combination expansion — NOT a self-join. A self-join re-executes the
-    # whole shingle→signature pipeline for each side (Spark's exchange
-    # reuse does not fire across the alias boundary here: 4 parquet scans,
-    # 12 hash aggregates in the joined plan), doubling the dominant cost.
-    # Per-bucket expansion is the same O(k²)-per-bucket fan-out the
-    # equi-join has (both concentrate one bucket's pairs on one key), but
-    # the expensive signature computation runs exactly once.
+    return _bucket_pairs(buckets)
+
+
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from an exploded
+    (_id, _bucket) table.
+
+    One aggregation per bucket, then an in-bucket combination expansion —
+    NOT a self-join. A self-join re-executes the whole upstream pipeline
+    (shingle→signature) for each side (Spark's exchange reuse does not
+    fire across the alias boundary here: 4 parquet scans, 12 hash
+    aggregates in the joined plan), doubling the dominant cost.
+    Per-bucket expansion is the same O(k²)-per-bucket fan-out the
+    equi-join has (both concentrate one bucket's pairs on one key), but
+    the expensive upstream computation runs exactly once."""
     ids = F.array_sort(F.collect_set("_id"))
     pair_expr = F.flatten(
         F.transform(
@@ -303,7 +310,7 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    pairs = (
+    return (
         buckets.groupBy("_bucket")
         .agg(ids.alias("_ids"))
         .where(F.size("_ids") >= 2)
@@ -311,7 +318,6 @@ def minhash_lsh_pairs(
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
-    return pairs
 
 
 def _simhash_hashes(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
@@ -898,6 +904,7 @@ def dedup_against_index(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup check: candidates between a NEW batch and an
     existing corpus represented ONLY by its ``minhash_band_table`` index
@@ -906,14 +913,25 @@ def dedup_against_index(
 
     The new batch's band table joins the index on the bucket key — a
     shuffle (or, with a bucketed index, co-located) hash join whose left
-    side is just the new batch.  Output:
-    (id_new, id_match, source — 'index' for new-vs-corpus matches,
-    'batch' for new-vs-new; id_new < id_match within 'batch' rows).
+    side is just the new batch.  The within-batch pairs derive from the
+    SAME band table (the bucket keys are identical to
+    ``minhash_lsh_pairs``'s), so the shingle→signature pipeline — the
+    dominant cost — appears once in the plan, not once per check.
+    Output: (id_new, id_match, source — 'index' for new-vs-corpus
+    matches, 'batch' for new-vs-new; id_new < id_match within 'batch'
+    rows).
 
     Parameters must match the ones the index was built with — bucket
-    keys are parameter-dependent.
+    keys are parameter-dependent.  ``new_bands`` optionally supplies the
+    batch's precomputed (persisted) band table so a caller that also
+    appends it to the index (the streaming loop) computes it exactly
+    once per tick.
     """
-    nb = minhash_band_table(new_docs, text_col, id_col, n, num_hashes, bands)
+    nb = (
+        new_bands
+        if new_bands is not None
+        else minhash_band_table(new_docs, text_col, id_col, n, num_hashes, bands)
+    )
     ix = index.select(F.col(id_col).alias("_ix_id"), "_bucket")
     vs_index = (
         nb.join(ix, "_bucket")
@@ -924,8 +942,8 @@ def dedup_against_index(
         )
         .distinct()
     )
-    within = minhash_lsh_pairs(
-        new_docs, text_col, id_col, n, num_hashes, bands
+    within = _bucket_pairs(
+        nb.select(F.col(id_col).alias("_id"), "_bucket")
     ).select(
         F.col("id_a").alias("id_new"),
         F.col("id_b").alias("id_match"),
@@ -994,20 +1012,27 @@ def dedup_stream_against_index(
                 ix = minhash_band_table(
                     batch_df.limit(0), text_col, id_col, n, num_hashes, bands
                 )
-        out = dedup_against_index(
-            batch_df, ix, text_col, id_col, n, num_hashes, bands
-        )
-        # dynamic overwrite of THIS batch's partition: a checkpoint
-        # replay rewrites _batch_id=<n> instead of appending duplicates
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "_batch_id"
-        ).parquet(out_path)
-        if update_index_path:
-            minhash_band_table(
-                batch_df, text_col, id_col, n, num_hashes, bands
-            ).write.mode("append").parquet(update_index_path)
+        # ONE signature pass per tick: the band table feeds both checks
+        # and the index append (persisted — three actions consume it)
+        nb = minhash_band_table(
+            batch_df, text_col, id_col, n, num_hashes, bands
+        ).persist()
+        try:
+            out = dedup_against_index(
+                batch_df, ix, text_col, id_col, n, num_hashes, bands,
+                new_bands=nb,
+            )
+            # dynamic overwrite of THIS batch's partition: a checkpoint
+            # replay rewrites _batch_id=<n> instead of appending duplicates
+            out.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "_batch_id"
+            ).parquet(out_path)
+            if update_index_path:
+                nb.write.mode("append").parquet(update_index_path)
+        finally:
+            nb.unpersist()
 
     return stream_df.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint
