@@ -259,6 +259,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates.
 
@@ -267,6 +268,15 @@ def minhash_lsh_pairs(
     docs sharing any bucket are candidate pairs. The bucket join is an
     equi-join on the band key (shuffle hash join; no O(n²)).
     Output: distinct (id_a, id_b), id_a < id_b.
+
+    ``max_bucket_size`` (default None = unbounded) is the same
+    deterministic hot-bucket ceiling the simhash/fingerprint/sign-LSH
+    paths carry: a band bucket holding more than that many docs is
+    dropped BEFORE pair expansion, bounding per-bucket fan-out at
+    max_bucket_size² on a boilerplate-heavy corpus — a >cap cluster of
+    mutual near-dups loses its pairs from that bucket (usually caught in
+    another band; set the cap to your plausible max duplicate-cluster
+    size).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -281,10 +291,12 @@ def minhash_lsh_pairs(
         "_id",
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bucket"),
     )
-    return _bucket_pairs(buckets)
+    return _bucket_pairs(buckets, max_bucket_size)
 
 
-def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+def _bucket_pairs(
+    buckets: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from an exploded
     (_id, _bucket) table.
 
@@ -295,7 +307,8 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     aggregates in the joined plan), doubling the dominant cost.
     Per-bucket expansion is the same O(k²)-per-bucket fan-out the
     equi-join has (both concentrate one bucket's pairs on one key), but
-    the expensive upstream computation runs exactly once."""
+    the expensive upstream computation runs exactly once.
+    ``max_bucket_size`` drops over-ceiling buckets before expansion."""
     ids = F.array_sort(F.collect_set("_id"))
     pair_expr = F.flatten(
         F.transform(
@@ -310,11 +323,13 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
             ),
         )
     )
+    grouped = buckets.groupBy("_bucket").agg(ids.alias("_ids")).where(
+        F.size("_ids") >= 2
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("_ids") <= max_bucket_size)
     return (
-        buckets.groupBy("_bucket")
-        .agg(ids.alias("_ids"))
-        .where(F.size("_ids") >= 2)
-        .select(F.explode(pair_expr).alias("_p"))
+        grouped.select(F.explode(pair_expr).alias("_p"))
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
@@ -905,6 +920,7 @@ def dedup_against_index(
     num_hashes: int = 16,
     bands: int = 4,
     new_bands: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup check: candidates between a NEW batch and an
     existing corpus represented ONLY by its ``minhash_band_table`` index
@@ -926,6 +942,13 @@ def dedup_against_index(
     batch's precomputed (persisted) band table so a caller that also
     appends it to the index (the streaming loop) computes it exactly
     once per tick.
+
+    ``max_bucket_size`` is the hot-bucket ceiling: index buckets holding
+    more than that many corpus docs are anti-joined away before the
+    check (bounding the per-bucket join fan-out at batch_bucket ×
+    max_bucket_size on a boilerplate-heavy corpus), and the within-batch
+    expansion applies the same cap — the identical deterministic
+    semantics the simhash/fingerprint/sign-LSH paths carry.
     """
     nb = (
         new_bands
@@ -933,6 +956,14 @@ def dedup_against_index(
         else minhash_band_table(new_docs, text_col, id_col, n, num_hashes, bands)
     )
     ix = index.select(F.col(id_col).alias("_ix_id"), "_bucket")
+    if max_bucket_size is not None:
+        hot = (
+            ix.groupBy("_bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("_bucket")
+        )
+        ix = ix.join(hot, "_bucket", "left_anti")
     vs_index = (
         nb.join(ix, "_bucket")
         .select(
@@ -943,7 +974,7 @@ def dedup_against_index(
         .distinct()
     )
     within = _bucket_pairs(
-        nb.select(F.col(id_col).alias("_id"), "_bucket")
+        nb.select(F.col(id_col).alias("_id"), "_bucket"), max_bucket_size
     ).select(
         F.col("id_a").alias("id_new"),
         F.col("id_b").alias("id_match"),
@@ -963,6 +994,7 @@ def dedup_stream_against_index(
     num_hashes: int = 16,
     bands: int = 4,
     update_index_path: str | None = None,
+    max_bucket_size: int | None = None,
 ):
     """Always-on ingest dedup: near-dup-check every arriving micro-batch
     of a STREAMING DataFrame against the persisted ``minhash_band_table``
@@ -1020,7 +1052,7 @@ def dedup_stream_against_index(
         try:
             out = dedup_against_index(
                 batch_df, ix, text_col, id_col, n, num_hashes, bands,
-                new_bands=nb,
+                new_bands=nb, max_bucket_size=max_bucket_size,
             )
             # dynamic overwrite of THIS batch's partition: a checkpoint
             # replay rewrites _batch_id=<n> instead of appending duplicates

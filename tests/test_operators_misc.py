@@ -1500,3 +1500,55 @@ def test_fingerprint_max_bucket_size_ceiling(spark):
                  fps_df, "media_id", "dhash", bits=64, bands=4).collect()}
     assert stats == {f"{b}:{c}": n for (b, c), n in sizes.items() if n >= 2}
     assert sum(1 for n in stats.values() if n > 20) == 4
+
+
+def test_minhash_lsh_hot_bucket_ceiling(spark):
+    """max_bucket_size on the minhash paths: a hot cluster larger than
+    the cap loses its pairs deterministically (every band bucket holds
+    the whole cluster, all over-ceiling), an under-cap pair survives,
+    and cap=None is byte-identical to the uncapped default."""
+    hot = [(i, "the exact same boilerplate text repeated everywhere") for i in range(6)]
+    cold = [(100, "one genuinely unique document about spark plans"),
+            (101, "one genuinely unique document about spark plans")]
+    docs = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+
+    uncapped = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id").collect()}
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+
+    capped = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=4).collect()}
+    assert (100, 101) in capped          # under-cap bucket survives
+    assert not {p for p in capped if p[0] < 100}  # 6-doc cluster dropped
+
+    default = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=None).collect()}
+    assert default == uncapped
+
+
+def test_dedup_against_index_hot_bucket_ceiling(spark):
+    """The same ceiling on the incremental check: over-cap INDEX buckets
+    are anti-joined away (a new doc matching only a hot boilerplate
+    bucket reports nothing), under-cap index matches and within-batch
+    pairs keep working, and cap=None is unchanged."""
+    corpus = spark.createDataFrame(
+        [(i, "the exact same boilerplate text repeated everywhere") for i in range(6)]
+        + [(50, "one genuinely unique document about spark plans")],
+        ["doc_id", "text"],
+    )
+    index = dedup.minhash_band_table(corpus, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [(200, "the exact same boilerplate text repeated everywhere"),
+         (201, "one genuinely unique document about spark plans"),
+         (202, "one genuinely unique document about spark plans")],
+        ["doc_id", "text"],
+    )
+    capped = {(r.id_new, r.id_match, r.source) for r in dedup.dedup_against_index(
+        batch, index, "text", "doc_id", max_bucket_size=4).collect()}
+    assert (201, 50, "index") in capped and (202, 50, "index") in capped
+    assert (201, 202, "batch") in capped
+    assert not {t for t in capped if t[0] == 200}  # hot-bucket match dropped
+
+    uncapped = {(r.id_new, r.id_match, r.source) for r in dedup.dedup_against_index(
+        batch, index, "text", "doc_id").collect()}
+    assert (200, 0, "index") in uncapped
