@@ -1255,3 +1255,39 @@ def test_cap_per_stratum_fuzz_vs_duckdb(spark, rows, k):
         assert got == want
     finally:
         con.close()
+
+
+@settings(**_FUZZ)
+@given(
+    corpus=st.lists(_doc, min_size=1, max_size=8),
+    batch=st.lists(_doc, min_size=1, max_size=6),
+)
+def test_dedup_against_index_matches_monolithic_fuzz(spark, corpus, batch):
+    """The incremental-ingest invariant on ARBITRARY corpora: checking a
+    batch against the persisted band index (corpus text untouched, one
+    signature pass feeding both checks) must equal the monolithic
+    full-union banding restricted to batch-vs-corpus and
+    batch-vs-batch pairs. The tiny alphabet makes cross-set bucket
+    collisions — including empty-text and whole-text-shingle docs —
+    constant."""
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)], ["doc_id", "text"]
+    )
+    index = dedup.minhash_band_table(cdf, "text", "doc_id")
+    got = dedup.dedup_against_index(bdf, index, "text", "doc_id").collect()
+    vs_index = {(r.id_new, r.id_match) for r in got if r.source == "index"}
+    within = {(r.id_new, r.id_match) for r in got if r.source == "batch"}
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            cdf.unionByName(bdf), "text", "doc_id"
+        ).collect()
+    }
+    want_cross = {(b, a) for a, b in full if a < 100 <= b}
+    want_within = {(a, b) for a, b in full if a >= 100}
+    assert vs_index == want_cross
+    assert within == want_within
