@@ -170,9 +170,26 @@ def _asof_range_batch(spark, sf_dir):
     return asof_arm("asof", None).unionAll(asof_arm("asof_tol", "1 HOUR")).unionAll(rng)
 
 
+def _incr_index_check(spark, sf_dir):
+    """The production ingest loop at corpus scale: a FIXED sf0.1 batch
+    (5k docs) near-dup-checked against the PRE-BUILT persisted band
+    index of the 10x/100x corpus (the index is a persisted artifact in
+    production — built once outside the timed path by main()). Timed
+    cost = the batch's single signature pass (constant) + the bucket
+    join against the narrow (id, bucket) index; the 100x/10x ratio must
+    stay FAR below linear because the corpus text is never rescanned —
+    THE claim that makes always-on ingest dedup viable at 100 TB."""
+    from cnosdb_spark.operators import dedup
+
+    ix = spark.read.parquet(os.path.join(sf_dir, "band_index.parquet"))
+    batch = read_table(spark, SRC, "documents").select("doc_id", "text")
+    return dedup.dedup_against_index(batch, ix, "text", "doc_id")
+
+
 CUSTOM = {
     "pq_topk_serving": _pq_topk_serving,
     "asof_range_batch": _asof_range_batch,
+    "incr_index_check": _incr_index_check,
 }
 # the three verdict-named hottest ops, plus (round-9 extension) the other
 # two high-volume text/embedding families — simhash fingerprints and the
@@ -190,6 +207,9 @@ OPS = [
     "lww_dedup_merge",
     "gapfill_locf_interpolate",
     "asof_range_batch",
+    # round-10 extension: the incremental ingest check against the
+    # persisted index — fixed batch, 10x vs 100x corpus index
+    "incr_index_check",
 ]
 
 
@@ -218,6 +238,21 @@ def main() -> None:
     if not os.path.exists(os.path.join(dir10, "documents.parquet")):
         print(f"10x dir {dir10} missing — run scripts/make_scale_data.py first")
         sys.exit(1)
+
+    # pre-build the persisted band indexes the incr_index_check op
+    # reads (a production artifact, not part of the timed check)
+    from cnosdb_spark.operators import dedup as _dedup
+
+    for d in (dir10, out100):
+        ixp = os.path.join(d, "band_index.parquet")
+        if not os.path.exists(ixp):
+            print(f"building band index -> {ixp}", flush=True)
+            docs = spark.read.parquet(
+                os.path.join(d, "documents.parquet")
+            ).select("doc_id", "text")
+            _dedup.minhash_band_table(docs, "text", "doc_id").repartition(
+                32
+            ).write.parquet(ixp)
 
     qs = dict(entry_mod.queries(), **CUSTOM)
     cal_start = run_calibration(spark)
