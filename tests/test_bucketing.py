@@ -77,3 +77,46 @@ def test_bucketed_aggregation_no_exchange(spark, no_broadcast):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_agg_b")
+
+
+def test_bucketed_band_index_colocated_check(spark, no_broadcast):
+    """The incremental-dedup docstring claim, plan-pinned: with the band
+    index stored BUCKETED on _bucket, the index side of
+    dedup_against_index's candidate join carries no exchange — only the
+    (small) arriving batch is shuffled to match the layout. The
+    unbucketed control shuffles the index side too, and both layouts
+    return identical pairs."""
+    from cnosdb_spark.operators import bucketing, dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"some corpus text number {i % 7} with shared shingles here")
+         for i in range(50)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"some corpus text number {i % 7} with shared shingles here")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    band = dedup.minhash_band_table(corpus, "text", "doc_id")
+    try:
+        bucketing.write_bucketed(band, "t_band_ix_b", "_bucket", 8)
+        ix_b = spark.table("t_band_ix_b")
+        out_b = dedup.dedup_against_index(batch, ix_b, "text", "doc_id")
+        plan = out_b._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        out_u = dedup.dedup_against_index(batch, band, "text", "doc_id")
+        plan_u = out_u._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        # bucketing removes exactly the index-side exchange
+        assert (
+            plan.count("Exchange hashpartitioning")
+            == plan_u.count("Exchange hashpartitioning") - 1
+        )
+        got_b = {(r.id_new, r.id_match, r.source) for r in out_b.collect()}
+        got_u = {(r.id_new, r.id_match, r.source) for r in out_u.collect()}
+        assert got_b == got_u and got_b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_band_ix_b")
