@@ -16,7 +16,6 @@ Design constraints honored everywhere:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import normalize, tokens
@@ -278,19 +277,12 @@ def minhash_lsh_pairs(
     another band; set the cap to your plausible max duplicate-cluster
     size).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.lit(f"{b}:")] + [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = sig.select("_id", *band_cols)
-    buckets = banded.select(
-        "_id",
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bucket"),
-    )
+    # buckets come from minhash_band_table — the ONE place the band-key
+    # formula lives, so the persisted index, the incremental check, and
+    # this monolithic path can never silently desynchronize
+    buckets = minhash_band_table(
+        df, text_col, id_col, n, num_hashes, bands
+    ).select(F.col(id_col).alias("_id"), "_bucket")
     return _bucket_pairs(buckets, max_bucket_size)
 
 
@@ -957,15 +949,23 @@ def dedup_against_index(
     )
     ix = index.select(F.col(id_col).alias("_ix_id"), "_bucket")
     if max_bucket_size is not None:
+        # DISTINCT docs per bucket, not rows: replay-duplicated index
+        # rows must never trip the cap (compaction stays result-neutral).
+        # The cap costs one extra aggregation pass over the narrow index
+        # per call — acceptable for a maintenance knob; cache/compact the
+        # index if the cap is always-on in a tight streaming loop.
         hot = (
             ix.groupBy("_bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.count_distinct(F.col("_ix_id")).alias("_n"))
             .where(F.col("_n") > max_bucket_size)
             .select("_bucket")
         )
         ix = ix.join(hot, "_bucket", "left_anti")
     vs_index = (
         nb.join(ix, "_bucket")
+        # a doc id present on BOTH sides (e.g. a replayed streaming tick
+        # whose band rows were already appended) must not match itself
+        .where(F.col(id_col) != F.col("_ix_id"))
         .select(
             F.col(id_col).alias("id_new"),
             F.col("_ix_id").alias("id_match"),
@@ -1016,11 +1016,16 @@ def dedup_stream_against_index(
     APPENDED to that parquet index after checking, so later ticks flag
     duplicates of earlier ticks' documents — the self-maintaining ingest
     loop; if the path does not exist yet, the first tick bootstraps an
-    EMPTY index (within-batch pairs only) and creates it.  A replayed
-    batch appends its band rows twice — harmless for correctness
-    (``dedup_against_index`` emits candidate pairs through a
-    ``distinct``) but the index carries dead rows; compact it offline if
-    replays are frequent. Pass ``index=None`` then: the index is RE-READ
+    EMPTY index (within-batch pairs only) and creates it.  Replay is
+    safe end-to-end: a replayed tick anti-joins its OWN doc ids out of
+    the re-read index (its prior append must not relabel within-batch
+    pairs as corpus matches — requires globally-unique doc ids across
+    the stream), the candidate join never emits self-pairs, the
+    double-appended band rows don't change flagged pairs (candidates
+    pass through a ``distinct``) and don't trip the hot-bucket ceiling
+    (it counts DISTINCT docs); the index still carries dead rows, so
+    compact it offline (``compact_band_index``) if replays are
+    frequent. Pass ``index=None`` then: the index is RE-READ
     per tick (a static DataFrame pins its file listing at creation and
     would never
     see the appends). Ticks never re-check against their own batch's
@@ -1034,11 +1039,31 @@ def dedup_stream_against_index(
         raise ValueError("pass an index DataFrame or update_index_path")
 
     def _batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
         ix = index
         if ix is None:
-            try:
-                ix = batch_df.sparkSession.read.parquet(update_index_path)
-            except AnalysisException:
+            # explicit existence probe, NOT a broad except: a transient
+            # read failure (compaction swap window, FS hiccup, typo'd
+            # path that exists-check also misses) must fail the tick
+            # loudly rather than silently run against an empty index and
+            # commit a false-clean output partition
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(update_index_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                ix = spark.read.parquet(update_index_path)
+                # a tick REPLAYED after its own index append must not see
+                # its own band rows (they'd relabel within-batch pairs as
+                # 'index' matches); the self-pair case is also excluded
+                # inside dedup_against_index. Requires globally-unique
+                # doc ids across the stream — the same contract the
+                # output pairs already assume.
+                ix = ix.join(
+                    batch_df.select(F.col(id_col)).distinct(),
+                    id_col,
+                    "left_anti",
+                )
+            else:
                 # first tick ever, no prior corpus: bootstrap with an
                 # empty index of the batch's own band-table schema
                 ix = minhash_band_table(

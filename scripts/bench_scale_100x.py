@@ -245,7 +245,9 @@ def main() -> None:
 
     for d in (dir10, out100):
         ixp = os.path.join(d, "band_index.parquet")
-        if not os.path.exists(ixp):
+        # gate on _SUCCESS, not the directory: a crashed partial write
+        # must rebuild, not time against a truncated index
+        if not os.path.exists(os.path.join(ixp, "_SUCCESS")):
             print(f"building band index -> {ixp}", flush=True)
             docs = spark.read.parquet(
                 os.path.join(d, "documents.parquet")

@@ -845,3 +845,86 @@ def test_compact_band_index_in_place_and_snapshot(spark, tmp_path):
         ).collect()
     }
     assert (10, 1) in got and (10, 2) not in got
+
+
+def test_dedup_stream_self_updating_replay_no_self_matches(spark, tmp_path):
+    """The worst-case self-updating replay: the tick's own band rows are
+    ALREADY in the index when the tick re-runs (crash after append,
+    before checkpoint commit — simulated with a fresh checkpoint over
+    the same input). The replayed output must equal the first run:
+    no self-pairs, no within-batch pairs relabeled as 'index' matches."""
+    from cnosdb_spark.operators import dedup
+    from __spark_entry__ import _await_stream
+
+    ix_path = str(tmp_path / "ix")
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    dedup.minhash_band_table(corpus, "text", "doc_id").write.parquet(ix_path)
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    ).write.parquet(in_path)
+
+    def run(ck):
+        q = (
+            dedup.dedup_stream_against_index(
+                spark.readStream.schema("doc_id bigint, text string")
+                .parquet(in_path),
+                None,
+                out_path,
+                str(tmp_path / ck),
+                "text",
+                "doc_id",
+                update_index_path=ix_path,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 120)
+
+    run("ck1")
+    first = sorted(
+        (r.id_new, r.id_match, r.source)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert (10, 11, "batch") in [tuple(t) for t in first]
+    # replay: the index NOW contains docs 10/11's band rows
+    run("ck2")
+    second = sorted(
+        (r.id_new, r.id_match, r.source)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert second == first  # no self-matches, no 'index'-relabeled pairs
+
+
+def test_hot_bucket_ceiling_counts_distinct_docs(spark):
+    """Replay-duplicated index rows must not trip the max_bucket_size
+    cap: the ceiling counts DISTINCT docs per bucket, so a doubled
+    2-doc bucket stays under a cap of 3 and its matches survive —
+    compaction remains purely a read-cost optimization."""
+    from cnosdb_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    band = dedup.minhash_band_table(corpus, "text", "doc_id")
+    doubled = band.unionAll(band)  # a replayed append
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_new, r.id_match)
+        for r in dedup.dedup_against_index(
+            batch, doubled, "text", "doc_id", max_bucket_size=3
+        ).collect()
+    }
+    assert {(10, 1), (10, 2)} <= got  # 2 distinct docs < cap 3: kept
