@@ -185,7 +185,14 @@ def tpch_q5(spark, sf_dir):
     5 rows, nation: 25 rows — constant at every SF) carry broadcast
     hints; customer/orders/supplier grow O(SF), so their join strategy is
     left to AQE (broadcast at small SF from runtime stats, shuffle join
-    past the 8 GB cap). lineitem, the fact table, never broadcasts."""
+    past the 8 GB cap). lineitem, the fact table, never broadcasts.
+
+    The region⋈nation PRODUCT carries its own broadcast hint (≤25 rows at
+    every SF — still fixed-cardinality): a hint on nation alone only
+    covers the region⋈nation join itself, so the follow-on customer join
+    planned as an initial SortMergeJoin and shuffled the whole customer
+    table by c_nationkey before AQE could demote it (observed r10 with
+    static auto-broadcast off)."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -194,11 +201,9 @@ def tpch_q5(spark, sf_dir):
     )
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    rnco = (
-        F.broadcast(r)
-        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
-        .join(c, c.c_nationkey == n.n_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
+    rn = F.broadcast(F.broadcast(r).join(n, n.n_regionkey == r.r_regionkey))
+    rnco = rn.join(c, c.c_nationkey == n.n_nationkey).join(
+        o, o.o_custkey == c.c_custkey
     )
     return (
         l.join(rnco, rnco.o_orderkey == l.l_orderkey)
@@ -965,21 +970,42 @@ def series_selector_aggs(spark, sf_dir):
     """Per-series selector-aggregate battery (SURVEY §2.4): first(time,v)/
     last(time,v) (reference aggregate_function/{first,last}.rs → F.min_by/
     max_by), mode with deterministic tie-break (mode.rs), and
-    increase(time,value) with counter-reset handling (increase.rs)."""
+    increase(time,value) with counter-reset handling (increase.rs).
+
+    Round-10 restructure (same outputs, oracle-pinned): the battery used
+    to scan+shuffle events THREE times (fl groupBy, mode_df, increase) and
+    join the results. The selector aggregates and the increase sum both
+    key on user_id, so one lag-window pass establishes
+    hashpartitioning(user_id) once and a single groupBy on the window
+    output computes both families (guide §2.4: operations keyed the same
+    way share one exchange) — 3 events scans/shuffles → 2, one join
+    instead of two. mode_df deliberately stays a separate branch over the
+    raw scan: folding it under the window subtree serializes the whole
+    query behind the sort (measured +30% at sf0.1) while as a sibling
+    branch its scan+count runs concurrently with the window stage."""
     e = _t(spark, sf_dir, "events")
-    fl = e.groupBy("user_id").agg(
+    wlag = W.partitionBy("user_id").orderBy("ts")
+    delta = F.col("value") - F.lag("value").over(wlag)
+    contrib = (
+        F.when(delta.isNull(), F.lit(None))
+        .when(delta >= 0, delta)
+        .otherwise(F.col("value"))  # reset: counter restarted at value
+    )
+    e2 = e.select("user_id", "ts", "value", "event_type", contrib.alias("_d"))
+    flinc = e2.groupBy("user_id").agg(
         first_agg("ts", "value").alias("first_value"),
         last_agg("ts", "value").alias("last_value"),
         first_agg("ts", "event_type").alias("first_type"),
         F.unix_micros(F.min("ts")).alias("min_ts_us"),
         F.unix_micros(F.max("ts")).alias("max_ts_us"),
         F.count(F.lit(1)).alias("n"),
+        F.round(F.coalesce(F.sum("_d"), F.lit(0.0)), 4).alias("increase"),
     )
     md = mode_df(e, ["user_id"], "event_type")
-    inc = increase(e, "ts", "value", ["user_id"]).select(
-        "user_id", F.round("increase", 4).alias("increase")
+    return flinc.join(md, "user_id").select(
+        "user_id", "first_value", "last_value", "first_type",
+        "min_ts_us", "max_ts_us", "n", "mode", "increase",
     )
-    return fl.join(md, "user_id").join(inc, "user_id")
 
 
 @_q(
@@ -2415,27 +2441,76 @@ def text_quality_stats(spark, sf_dir):
     bpe_token_count via the Arrow pandas UDF with broadcast merge
     ranks); the oracle carries per-doc expected counts recomputed at
     import from a pure-Python replication of the counting + the same
-    deterministic trainer/encoder (_bpe_oracle_values)."""
+    deterministic trainer/encoder (_bpe_oracle_values).
+
+    Round-10 restructure (same outputs, oracle-pinned): the stopword
+    count and the four language-marker counts run in ONE
+    token_set_counts kernel pass instead of two (with_text_stats +
+    lang_id each launched their own), and every text-derived scalar
+    (lengths, ratios, fingerprint, regex token count) is projected
+    JVM-side BEFORE the kernel — so `text` itself never crosses the
+    Python boundary; only doc_id, eight narrow scalars and the token
+    array do (guide §4: pass only the columns the function needs)."""
     from cnosdb_spark.operators import tokenizer
 
     d = _t(spark, sf_dir, "documents")
-    out = text.with_text_stats(d, "text")
-    out = text.lang_id(out, "text")
-    cols = [
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = text.token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    pre = d.select(
         "doc_id",
-        "n_chars_c",
-        "n_tokens",
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("digit_ratio", 6).alias("digit_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("mean_word_len", 6).alias("mean_word_len"),
-        "lang_pred",
-        text.fingerprint(F.col("text")).alias("fingerprint"),
+        n_chars.cast("long").alias("n_chars_c"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0).cast("double"), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0).cast("double"), 6
+        ).alias("digit_ratio"),
+        F.round(
+            F.when(n_tokens > 0, F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens)
+            .otherwise(F.lit(0.0))
+            .cast("double"),
+            6,
+        ).alias("mean_word_len"),
+        text.fingerprint(t).alias("fingerprint"),
         F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
-    ]
-    out = out.select(*cols)
+        text.tokens(F.lower(t)).alias("_toks_lc"),
+    )
+    sets: dict[str, list[str]] = {"_n_stop": text.STOPWORDS_EN}
+    sets.update({f"_lm_{lang}": mk for lang, mk in text.LANG_MARKERS.items()})
+    counted = text.token_set_counts(pre, "_toks_lc", sets)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"_lm_{lang}").alias("score"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(text.LANG_MARKERS)
+        ]
+    )
+    out = counted.select(
+        "doc_id",
+        "n_chars_c",
+        "n_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("_n_stop") / F.col("n_tokens"))
+            .otherwise(0.0)
+            .cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+        "mean_word_len",
+        F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"]).alias("lang_pred"),
+        "fingerprint",
+        "n_bpe_tokens",
+    )
     if _BPE_ORACLE:
         wc = tokenizer.word_counts(
             d, "text", min_count=_BPE_MIN_COUNT, max_words=_BPE_MAX_WORDS

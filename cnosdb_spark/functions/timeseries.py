@@ -215,23 +215,44 @@ def time_window_gapfill(
     us = F.unix_micros(F.col(time_col))
     bucket = F.timestamp_micros(us - F.pmod(us, F.lit(iv_us)))
     actual = df.withColumn("_bucket", bucket).groupBy("_bucket", *group_cols).agg(*aggs)
+    agg_names = [c for c in actual.columns if c != "_bucket" and c not in group_cols]
 
-    # Dense spine per group: sequence(min_bucket, max_bucket, step).
-    spine = (
-        actual.groupBy(*group_cols)
-        .agg(F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi"))
+    # Dense spine WITHOUT a spine⋈actual self-join (round 10): each actual
+    # row emits itself plus the gap buckets up to (exclusive) the group's
+    # next actual bucket via one lead() window + posexplode — the union
+    # over rows is exactly sequence(min_bucket, max_bucket, step) because
+    # all buckets are multiples of the interval. This removes the second
+    # aggregation of `actual`, the join, and (at scale) a full shuffle of
+    # the aggregated table; the lead window's hashpartitioning(group) is
+    # the same clustering the fill windows below need, so they reuse it.
+    # Left-join-exact semantics are preserved: gap rows (_pos > 0) carry
+    # NULL aggregates, and rows whose group key contains a NULL keep the
+    # spine buckets but NULL every aggregate (SQL equi-join never matches
+    # NULL keys, so the old join left them unfilled too).
+    wlead = Window.partitionBy(*group_cols).orderBy("_bucket")
+    bus = F.unix_micros(F.col("_bucket"))
+    end_us = F.coalesce(F.unix_micros(F.lead("_bucket").over(wlead)) - iv_us, bus)
+    keep = F.col("_pos") == 0
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    joined = (
+        actual.withColumn("_end_us", end_us)
         .select(
             *group_cols,
-            F.explode(
-                F.sequence(
-                    F.unix_micros("_lo"), F.unix_micros("_hi"), F.lit(iv_us)
-                )
-            ).alias("_bus"),
+            F.posexplode(
+                F.sequence(bus, F.col("_end_us"), F.lit(iv_us))
+            ).alias("_pos", "_bus"),
+            *agg_names,
         )
-        .select(*group_cols, F.timestamp_micros(F.col("_bus")).alias("_bucket"))
+        .select(
+            *group_cols,
+            F.timestamp_micros(F.col("_bus")).alias("_bucket"),
+            *[
+                F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in agg_names
+            ],
+        )
     )
-
-    joined = spine.join(actual, on=[*group_cols, "_bucket"], how="left")
 
     fill = fill or {}
     out = joined

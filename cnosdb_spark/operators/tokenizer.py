@@ -238,10 +238,37 @@ def bpe_token_count(
     lowercase: bool = True,
 ) -> DataFrame:
     """Per-document BPE token count (the budgeting input for sequence
-    packing / mixture weighting)."""
-    tmp = "_bpe_toks_tmp"
-    out = bpe_encode(df, merges, text_col, tmp, lowercase)
-    return out.withColumn(out_col, F.size(F.col(tmp)).cast("long")).drop(tmp)
+    packing / mixture weighting).
+
+    Counts inside the UDF instead of size(bpe_encode(...)): only an
+    int64 per document crosses the Python→JVM boundary, not the full
+    token array (which for counting is serialized and immediately
+    discarded). The per-batch word→len cache collapses the Zipf head
+    exactly like ``bpe_encode``'s word→tokens cache; a NULL document
+    yields NULL, matching size(NULL array) under this engine's session
+    config."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.LongType())
+    def _count(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, int] = {}
+        for batch in texts:
+            out: list[int | None] = []
+            for txt in batch:
+                if txt is None:
+                    out.append(None)
+                    continue
+                norm = txt.lower() if lowercase else txt
+                n = 0
+                for w in norm.split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = len(_encode_word(w, ranks))
+                    n += got
+                out.append(n)
+            yield pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
 
 
 # ------------------------------------------------------------ persistence

@@ -49,15 +49,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Broadcast ONLY from measured sizes, never from static estimates:
-        # the STATIC threshold stays conservative (10 MB — static sizes are
+        # the STATIC threshold is fully OFF (-1) — static sizes are
         # file-size × selectivity guesses, and a statically-committed
         # broadcast is irreversible: AQE can upgrade SMJ→BHJ but never
-        # demote), while the ADAPTIVE threshold is generous (64 MB — AQE
+        # demote — while the ADAPTIVE threshold is generous (64 MB — AQE
         # has exact post-shuffle sizes).  Round-7 scale rehearsal: a 64 MB
         # STATIC threshold broadcast the filtered 4.2M-row lineitem side of
         # q3 at 10x data from a bad estimate — 6.1 s vs 1.4 s with this
-        # split, and the misplan would only widen with scale.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # split, and the misplan would only widen with scale.  Round 10
+        # closed the residual hole: even at 10 MB the static planner
+        # broadcast the column-pruned LINEITEM fact table as a q5 build
+        # side at sf0.1 (plans/r10/tpch_q5_local_supplier_before.txt) —
+        # with -1, fixed-cardinality dims still broadcast via explicit
+        # F.broadcast hints and everything else is AQE's runtime call
+        # (measured −4% headline total, q3 −20%, q5 −17%; rotated
+        # interleaved min-of-4, OPTIMIZATION_r10.md §joins).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_STATIC_BCAST", "-1"),
+        )
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             str(64 * 1024 * 1024),

@@ -43,13 +43,22 @@ def test_q3_topk_and_no_pinned_broadcast(spark):
 
 
 def test_q5_hints_only_fixed_dims(spark):
-    # region (5 rows) and nation (25 rows) are constant at every SF — those
-    # two hints are safe; anything more pins a plan that dies at 100×
+    # region (5 rows) and the region⋈nation product (≤25 rows) are
+    # constant at every SF — those two hints are safe; anything more pins
+    # a plan that dies at 100×
     h = _hints(spark, "tpch_q5_local_supplier")
     assert h.count("ResolvedHint") + h.count("UnresolvedHint") == 2
     p = _plan(spark, "tpch_q5_local_supplier")
-    assert "BroadcastExchange" in p  # the dim hints materialize
-    assert p.count("Exchange hashpartitioning") <= 2  # only the final agg shuffles
+    # with the static auto-broadcast threshold OFF (session.py), every
+    # BroadcastExchange in the INITIAL plan must come from an explicit
+    # provably-bounded hint: region into the r⋈n join, then r⋈n into the
+    # customer join.  A third would be a statically-committed
+    # estimate-based broadcast — the irreversible misplan class that
+    # broadcast the pruned lineitem fact table in r09.
+    assert p.count("BroadcastExchange") == 2
+    # the bounded-dim broadcasts keep customer un-shuffled by nationkey
+    # (AQE upgrades the O(SF)-side joins at runtime instead)
+    assert "Exchange hashpartitioning(c_nationkey" not in p
 
 
 def test_topk_is_take_ordered(spark):
