@@ -380,31 +380,53 @@ def agg_approx(spark, sf_dir):
     bound of the exact answer (computed in the same query); the oracle
     supplies the exact values and TRUE bounds. The exact percentile columns
     are value-compared directly (Spark percentile() == DuckDB quantile_cont,
-    both linear interpolation)."""
+    both linear interpolation).
+
+    Round-10 restructure (same outputs, oracle-pinned): the five separate
+    percentile() calls over l_extendedprice each buffered their own copy
+    of the column per group — one percentile(col, array(0.25, 0.5, 0.9))
+    buffers it once (identical interpolation per element), and the two
+    percentile_approx calls share one sketch the same way. count(DISTINCT)
+    moves to a narrow distinct→count branch joined back on the 3-row group
+    key, removing the Expand replication of the whole fact table that a
+    mixed distinct/non-distinct aggregate plans (the agg_statistical
+    pattern). Measured 7.2 s → ~1 s at sf0.1."""
     l = _t(spark, sf_dir, "lineitem")
+    eps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.90))
+    )
+    aps = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
     agg = l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("_ap"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("_med"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_amed"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("_p90"),
-        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("_ap90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
+        eps.alias("_eps"),
+        aps.alias("_aps"),
         F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("qty_median"),
     )
-    return agg.select(
+    nd = (
+        l.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    return agg.join(nd, "l_returnflag").select(
         "l_returnflag",
         "exact_parts",
         (F.abs(F.col("_ap") - F.col("exact_parts")) / F.col("exact_parts") <= 0.1).alias(
             "distinct_ok"
         ),
-        (F.abs(F.col("_amed") - F.col("_med")) / F.col("_med") <= 0.01).alias("median_ok"),
-        (F.abs(F.col("_ap90") - F.col("_p90")) / F.col("_p90") <= 0.01).alias("p90_ok"),
-        "p25",
-        "p50",
-        "p90",
+        (
+            F.abs(F.col("_aps").getItem(0) - F.col("_eps").getItem(1))
+            / F.col("_eps").getItem(1)
+            <= 0.01
+        ).alias("median_ok"),
+        (
+            F.abs(F.col("_aps").getItem(1) - F.col("_eps").getItem(2))
+            / F.col("_eps").getItem(2)
+            <= 0.01
+        ).alias("p90_ok"),
+        F.round(F.col("_eps").getItem(0), 4).alias("p25"),
+        F.round(F.col("_eps").getItem(1), 4).alias("p50"),
+        F.round(F.col("_eps").getItem(2), 4).alias("p90"),
         "qty_median",
     )
 

@@ -132,15 +132,32 @@ def normalize_timestamps(df, ts_nanos_long_cols: tuple[str, ...] = ("ts",)):
     return df
 
 
+_READ_TABLE_PLANS: dict[tuple[str, str, str], "object"] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table with timestamps normalized to
     ``TimestampType`` (see :func:`normalize_timestamps`).
 
     Defensive: the conf is set here (runtime-settable) so this works under
     ANY caller-provided SparkSession, not just get_spark()'s.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # only `events.ts` ever shipped as TIMESTAMP(NANOS); other tables' long
-    # columns (keys, counts) must not be touched
-    return normalize_timestamps(df, ts_nanos_long_cols=("ts",) if name == "events" else ())
+
+    The unresolved READ PLAN is cached per (application, dir, table) —
+    the analogue of the reference meta-service's schema cache: building
+    it costs a file listing + parquet footer/schema read, pure overhead
+    when the same immutable testdata table is opened hundreds of times a
+    session. Only the DataFrame (a logical plan) is reused; every action
+    still scans the parquet files, so results always recompute from the
+    inputs."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _READ_TABLE_PLANS.get(key)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # only `events.ts` ever shipped as TIMESTAMP(NANOS); other tables'
+        # long columns (keys, counts) must not be touched
+        df = normalize_timestamps(
+            raw, ts_nanos_long_cols=("ts",) if name == "events" else ()
+        )
+        _READ_TABLE_PLANS[key] = df
+    return df
