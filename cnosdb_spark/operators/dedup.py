@@ -158,6 +158,12 @@ def minhash_signatures(
     still exactly reproducible in ANSI SQL / DuckDB for the oracle
     (min over the same multiset, whether per-row or grouped).
     Output: (_id, mh_0 ... mh_{k-1}) as BIGINT columns."""
+    from cnosdb_spark.session import spread_small_input
+
+    # small-input spread BEFORE the per-shingle md5 tower + Arrow kernel
+    # (cookbook rule; no-op whenever the input already has >= default
+    # parallelism partitions, i.e. always at production scale)
+    df = spread_small_input(df.select(id_col, text_col), id_col)
     t = df.select(
         F.col(id_col).alias("_id"), tokens(normalize(F.col(text_col))).alias("_toks")
     )
@@ -332,7 +338,11 @@ def _simhash_hashes(df: DataFrame, text_col: str, id_col: str, bits: int) -> Dat
     the per-token md5-prefix hash array — tokenization and hashing stay
     JVM-side (whole-stage codegen'd string ops), so both fold variants
     consume identical inputs."""
+    from cnosdb_spark.session import spread_small_input
+
     hexlen = bits // 4
+    # small-input spread before the per-token md5 tower (cookbook rule)
+    df = spread_small_input(df.select(id_col, text_col), id_col)
     t = df.select(
         F.col(id_col).alias("_id"), tokens(normalize(F.col(text_col))).alias("_toks")
     )

@@ -246,7 +246,12 @@ def bpe_token_count(
     discarded). The per-batch word→len cache collapses the Zipf head
     exactly like ``bpe_encode``'s word→tokens cache; a NULL document
     yields NULL, matching size(NULL array) under this engine's session
-    config."""
+    config.
+
+    Deliberately NOT spread_small_input-repartitioned (measured r10): the
+    per-batch word→len cache collapses the Zipf head, so splitting a
+    small corpus across 32 workers re-encodes the same frequent words in
+    every task and costs more than the parallelism buys."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
     @F.pandas_udf(T.LongType())

@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # v2 file committer: task outputs move to the destination at TASK
+        # commit instead of a single sequential driver-side rename pass at
+        # job commit — the tskv daily-bucket layout legally fans one
+        # backfill INSERT out to thousands of _tb= partition dirs, where
+        # the v1 job-commit rename loop dominated write wall (measured
+        # −15-20% on a 1222-partition insert, OPTIMIZATION_r10.md §writes)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Broadcast ONLY from measured sizes, never from static estimates:
         # the STATIC threshold is fully OFF (-1) — static sizes are
         # file-size × selectivity guesses, and a statically-committed
@@ -130,6 +137,37 @@ def normalize_timestamps(df, ts_nanos_long_cols: tuple[str, ...] = ("ts",)):
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
     return df
+
+
+def spread_small_input(df, key: str | None = None):
+    """The pipeline cookbook's small-input rule (docs/pipeline_cookbook.md):
+    Spark cannot split a parquet file below row-group granularity, so a
+    small single-file corpus scans as ONE partition and any per-row-heavy
+    stage (regex stat towers, Arrow kernels, BPE encode, per-shingle md5)
+    serializes on one core. When the input's partition count is below
+    ``defaultParallelism``, repartition up to it — hash on ``key`` when
+    given (deterministic, and skips the sort-before-repartition a
+    round-robin exchange pays); the exchange is trivially cheap exactly
+    when the guard fires, and at production scale (many files / many row
+    groups) it never does."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    # the partition-count probe (rdd.getNumPartitions) costs ~50 ms of
+    # physical planning per call — memoize it per semantically-identical
+    # plan so repeated builds of the same query pay one cheap hash lookup
+    cache_key = (sc.applicationId, df.semanticHash())
+    n = _SPREAD_PROBE_CACHE.get(cache_key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SPREAD_PROBE_CACHE[cache_key] = n
+    if n >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
+_SPREAD_PROBE_CACHE: dict[tuple[str, int], int] = {}
 
 
 _READ_TABLE_PLANS: dict[tuple[str, str, str], "object"] = {}
