@@ -382,15 +382,19 @@ def agg_approx(spark, sf_dir):
     are value-compared directly (Spark percentile() == DuckDB quantile_cont,
     both linear interpolation).
 
-    Round-10 restructure (same outputs, oracle-pinned): the five separate
-    percentile() calls over l_extendedprice each buffered their own copy
-    of the column per group — one percentile(col, array(0.25, 0.5, 0.9))
-    buffers it once (identical interpolation per element), and the two
-    percentile_approx calls share one sketch the same way. count(DISTINCT)
-    moves to a narrow distinct→count branch joined back on the 3-row group
-    key, removing the Expand replication of the whole fact table that a
-    mixed distinct/non-distinct aggregate plans (the agg_statistical
-    pattern). Measured 7.2 s → ~1 s at sf0.1."""
+    Round-10 restructure (same outputs, oracle-pinned): Spark plans a
+    mixed distinct/plain aggregate by first aggregating at the WIDER
+    (l_returnflag, l_partkey) grain — so every percentile/sketch buffer
+    was built per (flag, partkey) group (~20k buffer sets) and merged,
+    and the five separate percentile() calls each kept their own buffer
+    (plans/r10/agg_approx_distinct_before.txt: two ObjectHashAggregate
+    levels over the full fact table). Now one
+    percentile(col, array(0.25, 0.5, 0.9)) call buffers l_extendedprice
+    once (identical interpolation per element), percentile_approx shares
+    one sketch the same way, and count(DISTINCT) runs as a narrow
+    distinct→count branch joined back on the 3-row group key so the
+    percentile aggregation stays at 3-group grain. Measured 7.2 s →
+    1.7 s at sf0.1."""
     l = _t(spark, sf_dir, "lineitem")
     eps = F.percentile(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.90))
