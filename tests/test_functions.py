@@ -147,3 +147,61 @@ def test_value_repair_clamps_spike(spark):
     df = spark.createDataFrame(list(zip(["k"] * 10, t, vals)), ["k", "ts", "v"])
     out = {r["ts"]: r["v"] for r in value_repair(df, "ts", "v", ["k"]).collect()}
     assert out[t[9]] < 100.0  # spike clamped toward the speed bound
+
+
+# ------------------------------------------------------- data quality (r10)
+def test_data_quality_sql_matches_pandas_reference(spark):
+    """The round-10 relational data_quality must reproduce the grouped-map
+    applyInPandas reference (_series_quality) bit-for-bit on the driver
+    corpus AND on constructed edge groups: a single-point series, a series
+    with NaN and NULL values (both count as `special`), an all-duplicate-
+    timestamp series (no positive interval), and a series with interval
+    outliers exercising the rint half-even missing estimate."""
+    import datetime as _dt
+
+    from cnosdb_spark.functions.quality import data_quality, data_quality_pandas
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    def rows_of(df):
+        return {
+            tuple(r[c] for c in df.columns[:-4]): [
+                round(r[m], 9)
+                for m in ("completeness", "consistency", "timeliness", "validity")
+            ]
+            for r in df.collect()
+        }
+
+    e = read_table(spark, SF_DIR, "events")
+    got = rows_of(data_quality(e, "ts", "value", ["user_id"]))
+    want = rows_of(data_quality_pandas(e, "ts", "value", ["user_id"]))
+    assert got == want and len(got) > 0
+
+    t0 = _dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + _dt.timedelta(seconds=sec)
+    edge = spark.createDataFrame(
+        # g=single: one point; g=nan: NaN + NULL specials; g=dup: all same ts;
+        # g=gap: regular cadence with one huge gap (missing estimate) and
+        # one sub-half-median gap (late), plus a value outlier
+        [("single", s(0), 1.0)]
+        + [("nan", s(i), v) for i, v in enumerate([1.0, float("nan"), None, 4.0])]
+        + [("dup", s(5), float(v)) for v in range(4)]
+        + [("gap", s(i), 10.0) for i in range(6)]
+        + [("gap", s(6.1), 10.0), ("gap", s(60), 10.0), ("gap", s(61), 500.0)],
+        ["g", "ts", "v"],
+    )
+    got_e = rows_of(data_quality(edge, "ts", "v", ["g"]))
+    want_e = rows_of(data_quality_pandas(edge, "ts", "v", ["g"]))
+    assert got_e == want_e and set(got_e) == {("single",), ("nan",), ("dup",), ("gap",)}
+
+
+def test_data_quality_sql_has_no_python_node(spark):
+    from cnosdb_spark.functions.quality import data_quality
+    from cnosdb_spark.session import read_table
+    from .conftest import SF_DIR
+
+    e = read_table(spark, SF_DIR, "events")
+    p = data_quality(e, "ts", "value", ["user_id"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "FlatMapGroupsInPandas" not in p and "EvalPython" not in p
