@@ -48,6 +48,11 @@ def word_ngrams(toks: Column, n: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    from cnosdb_spark.session import spread_small_input
+
+    # small-input spread before the tokenize→shingle→explode tower
+    # (cookbook rule; no-op at production input sizes)
+    df = spread_small_input(df.select(id_col, text_col), id_col)
     t = df.select(
         F.col(id_col).alias("_id"), tokens(normalize(F.col(text_col))).alias("_toks")
     )
