@@ -87,13 +87,19 @@ def mad_anomalies(
     med = df.groupBy(*keys).agg(
         F.percentile(value_col, F.lit(0.5)).alias("_med")
     )
-    j1 = df.join(F.broadcast(med), keys) if keys else df.crossJoin(F.broadcast(med))
+    # keyed joins carry NO broadcast hint (round 10): the med/mad tables
+    # hold one row PER SERIES, which grows with the corpus — a pinned
+    # broadcast is the irreversible estimate-class misplan at high series
+    # cardinality (8 GB cap). AQE broadcasts them from exact sizes when
+    # they are actually small. The keyless (whole-table) variants stay
+    # hinted: those are true one-row scalars.
+    j1 = df.join(med, keys) if keys else df.crossJoin(F.broadcast(med))
     mad = (
         j1.withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
         .groupBy(*keys)
         .agg(F.percentile("_dev", F.lit(0.5)).alias("_mad"))
     )
-    j2 = j1.join(F.broadcast(mad), keys) if keys else j1.crossJoin(F.broadcast(mad))
+    j2 = j1.join(mad, keys) if keys else j1.crossJoin(F.broadcast(mad))
     score = F.when(
         F.col("_mad") > 0,
         F.abs(F.col(value_col) - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
