@@ -1102,39 +1102,121 @@ def mode_increase_per_series(spark, sf_dir):
       quantile_cont), score expression replayed term-for-term, flag from
       the UNROUNDED score.
     """
-    e = _t(spark, sf_dir, "events")
-    m = mode_df(e, ["user_id"], "event_type")
-    inc = increase(e, "ts", "value", ["user_id"]).select(
-        "user_id", F.round("increase", 4).alias("increase")
+    # Round-11 fusion (guide §2.4): the four operators all key on user_id,
+    # so the whole family runs as ONE events scan + ONE hash exchange with
+    # stacked per-series window passes — replacing five keyed sub-scans
+    # (mode groupBy+window, increase lag+groupBy, zscore window, median
+    # agg, MAD agg) and two joins. Per-arm semantics are replayed
+    # expression-for-expression from mode_df / increase /
+    # zscore_anomalies / mad_anomalies (which remain the library surface):
+    #
+    # - increase: sum of the lag-delta contribs as an unbounded window
+    #   aggregate (rows arrive ts-sorted from the zscore pass, so the
+    #   float accumulation order is the per-partition ts order — the same
+    #   order the old post-window groupBy consumed);
+    # - median/MAD: exact `percentile` as unbounded window aggregates
+    #   (same buffer math as the keyed aggregate form), the MAD pass
+    #   consuming the median pass's output — zero extra exchanges;
+    # - mode: per-(user, event_type) count + row_number over (count desc,
+    #   event_type) replayed on the raw rows — every rn=1 candidate row of
+    #   a tie group carries identical (mode, increase), so the emitted row
+    #   is deterministic;
+    # - the 3-arm union becomes inline(filter(array(...))) over the single
+    #   windowed relation: a union would plant the shared subtree three
+    #   times (per-branch column pruning defeats exchange reuse — the
+    #   measured failure of the r10 series_selector mode-fusion A/B).
+    #
+    # Known edge vs the join form (documented, not observable on the
+    # driver corpora — 0 NULL user_id / 0 NULL event_type at every SF):
+    # the old inner joins on user_id dropped NULL-key rows from the
+    # mode_inc/mad arms, a window partition keeps them. The oracle's own
+    # JOIN ... USING(user_id) has the same drop semantics, so on data
+    # with NULL series keys the oracle would flag the difference loudly.
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
     )
-    mode_inc = m.join(inc, "user_id").select(
-        F.lit("mode_inc").alias("op"),
+    wts = W.partitionBy("user_id").orderBy("ts")
+    tw = wts.rowsBetween(-20, -1)
+    wfull = W.partitionBy("user_id")
+    base = e.select(
+        "event_id",
         "user_id",
-        F.lit(None).cast("long").alias("k2"),
-        F.col("mode").alias("s"),
-        F.col("increase").alias("val"),
+        "value",
+        "event_type",
+        F.lag("value").over(wts).alias("_pv"),
+        F.avg("value").over(tw).alias("_zm"),
+        F.stddev_samp("value").over(tw).alias("_zs"),
+        F.count("value").over(tw).alias("_zn"),
     )
-    from cnosdb_spark.operators.anomaly import mad_anomalies, zscore_anomalies
+    delta = F.col("value") - F.col("_pv")
+    contrib = (
+        F.when(F.col("_pv").isNull(), F.lit(None))
+        .when(delta >= 0, delta)
+        .otherwise(F.col("value"))
+    )
+    base = base.select(
+        "*",
+        F.coalesce(F.sum(contrib).over(wfull), F.lit(0.0)).alias("_inc"),
+        F.percentile("value", F.lit(0.5)).over(wfull).alias("_med"),
+    )
+    base = base.withColumn(
+        "_mad",
+        F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)).over(wfull),
+    )
+    wcnt = W.partitionBy("user_id", "event_type")
+    base = base.withColumn("_cnt", F.count("event_type").over(wcnt))
+    wrn = W.partitionBy("user_id").orderBy(
+        F.col("_cnt").desc(), F.col("event_type").asc_nulls_last()
+    )
+    base = base.withColumn("_rn", F.row_number().over(wrn))
+    z = F.when(
+        (F.col("_zn") >= 5) & F.col("_zs").isNotNull() & (F.col("_zs") > 0),
+        (F.col("value") - F.col("_zm")) / F.col("_zs"),
+    )
+    score = F.when(
+        F.col("_mad") > 0,
+        F.abs(F.col("value") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
+    )
 
-    z = zscore_anomalies(
-        e, "ts", "value", ["user_id"], lookback=20, threshold=3.0
-    ).filter("is_anomaly").select(
-        F.lit("zscore").alias("op"),
-        "user_id",
-        F.col("event_id").alias("k2"),
-        F.lit(None).cast("string").alias("s"),
-        F.col("zscore").alias("val"),
+    def _arm(op, k2, s, val):
+        return F.struct(
+            F.lit(op).alias("op"),
+            F.col("user_id").alias("user_id"),
+            k2.alias("k2"),
+            s.alias("s"),
+            val.alias("val"),
+        )
+
+    arms = F.array(
+        F.when(
+            (F.col("_rn") == 1) & F.col("event_type").isNotNull(),
+            _arm(
+                "mode_inc",
+                F.lit(None).cast("long"),
+                F.col("event_type"),
+                F.round("_inc", 4),
+            ),
+        ),
+        F.when(
+            F.abs(z) >= 3.0,
+            _arm(
+                "zscore",
+                F.col("event_id").cast("long"),
+                F.lit(None).cast("string"),
+                F.round(z, 6),
+            ),
+        ),
+        F.when(
+            score >= 3.5,
+            _arm(
+                "mad",
+                F.col("event_id").cast("long"),
+                F.lit(None).cast("string"),
+                F.round(score, 6),
+            ),
+        ),
     )
-    mad = mad_anomalies(e, "value", ["user_id"], threshold=3.5).filter(
-        "is_anomaly"
-    ).select(
-        F.lit("mad").alias("op"),
-        "user_id",
-        F.col("event_id").alias("k2"),
-        F.lit(None).cast("string").alias("s"),
-        F.col("mad_score").alias("val"),
-    )
-    return mode_inc.unionAll(z).unionAll(mad)
+    return base.select(F.inline(F.filter(arms, lambda x: x.isNotNull())))
 
 
 @_q(
@@ -3215,58 +3297,139 @@ def ts_value_fill_repair(spark, sf_dir):
       (operators/downsample.py lttb) — the oracle replays the keep-set
       locally at import (_lttb_oracle_values) and re-joins values in SQL.
     """
-    from cnosdb_spark.functions.repair import timestamp_repair, value_repair
-    from cnosdb_spark.operators.downsample import ewma, lttb
+    # Round-11 fusion (guide §4.1/§4.2 + §2.4): all five arms are
+    # per-series sequential kernels keyed on user_id. They used to run as
+    # FIVE separate grouped-map applyInPandas pipelines — five events
+    # scans, five hash shuffles, five Python crossings, 5×1500
+    # per-group pandas invocations at sf0.1 — unioned after the fact.
+    # One multi-series mapInArrow kernel now computes every arm for every
+    # series of a partition in one call: one scan, one hash exchange on
+    # user_id + in-partition (user_id, ts) sort, ~one Python call per
+    # TASK (manual series boundaries via numpy split — the guide §4.2
+    # batching shape), versus 7500 per-group slices before. The
+    # per-series numpy math is the IDENTICAL module-level kernel each
+    # standalone operator uses (repair.fix_value_fill / fix_value_repair
+    # / fix_timestamp_repair, downsample._lttb_numpy, pandas
+    # ewm(adjust=False)), so the floats are bit-for-bit the old
+    # pipeline's; only the plan shape changed.
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from cnosdb_spark.functions.repair import (
+        fix_timestamp_repair,
+        fix_value_fill,
+        fix_value_repair,
+    )
+    from cnosdb_spark.operators.downsample import _lttb_numpy
 
     e = _t(spark, sf_dir, "events")
-    fill_in = e.withColumn(
-        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
-    )
-    fill = value_fill(fill_in, "ts", "value", ["user_id"], method="linear").select(
-        F.lit("fill").alias("op"),
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
-    )
-    rep = value_repair(e, "ts", "value", ["user_id"]).select(
-        F.lit("repair").alias("op"),
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
-    )
-    smooth = ewma(e, "ts", "value", ["user_id"], alpha=0.3, round_decimals=None).select(
-        F.lit("ewma").alias("op"),
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.floor(F.col("ewma") * 1000000 + 0.5).cast("long").alias("value_e6"),
-    )
-    tsrep = timestamp_repair(e, "ts", "value", ["user_id"]).select(
-        F.lit("tsrepair").alias("op"),
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
-    )
-    out = fill.unionAll(rep).unionAll(smooth).unionAll(tsrep)
-    if _LTTB_ORACLE:
-        if os.path.realpath(sf_dir) != os.path.realpath(_LTTB_CORPUS):
-            # the keep-set literal was replayed at import against
-            # _LTTB_CORPUS; joining it against a different corpus would
-            # report spurious mismatches. Fail loudly instead.
-            raise RuntimeError(
-                f"lttb arm oracle replayed against {_LTTB_CORPUS} at import "
-                f"but query called with sf_dir={sf_dir}; set "
-                "SPARK_GRAFT_ORACLE_SF_DIR to match or disable the arm"
-            )
-        # same (user_id, ts) tie collapse as the oracle replay
-        e_d = e.groupBy("user_id", "ts").agg(F.min("value").alias("value"))
-        samp = lttb(e_d, "ts", "value", ["user_id"], n_out=_LTTB_N_OUT).select(
-            F.lit("lttb").alias("op"),
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
+    include_lttb = bool(_LTTB_ORACLE)
+    if include_lttb and os.path.realpath(sf_dir) != os.path.realpath(_LTTB_CORPUS):
+        # the keep-set literal was replayed at import against
+        # _LTTB_CORPUS; joining it against a different corpus would
+        # report spurious mismatches. Fail loudly instead.
+        raise RuntimeError(
+            f"lttb arm oracle replayed against {_LTTB_CORPUS} at import "
+            f"but query called with sf_dir={sf_dir}; set "
+            "SPARK_GRAFT_ORACLE_SF_DIR to match or disable the arm"
         )
-        out = out.unionAll(samp)
-    return out
+    lttb_n_out = _LTTB_N_OUT
+
+    proj = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("_ts_us"),
+        "value",
+        # the fill arm's deterministic NaN injection, projected JVM-side
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("_vfill"),
+    )
+    uid_type = proj.schema["user_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("user_id", uid_type),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def _all_arms(batches):
+        # the partition arrives hash-clustered on user_id and sorted by
+        # (user_id, ts): concatenate its batches (one partition is a
+        # bounded slice of series), then numpy-split on series boundaries
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
+            return
+        uids = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        all_ts = tbl.column("_ts_us").to_numpy(zero_copy_only=False).astype("int64")
+        all_v = tbl.column("value").to_numpy(zero_copy_only=False).astype("float64")
+        all_vf = tbl.column("_vfill").to_numpy(zero_copy_only=False).astype("float64")
+        bounds = np.flatnonzero(
+            np.concatenate(([True], uids[1:] != uids[:-1]))
+        ).tolist() + [len(uids)]
+        ops: list[np.ndarray] = []
+        ouid: list[np.ndarray] = []
+        otss: list[np.ndarray] = []
+        ovss: list[np.ndarray] = []
+
+        for si in range(len(bounds) - 1):
+            lo, hi = bounds[si], bounds[si + 1]
+            uid = uids[lo]
+            ts, vals, vfill = all_ts[lo:hi], all_v[lo:hi], all_vf[lo:hi]
+
+            def emit(op: str, t_arr, v_arr):
+                t_arr = np.asarray(t_arr, dtype="int64")
+                ops.append(np.full(len(t_arr), op, dtype=object))
+                ouid.append(np.full(len(t_arr), uid))
+                otss.append(t_arr)
+                ovss.append(np.asarray(v_arr, dtype="float64"))
+
+            ft, fv = fix_value_fill(ts, vfill, "linear")
+            emit("fill", ft, fv)
+            rt, rv = fix_value_repair(ts, vals)
+            emit("repair", rt, rv)
+            # ewma: pandas ewm(adjust=False) — downsample.ewma's kernel
+            emit("ewma", ts, pd.Series(vals).ewm(alpha=0.3, adjust=False).mean())
+            tt, tv = fix_timestamp_repair(ts, vals)
+            emit("tsrepair", tt, tv)
+            if include_lttb:
+                # same (user_id, ts) tie collapse as the oracle replay
+                # (rows are ts-sorted: segment mins via reduceat), then
+                # the lttb kernel over ns floats exactly as
+                # downsample.lttb (datetime64[ns].astype(int64) → ns;
+                # float64(µs)*1000.0 rounds to the identical float64)
+                starts = np.flatnonzero(
+                    np.concatenate(([True], ts[1:] != ts[:-1]))
+                )
+                ut = ts[starts]
+                uv = np.minimum.reduceat(vals, starts)
+                idx = _lttb_numpy(ut.astype("float64") * 1000.0, uv, lttb_n_out)
+                emit("lttb", ut[idx], uv[idx])
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(ops), type=pa.string()),
+                pa.array(np.concatenate(ouid), type=pa.int64()),
+                pa.array(np.concatenate(otss), type=pa.int64()),
+                pa.array(np.concatenate(ovss), type=pa.float64()),
+            ],
+            names=["op", "user_id", "ts_us", "value"],
+        )
+
+    fused = (
+        proj.repartition("user_id")
+        .sortWithinPartitions("user_id", "_ts_us")
+        .mapInArrow(_all_arms, out_schema)
+    )
+    return fused.select(
+        "op",
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("value_e6"),
+    )
 
 
 @_q(

@@ -53,32 +53,37 @@ def _apply_per_series(df, group_cols, time_col, value_col, fn):
     )
 
 
+def fix_timestamp_repair(ts: np.ndarray, vals: np.ndarray):
+    """Per-series numpy kernel of :func:`timestamp_repair` — module-level
+    so fused multi-arm kernels (ts_value_fill_repair) call the IDENTICAL
+    float/int math as the standalone operator."""
+    if len(ts) < 3:
+        return ts, vals
+    dt = np.diff(ts)
+    pos = dt[dt > 0]
+    if not len(pos):
+        return ts[:1], vals[:1]
+    interval = int(np.median(pos))
+    if interval <= 0:
+        return ts, vals
+    start = int(ts[0])
+    # floor(x+0.5) (half-up), not np.round (half-even): reproducible in
+    # ANSI SQL for the differential oracle
+    k = np.floor((ts - start) / interval + 0.5).astype("int64")
+    new_ts = start + k * interval
+    _, first_idx = np.unique(new_ts, return_index=True)
+    return new_ts[first_idx], vals[first_idx]
+
+
 def timestamp_repair(
     df: DataFrame, time_col: str, value_col: str, group_cols: list[str]
 ) -> DataFrame:
     """Regularize timestamps to the modal interval: snap each point to
     start + k·interval, dropping duplicates (keep first). Mirrors
     data_repair/timestamp_repair.rs (mode-interval heuristic)."""
-
-    def fix(ts: np.ndarray, vals: np.ndarray):
-        if len(ts) < 3:
-            return ts, vals
-        dt = np.diff(ts)
-        pos = dt[dt > 0]
-        if not len(pos):
-            return ts[:1], vals[:1]
-        interval = int(np.median(pos))
-        if interval <= 0:
-            return ts, vals
-        start = int(ts[0])
-        # floor(x+0.5) (half-up), not np.round (half-even): reproducible in
-        # ANSI SQL for the differential oracle
-        k = np.floor((ts - start) / interval + 0.5).astype("int64")
-        new_ts = start + k * interval
-        _, first_idx = np.unique(new_ts, return_index=True)
-        return new_ts[first_idx], vals[first_idx]
-
-    return _apply_per_series(df, group_cols, time_col, value_col, fix)
+    return _apply_per_series(
+        df, group_cols, time_col, value_col, fix_timestamp_repair
+    )
 
 
 def value_fill(
@@ -90,35 +95,43 @@ def value_fill(
 ) -> DataFrame:
     """Fill NaN values: method ∈ {previous, next, linear, mean, median, mode}
     (data_repair/value_fill.rs method strings)."""
+    return _apply_per_series(
+        df,
+        group_cols,
+        time_col,
+        value_col,
+        lambda ts, vals: fix_value_fill(ts, vals, method),
+    )
 
-    def fix(ts: np.ndarray, vals: np.ndarray):
-        s = pd.Series(vals)
-        if method == "previous":
-            s = s.ffill()
-        elif method == "next":
-            s = s.bfill()
-        elif method == "linear":
-            s = pd.Series(
-                np.interp(
-                    ts.astype("float64"),
-                    ts[~np.isnan(vals)].astype("float64"),
-                    vals[~np.isnan(vals)],
-                )
-                if (~np.isnan(vals)).any()
-                else vals
+
+def fix_value_fill(ts: np.ndarray, vals: np.ndarray, method: str = "linear"):
+    """Per-series numpy kernel of :func:`value_fill` (module-level for the
+    fused ts_value_fill_repair kernel — identical math, one definition)."""
+    s = pd.Series(vals)
+    if method == "previous":
+        s = s.ffill()
+    elif method == "next":
+        s = s.bfill()
+    elif method == "linear":
+        s = pd.Series(
+            np.interp(
+                ts.astype("float64"),
+                ts[~np.isnan(vals)].astype("float64"),
+                vals[~np.isnan(vals)],
             )
-        elif method == "mean":
-            s = s.fillna(s.mean())
-        elif method == "median":
-            s = s.fillna(s.median())
-        elif method == "mode":
-            nn = s.dropna()
-            s = s.fillna(nn.mode().min() if len(nn) else np.nan)
-        else:
-            raise ValueError(f"unknown fill method {method!r}")
-        return ts, s.to_numpy("float64")
-
-    return _apply_per_series(df, group_cols, time_col, value_col, fix)
+            if (~np.isnan(vals)).any()
+            else vals
+        )
+    elif method == "mean":
+        s = s.fillna(s.mean())
+    elif method == "median":
+        s = s.fillna(s.median())
+    elif method == "mode":
+        nn = s.dropna()
+        s = s.fillna(nn.mode().min() if len(nn) else np.nan)
+    else:
+        raise ValueError(f"unknown fill method {method!r}")
+    return ts, s.to_numpy("float64")
 
 
 def value_repair(
@@ -127,36 +140,38 @@ def value_repair(
     """Repair value outliers (screen method à la data_repair/value_repair.rs):
     clamp each point's rate-of-change to the series' MAD-based speed bounds —
     points whose implied speed exceeds the bound are moved to the bound."""
+    return _apply_per_series(df, group_cols, time_col, value_col, fix_value_repair)
 
-    def fix(ts: np.ndarray, vals: np.ndarray):
-        n = len(ts)
-        if n < 3:
-            return ts, vals
-        tsec = ts.astype("float64") / 1e6
-        dt = np.diff(tsec)
-        dv = np.diff(vals)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            speed = np.where(dt > 0, dv / dt, 0.0)
-        finite = speed[np.isfinite(speed)]
-        if not len(finite):
-            return ts, vals
-        med = float(np.median(finite))
-        mad = float(np.median(np.abs(finite - med)))
-        sigma = 1.4826 * mad
-        smin, smax = med - 3 * sigma, med + 3 * sigma
-        out = vals.copy()
-        for i in range(1, n):
-            d = tsec[i] - tsec[i - 1]
-            if d <= 0 or np.isnan(out[i - 1]) or np.isnan(out[i]):
-                continue
-            lo, hi = out[i - 1] + smin * d, out[i - 1] + smax * d
-            if out[i] < lo:
-                out[i] = lo
-            elif out[i] > hi:
-                out[i] = hi
-        return ts, out
 
-    return _apply_per_series(df, group_cols, time_col, value_col, fix)
+def fix_value_repair(ts: np.ndarray, vals: np.ndarray):
+    """Per-series numpy kernel of :func:`value_repair` (module-level for
+    the fused ts_value_fill_repair kernel — identical math)."""
+    n = len(ts)
+    if n < 3:
+        return ts, vals
+    tsec = ts.astype("float64") / 1e6
+    dt = np.diff(tsec)
+    dv = np.diff(vals)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        speed = np.where(dt > 0, dv / dt, 0.0)
+    finite = speed[np.isfinite(speed)]
+    if not len(finite):
+        return ts, vals
+    med = float(np.median(finite))
+    mad = float(np.median(np.abs(finite - med)))
+    sigma = 1.4826 * mad
+    smin, smax = med - 3 * sigma, med + 3 * sigma
+    out = vals.copy()
+    for i in range(1, n):
+        d = tsec[i] - tsec[i - 1]
+        if d <= 0 or np.isnan(out[i - 1]) or np.isnan(out[i]):
+            continue
+        lo, hi = out[i - 1] + smin * d, out[i - 1] + smax * d
+        if out[i] < lo:
+            out[i] = lo
+        elif out[i] > hi:
+            out[i] = hi
+    return ts, out
 
 
 # ------------------------------------------------------------------
