@@ -408,8 +408,18 @@ def agg_approx(spark, sf_dir):
         aps.alias("_aps"),
         F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("qty_median"),
     )
+    # the IS NOT NULL filter restores countDistinct's NULL semantics for
+    # the distinct→count branch (distinct()+count(1) would count a NULL
+    # l_partkey as a distinct part; countDistinct ignored it) — free on
+    # TPC-H data (l_partkey is non-null) and pushes to the scan. Residual
+    # documented assumption: the inner join back on l_returnflag drops a
+    # NULL-flag group the old single aggregate would have emitted;
+    # l_returnflag is non-null at every SF, so this is latent shape-reuse
+    # hygiene, not an observable change.
     nd = (
-        l.select("l_returnflag", "l_partkey").distinct()
+        l.select("l_returnflag", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .distinct()
         .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_parts"))
     )
     return agg.join(nd, "l_returnflag").select(
@@ -4822,7 +4832,8 @@ def ivf_ann_topk(spark, sf_dir):
     per query, (a) every IVF-returned cosine equals the true cosine
     computed from the raw vectors (verified by joining back to the
     brute-force scores), and (b) recall@5 vs brute force ≥ 0.5 (measured
-    min 0.6 on this corpus; 4-of-8 clusters probed).
+    min 0.6/0.6/0.8 at sf0.001/0.01/0.1; 5-of-8 clusters probed — SF-
+    independent since round 11).
 
     Round-8 refine arms — the DISTRIBUTED Lloyd refinement
     (similarity.refine_centroids: expression assignment + posexplode
@@ -4850,7 +4861,14 @@ def ivf_ann_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    ivf = similarity.ivf_topk(emb, queries, cents, k=5, n_probe=4)
+    # n_probe=5 (round 11, was 4): at the sf0.001 smoke corpus the
+    # 4-probe search left query 1's recall@5 at 0.4 — under the 0.5
+    # contract floor — making the row's hash SF-dependent (the inherited
+    # r10 smoke-tier mismatch). Probing 5 of 8 clusters clears the floor
+    # at EVERY SF (measured min recall 0.6/0.6/0.8 at sf0.001/0.01/0.1)
+    # and leaves the declared output (the accuracy flags) bit-identical
+    # at the gated tiers, where every flag was already TRUE.
+    ivf = similarity.ivf_topk(emb, queries, cents, k=5, n_probe=5)
     brute = similarity.brute_force_topk(emb, queries, k=5).select(
         "query_id",
         F.col("vec_id").alias("_bid"),

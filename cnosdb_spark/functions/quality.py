@@ -130,7 +130,15 @@ def data_quality(
       scores as the Python reference (cnt < 2 branch);
     - an all-duplicate-timestamp group (no positive interval) has
       ``med_dt = NULL`` here vs 0.0 there — every med_dt use is guarded
-      by ``med_dt > 0``, which NULL fails exactly like 0.0.
+      by ``med_dt > 0``, which NULL fails exactly like 0.0;
+    - **NULL group keys**: the stat join-backs are inner equi-joins on
+      the group keys, so a group whose key contains NULL is dropped from
+      the output, whereas :func:`data_quality_pandas` (groupBy +
+      applyInPandas) emits a row for it. A deliberate, pinned divergence
+      (tests/test_functions.py::test_data_quality_null_key_group_drops):
+      the engine's series keys (tags) are non-null by construction, and
+      null-safe join conditions would trade the plain equi-join shape
+      (co-partitioned, AQE-friendly) for an edge no caller hits.
 
     Differentially pinned against :func:`data_quality_pandas` in tests.
     """

@@ -19,6 +19,8 @@ kept as ``pq_encode_expr`` and parity-pinned in tests.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -1095,9 +1097,20 @@ def ivf_pq_topk_distributed(
       cluster to make this co-located).  ADC then scores each candidate
       from the query row's own distance-table column.
 
-    Skew note: cluster populations are rarely uniform — at scale feed
-    the join through AQE skew splitting (on in session.py) or
-    ``skew.salted_join`` if one cluster dominates.
+    Skew note (round 11): the candidate join key has only ``n_centroids``
+    distinct values, which caps the shuffle join's parallelism at
+    n_centroids reducers AND defeats AQE's skew splitting (every
+    partition is similarly huge, so nothing exceeds 5× the median — the
+    splitter never fires). The join key is therefore SALTED: the code
+    side carries a deterministic ``pmod(xxhash64(id), S)`` suffix (guide
+    §2.5 — never rand(): retried map tasks must reproduce the same
+    assignment), the query side explodes S ways, and each
+    (query, candidate) pair still meets exactly once, so results are
+    bit-identical (parity-pinned against the driver-side ivf_pq_topk).
+    Reduce-side parallelism becomes n_centroids × S.
+    ``SPARK_GRAFT_IVFPQ_SALT`` (default 8) sizes S; at bench scale AQE
+    broadcasts the exploded query side anyway, so the salt only matters
+    exactly when the join shuffles — the corpus-sized case it exists for.
 
     Output: (query_id, vec_id, adc_dist, rank) — identical semantics to
     ``ivf_pq_topk`` (result-parity is pytest-pinned).
@@ -1174,14 +1187,19 @@ def ivf_pq_topk_distributed(
 
     keep_vec = [F.col(vec_col).cast("array<double>").alias("_cv")] if refine else []
     cid_type = codes.schema[id_col].dataType  # preserve id type (no NULLing cast)
+    n_salt = max(1, int(os.environ.get("SPARK_GRAFT_IVFPQ_SALT", "8")))
+    code_side = codes.select(
+        F.col(id_col).alias("_cid"),
+        F.col(cluster_col).cast("int").alias(cluster_col),
+        code_col,
+        *keep_vec,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int").alias("_salt"),
+    )
+    q_side = q.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
     joined = (
-        codes.select(
-            F.col(id_col).alias("_cid"),
-            F.col(cluster_col).cast("int").alias(cluster_col),
-            code_col,
-            *keep_vec,
-        )
-        .join(q, cluster_col)
+        code_side.join(q_side, [cluster_col, "_salt"])
         # column order pinned for the scoring kernel
         .select(
             "_cid", code_col, F.col("_dtab"), query_id_col,

@@ -10,6 +10,7 @@ event-time semantics are deterministic and DuckDB-comparable.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import SparkSession
 
@@ -53,8 +54,19 @@ def get_spark(
         # job commit — the tskv daily-bucket layout legally fans one
         # backfill INSERT out to thousands of _tb= partition dirs, where
         # the v1 job-commit rename loop dominated write wall (measured
-        # −15-20% on a 1222-partition insert, OPTIMIZATION_r10.md §writes)
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # −15-20% on a 1222-partition insert, OPTIMIZATION_r10.md §writes).
+        # Documented tradeoff (MAPREDUCE-7282): v2 task commit is not
+        # atomic — a task failing mid-commit, or a speculative/retried
+        # task, can leave partial or duplicate files. This engine never
+        # enables spark.speculation, and its DML paths stage overwrites
+        # through rename swaps, so the window is failed-task debris only;
+        # deployments that enable speculation or need job-abort cleanliness
+        # should set SPARK_GRAFT_COMMITTER_VERSION=1 and re-pay the
+        # sequential job-commit rename wall.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            os.environ.get("SPARK_GRAFT_COMMITTER_VERSION", "2"),
+        )
         # Broadcast ONLY from measured sizes, never from static estimates:
         # the STATIC threshold is fully OFF (-1) — static sizes are
         # file-size × selectivity guesses, and a statically-committed
@@ -139,63 +151,115 @@ def normalize_timestamps(df, ts_nanos_long_cols: tuple[str, ...] = ("ts",)):
     return df
 
 
+def _lru_get(cache: "OrderedDict", key):
+    """Bounded-map read: refresh recency on hit."""
+    v = cache.get(key)
+    if v is not None:
+        cache.move_to_end(key)
+    return v
+
+
+def _lru_put(cache: "OrderedDict", key, value, cap: int = 256):
+    """Bounded-map write: evict least-recently-used past ``cap``. The
+    session memo maps (read plans, spread probes) would otherwise grow
+    one entry per distinct plan/table for the life of the application —
+    fine in a bench session, a slow leak in a long-lived service."""
+    cache[key] = value
+    cache.move_to_end(key)
+    while len(cache) > cap:
+        cache.popitem(last=False)
+
+
 def spread_small_input(df, key: str | None = None):
     """The pipeline cookbook's small-input rule (docs/pipeline_cookbook.md):
     Spark cannot split a parquet file below row-group granularity, so a
     small single-file corpus scans as ONE partition and any per-row-heavy
     stage (regex stat towers, Arrow kernels, BPE encode, per-shingle md5)
     serializes on one core. When the input's partition count is below
-    ``defaultParallelism``, repartition up to it — hash on ``key`` when
-    given (deterministic, and skips the sort-before-repartition a
-    round-robin exchange pays); the exchange is trivially cheap exactly
-    when the guard fires, and at production scale (many files / many row
-    groups) it never does."""
+    the target, repartition up to it — hash on ``key`` when given
+    (deterministic, and skips the sort-before-repartition a round-robin
+    exchange pays); the exchange is trivially cheap exactly when the
+    guard fires, and at production scale (many files / many row groups)
+    it never does.
+
+    The target is ``defaultParallelism`` CAPPED by a per-task input-bytes
+    floor (``SPARK_GRAFT_SPREAD_TASK_BYTES``, default 64 KiB, from the
+    optimizer's size estimate — no action): fanning a tiny corpus out to
+    every core makes each Python worker re-pay interpreter/Arrow setup
+    for crumbs of work — the round-10 scaling run measured the 8-core
+    bench BEATING 32 cores on the fingerprint kernels for exactly this
+    reason. The floor keeps small inputs at proportionally fewer, fuller
+    tasks and is irrelevant from a few MB of input up.
+
+    Partition-count/size probes are memoized per semantically-identical
+    plan in a bounded LRU (a stale hit after in-app source regeneration
+    mis-sizes the spread by a factor, never changes results; the driver
+    testdata is immutable per session)."""
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
     # the partition-count probe (rdd.getNumPartitions) costs ~50 ms of
     # physical planning per call — memoize it per semantically-identical
     # plan so repeated builds of the same query pay one cheap hash lookup
     cache_key = (sc.applicationId, df.semanticHash())
-    n = _SPREAD_PROBE_CACHE.get(cache_key)
-    if n is None:
+    probed = _lru_get(_SPREAD_PROBE_CACHE, cache_key)
+    if probed is None:
         n = df.rdd.getNumPartitions()
-        _SPREAD_PROBE_CACHE[cache_key] = n
-    if n >= target:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        probed = (n, size)
+        _lru_put(_SPREAD_PROBE_CACHE, cache_key, probed)
+    n, size = probed
+    task_bytes = int(os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", "65536"))
+    target = min(
+        sc.defaultParallelism, max(1, -(-size // max(task_bytes, 1)))
+    )
+    if n >= target or target <= 1:
         return df
     from pyspark.sql import functions as F
 
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
 
 
-_SPREAD_PROBE_CACHE: dict[tuple[str, int], int] = {}
+_SPREAD_PROBE_CACHE: "OrderedDict[tuple[str, int], tuple[int, int]]" = OrderedDict()
 
 
-_READ_TABLE_PLANS: dict[tuple[str, str, str], "object"] = {}
+_READ_TABLE_PLANS: "OrderedDict[tuple[str, str, str, str], object]" = OrderedDict()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table with timestamps normalized to
     ``TimestampType`` (see :func:`normalize_timestamps`).
 
-    Defensive: the conf is set here (runtime-settable) so this works under
-    ANY caller-provided SparkSession, not just get_spark()'s.
+    Defensive: the conf is set here (runtime-settable, on EVERY call —
+    a cache hit must not skip it, the session may have been rebuilt) so
+    this works under ANY caller-provided SparkSession, not just
+    get_spark()'s.
 
-    The unresolved READ PLAN is cached per (application, dir, table) —
-    the analogue of the reference meta-service's schema cache: building
-    it costs a file listing + parquet footer/schema read, pure overhead
-    when the same immutable testdata table is opened hundreds of times a
-    session. Only the DataFrame (a logical plan) is reused; every action
-    still scans the parquet files, so results always recompute from the
-    inputs."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
-    df = _READ_TABLE_PLANS.get(key)
+    The unresolved READ PLAN is cached per (session, application, dir,
+    table) — the analogue of the reference meta-service's schema cache:
+    building it costs a file listing + parquet footer/schema read, pure
+    overhead when the same immutable testdata table is opened hundreds of
+    times a session. Only the DataFrame (a logical plan) is reused; every
+    action still scans the parquet files, so results always recompute
+    from the inputs. Assumes the table files are immutable for the life
+    of the session (true for the driver's testdata): regenerating a
+    directory in-place within one application would serve a stale file
+    listing from the cached plan. The session UUID in the key stops a
+    second SparkSession in the same JVM from receiving a DataFrame bound
+    to the first. Bounded LRU (no per-table growth for the life of a
+    long-lived service)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (
+        spark._jsparkSession.sessionUUID(),
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+    )
+    df = _lru_get(_READ_TABLE_PLANS, key)
     if df is None:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         # only `events.ts` ever shipped as TIMESTAMP(NANOS); other tables'
         # long columns (keys, counts) must not be touched
         df = normalize_timestamps(
             raw, ts_nanos_long_cols=("ts",) if name == "events" else ()
         )
-        _READ_TABLE_PLANS[key] = df
+        _lru_put(_READ_TABLE_PLANS, key, df)
     return df

@@ -195,6 +195,29 @@ def test_data_quality_sql_matches_pandas_reference(spark):
     assert got_e == want_e and set(got_e) == {("single",), ("nan",), ("dup",), ("gap",)}
 
 
+def test_data_quality_null_key_group_drops(spark):
+    """Pin the documented NULL-group-key divergence (round-11 advice): the
+    relational data_quality's inner join-backs DROP a group whose key is
+    NULL, while the grouped-map pandas reference emits a row for it. This
+    is a deliberate edge (engine tags are non-null by construction) — if
+    a future change makes the relational form keep NULL keys, this test
+    must flip with it."""
+    import datetime as _dt
+
+    from cnosdb_spark.functions.quality import data_quality, data_quality_pandas
+
+    t0 = _dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + _dt.timedelta(seconds=sec)
+    d = spark.createDataFrame(
+        [("a", s(0), 1.0), ("a", s(1), 2.0), (None, s(0), 1.0), (None, s(1), 2.0)],
+        ["g", "ts", "v"],
+    )
+    rel = {r["g"] for r in data_quality(d, "ts", "v", ["g"]).collect()}
+    ref = {r["g"] for r in data_quality_pandas(d, "ts", "v", ["g"]).collect()}
+    assert rel == {"a"}
+    assert ref == {"a", None}
+
+
 def test_data_quality_sql_has_no_python_node(spark):
     from cnosdb_spark.functions.quality import data_quality
     from cnosdb_spark.session import read_table

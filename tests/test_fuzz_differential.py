@@ -19,6 +19,7 @@ handling), negative substr offsets, overflow-prone literals.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 
 import pytest
@@ -26,6 +27,14 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from cnosdb_spark.engine import Engine
+
+# full tier only (round 11): Hypothesis fuzz is minutes of wall per run —
+# pushed out of the driver's bounded pytest window so a timeout there
+# can't mask a real failure. Run with SPARK_GRAFT_FULL_SLT=1 locally.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_SLT", "") != "1",
+    reason="Hypothesis fuzz runs in the full tier (SPARK_GRAFT_FULL_SLT=1)",
+)
 
 ROWS = [
     # (time, t0, f0 BIGINT, f1 DOUBLE, f2 BOOLEAN, f3 STRING)

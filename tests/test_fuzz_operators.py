@@ -5,11 +5,21 @@ conservation."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from cnosdb_spark.operators import curation, dedup, skew, zorder
+
+# full tier only (round 11): Hypothesis fuzz is minutes of wall per run —
+# pushed out of the driver's bounded pytest window so a timeout there
+# can't mask a real failure. Run with SPARK_GRAFT_FULL_SLT=1 locally.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_SLT", "") != "1",
+    reason="Hypothesis fuzz runs in the full tier (SPARK_GRAFT_FULL_SLT=1)",
+)
 
 
 _FUZZ = dict(
