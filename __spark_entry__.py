@@ -1678,6 +1678,15 @@ def external_copy_insert(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="ext_copy_")
     eng = Engine(spark, f"{work}/wh")
+    # Round-11 layout choice (guide §6.2): the inserted slice spans ~7
+    # years of l_shipdate, so daily _tb= buckets fan every tskv write
+    # (INSERT, COPY-in, UPDATE/DELETE rewrite) out to ~1222 partition
+    # dirs — measured file-commit-bound, not compute-bound. A 365d
+    # vnode_duration (the reference's time-shard duration option) gives
+    # the backfill tables YEARLY buckets: ~8 dirs, same rows, same
+    # merge/pruning semantics at the granularity the data actually
+    # needs. Values are layout-independent (oracle-pinned).
+    eng.sql("ALTER DATABASE public SET VNODE_DURATION '365d'")
     eng.sql(
         "CREATE EXTERNAL TABLE li_ext STORED AS PARQUET "
         f"LOCATION '{sf_dir}/lineitem.parquet'"

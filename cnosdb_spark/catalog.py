@@ -43,6 +43,56 @@ from .schema import (
 
 _CATALOG_FILE = "_tskv_table.json"
 _TB_COL = "_tb"
+_TB_DAY_FMT = "yyyyMMdd"
+
+# vnode_duration → _tb granularity thresholds (days)
+_TB_MONTH_MIN_DAYS = 28
+_TB_YEAR_MIN_DAYS = 365
+
+_DUR_UNIT_DAYS = {
+    "d": 1, "day": 1, "days": 1,
+    "w": 7, "week": 7, "weeks": 7,
+    "month": 30, "months": 30,
+    "y": 365, "year": 365, "years": 365,
+}
+
+
+def bucket_fmt_for(options: dict) -> str:
+    """Derive the ``_tb`` directory granularity from a database's
+    ``vnode_duration`` option — the analogue of the reference's
+    time-shard duration (database_schema.rs:109-170: one vnode bucket
+    per duration window). A longer vnode_duration means coarser
+    time-sharding; here that maps to coarser ``_tb`` partition dirs,
+    which bounds the per-directory commit fan-out of backfill writes
+    (a 7-year daily-bucket INSERT legally fans out to 1222 dirs and
+    becomes file-bound — guide §6.2). Day stays the default: it is the
+    pruning/rewrite unit every existing test pins.
+
+    Accepts both the raw CREATE DATABASE form ('365d', '1year', bare
+    days) and the ALTER-normalized form ('365 DAY'). Sub-day durations
+    (hours/minutes/seconds) floor to daily dirs. humantime units are
+    case-sensitive: 'M' is month, 'm' is minute."""
+    vd = options.get("vnode_duration")
+    if not vd:
+        return _TB_DAY_FMT
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]*)", str(vd).strip())
+    if not m:
+        return _TB_DAY_FMT
+    n, unit = int(m.group(1)), m.group(2)
+    if unit == "":
+        days = n  # bare number defaults to days (database_schema.rs)
+    elif unit == "M":
+        days = 30 * n
+    else:
+        per = _DUR_UNIT_DAYS.get(unit.lower())
+        if per is None:
+            return _TB_DAY_FMT
+        days = n * per
+    if days >= _TB_YEAR_MIN_DAYS:
+        return "yyyy"
+    if days >= _TB_MONTH_MIN_DAYS:
+        return "yyyyMM"
+    return _TB_DAY_FMT
 
 
 class Catalog:
@@ -117,7 +167,20 @@ class Catalog:
         if os.path.exists(os.path.join(path, _CATALOG_FILE)):
             raise ValueError(f"table {db}.{schema.name} already exists")
         os.makedirs(path, exist_ok=True)
+        # the _tb granularity is fixed PER TABLE at creation from the db's
+        # vnode_duration (see bucket_fmt_for): a later ALTER DATABASE must
+        # not re-shard existing data dirs — mixing granularities within one
+        # table would strand rows from the pruned overwrite's affected-set
+        # match. Stamped only when coarser than the daily default so
+        # existing tables' schema JSON stays byte-stable.
+        fmt = bucket_fmt_for(self.database_options(db))
+        if fmt != _TB_DAY_FMT:
+            schema.options["bucket_fmt"] = fmt
         self._save_schema(db, schema)
+
+    def bucket_fmt(self, schema: TskvTableSchema) -> str:
+        """The table's ``_tb`` date_format pattern (fixed at creation)."""
+        return schema.options.get("bucket_fmt", _TB_DAY_FMT)
 
     def _save_schema(self, db: str, schema: TskvTableSchema) -> None:
         with open(os.path.join(self._table_path(db, schema.name), _CATALOG_FILE), "w") as f:
@@ -387,7 +450,7 @@ class Catalog:
             df.select(*cols)
             .withColumn(INGEST_SEQ_COL, F.lit(seq))
             .withColumn(INGEST_ROW_COL, F.monotonically_increasing_id())
-            .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
+            .withColumn(_TB_COL, F.date_format(TIME_COL, self.bucket_fmt(schema)))
             # the count, data write, and series-index write below would each
             # re-execute the source plan (an INSERT..SELECT can be
             # arbitrarily expensive) — materialize once
@@ -512,7 +575,7 @@ class Catalog:
             self.read(db, name, dedup=True, keep_residue=True)
             .withColumn(INGEST_SEQ_COL, F.lit(0))
             .withColumn(INGEST_ROW_COL, F.lit(0))
-            .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
+            .withColumn(_TB_COL, F.date_format(TIME_COL, self.bucket_fmt(schema)))
         )
         path = self._table_path(db, name)
         tmp = path + ".compact"

@@ -2102,7 +2102,9 @@ class Engine:
             # reference pruning the delta rewrite to touched vnodes).
             n, affected = df.filter(F.col("_upd")).agg(
                 F.count(F.lit(1)),
-                F.collect_set(F.date_format(TIME_COL, "yyyyMMdd")),
+                F.collect_set(
+                    F.date_format(TIME_COL, self.catalog.bucket_fmt(tschema))
+                ),
             ).first()
             if n:
                 assigns = []
@@ -2183,7 +2185,9 @@ class Engine:
                 # ONE pass for deleted-row count + affected partitions
                 n, affected = df.filter(cond).agg(
                     F.count(F.lit(1)),
-                    F.collect_set(F.date_format(TIME_COL, "yyyyMMdd")),
+                    F.collect_set(
+                        F.date_format(TIME_COL, self.catalog.bucket_fmt(schema))
+                    ),
                 ).first()
                 if n:
                     keep = df.filter(~cond | cond.isNull())
@@ -2210,7 +2214,13 @@ class Engine:
         staged = (
             df.withColumn(INGEST_SEQ_COL, F.lit(0))
             .withColumn(INGEST_ROW_COL, F.lit(0))
-            .withColumn(_TB_COL, F.date_format(TIME_COL, "yyyyMMdd"))
+            .withColumn(
+                _TB_COL,
+                F.date_format(
+                    TIME_COL,
+                    self.catalog.bucket_fmt(self.catalog.get_schema(db, name)),
+                ),
+            )
         )
         if partitions is not None:
             staged = staged.filter(F.col(_TB_COL).isin(list(partitions)))

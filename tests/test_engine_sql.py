@@ -470,6 +470,55 @@ def test_update_delete_partition_pruned(eng, tmp_path):
     assert sorted(r["f0"] for r in eng.sql("SELECT f0 FROM pp").collect()) == [1.0, 99.0]
 
 
+def test_vnode_duration_bucket_granularity(eng):
+    """Round 11: a database's vnode_duration (the reference's time-shard
+    duration) sets the _tb directory granularity AT TABLE CREATION —
+    a 7-year backfill into daily buckets fans one INSERT out to ~1222
+    partition dirs and becomes file-commit-bound (guide §6.2). Yearly
+    buckets must keep DML + pruned-overwrite semantics identical, and a
+    later ALTER must NOT re-shard an existing table (mixed granularities
+    would strand rows from the pruned overwrite's affected-set match)."""
+    eng.sql("CREATE DATABASE ydb WITH VNODE_DURATION '365d'")
+    eng.sql("CREATE TABLE ydb.yt(f0 DOUBLE, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO ydb.yt(time, t0, f0) VALUES
+        ('1992-03-01 00:00:01', 'a', 1.0), ('1994-07-01 00:00:01', 'a', 2.0),
+        ('1998-11-30 00:00:01', 'b', 3.0)"""
+    )
+    tbl = eng.catalog._table_path("ydb", "yt")
+    dirs = sorted(e for e in os.listdir(tbl) if e.startswith("_tb="))
+    assert dirs == ["_tb=1992", "_tb=1994", "_tb=1998"]
+    # time-pruned UPDATE rewrites only the touched yearly bucket
+    def part_files(year):
+        d = os.path.join(tbl, f"_tb={year}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    before_1992 = part_files("1992")
+    n = eng.sql(
+        "UPDATE ydb.yt SET f0 = 99 WHERE time >= '1994-01-01' AND time < '1995-01-01'"
+    ).collect()[0]["rows"]
+    assert n == 1
+    assert part_files("1992") == before_1992
+    assert sorted(
+        r["f0"] for r in eng.sql("SELECT f0 FROM ydb.yt").collect()
+    ) == [1.0, 3.0, 99.0]
+    n = eng.sql("DELETE FROM ydb.yt WHERE t0 = 'b'").collect()[0]["rows"]
+    assert n == 1
+    # ALTER to daily must not re-shard the existing table (granularity is
+    # stamped on the table schema at creation); new rows land per-stamp
+    eng.sql("ALTER DATABASE ydb SET VNODE_DURATION '1d'")
+    eng.sql(
+        "INSERT INTO ydb.yt(time, t0, f0) VALUES ('1999-01-05 00:00:01', 'c', 4.0)"
+    )
+    dirs = sorted(e for e in os.listdir(tbl) if e.startswith("_tb="))
+    assert dirs == ["_tb=1992", "_tb=1994", "_tb=1999"]
+    assert sorted(
+        (r["t0"], r["f0"]) for r in eng.sql("SELECT t0, f0 FROM ydb.yt").collect()
+    ) == [("a", 1.0), ("a", 99.0), ("c", 4.0)]
+
+
 def test_sql_gauge_accessors(eng):
     """SQL-level gauge_agg + accessors (rewriter.rewrite_gauge). Values
     pinned from the reference corpus: function/gauge/rate.slt — rate is
