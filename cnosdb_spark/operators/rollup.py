@@ -328,6 +328,10 @@ def refresh_rollup(
             f"{rollup_path.rstrip('/')}/batch={batch_id}"
         )
 
+    # deliberately NOT stream-scoped (session.stream_state_partitions):
+    # this stream is stateless — the aggregation runs as a batch job
+    # inside foreachBatch and wants the full reducer count (the round-11
+    # A/B read 0.89× with a scoped-down shuffle here)
     q = (
         raw.writeStream.foreachBatch(_write_segment)
         .option("checkpointLocation", checkpoint)
