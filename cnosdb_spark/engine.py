@@ -279,9 +279,11 @@ class Engine:
                 + ", ".join(f"{t} string" for t in tags)
                 + ", value long"
             )
+            from .sources import batch_df
+
             cat.insert(
                 "usage_schema", table,
-                self.spark.createDataFrame(rows, schema_str),
+                batch_df(self.spark, rows, schema_str),
             )
             self._mark_dirty("usage_schema", table)
         self._usage_flushed.update(changed)
@@ -2129,8 +2131,16 @@ class Engine:
                 # SET time=... can move rows across _tb buckets → the
                 # pruned rewrite would strand them; fall back to full
                 touches_time = any(c.lower() == TIME_COL for c, _ in assigns)
+                # a field-only UPDATE changes no tag and removes no row,
+                # so the distinct-tags series index is untouched — skip
+                # its rebuild (one full extra job otherwise)
+                touches_tags = any(c in tschema.tags for c, _ in assigns)
                 self._overwrite(
-                    db, name, out, partitions=None if touches_time else affected
+                    db,
+                    name,
+                    out,
+                    partitions=None if touches_time else affected,
+                    rebuild_index=touches_tags,
                 )
                 self._mark_dirty(db, name)
         finally:
@@ -2202,30 +2212,51 @@ class Engine:
         return self.spark.createDataFrame([(int(n),)], ["rows"])
 
     def _overwrite(
-        self, db: str, name: str, df: DataFrame, partitions: list[str] | None = None
+        self,
+        db: str,
+        name: str,
+        df: DataFrame,
+        partitions: list[str] | None = None,
+        rebuild_index: bool = True,
     ) -> None:
         """Rewrite a table's data files from a merged view (tombstone-free
         compaction path, tskv/src/compaction analogue). When ``partitions``
         is given, ONLY those ``_tb`` time buckets are rewritten (dynamic
         partition overwrite restricted to the affected buckets — at 100 TB
         an UPDATE ... WHERE time > X must not rewrite years of history);
-        the input df is filtered to those buckets before writing."""
+        the input df is filtered to those buckets before writing.
+
+        ``rebuild_index=False`` skips the series-index rewrite — legal
+        exactly when the mutation provably changed no tag value and removed
+        no row (a field-only UPDATE), where the distinct-tags set is
+        untouched by construction. When it does rebuild, the index is
+        computed from ``df`` — the caller's full post-state view, still
+        backed by the caller's persist of the pre-swap files — rather than
+        re-listing and re-scanning the just-written table from disk (one
+        whole extra read job per UPDATE/DELETE otherwise). Both index
+        reads happen BEFORE any file is deleted, so a cache eviction can
+        only fall back to the intact pre-swap files."""
         path = self.catalog._table_path(db, name)
+        schema = self.catalog.get_schema(db, name)
         staged = (
             df.withColumn(INGEST_SEQ_COL, F.lit(0))
             .withColumn(INGEST_ROW_COL, F.lit(0))
             .withColumn(
                 _TB_COL,
-                F.date_format(
-                    TIME_COL,
-                    self.catalog.bucket_fmt(self.catalog.get_schema(db, name)),
-                ),
+                F.date_format(TIME_COL, self.catalog.bucket_fmt(schema)),
             )
         )
         if partitions is not None:
             staged = staged.filter(F.col(_TB_COL).isin(list(partitions)))
         tmp = path + ".rewrite"
         staged.write.mode("overwrite").partitionBy(_TB_COL).parquet(tmp)
+        sp = self.catalog._series_path(db, name)
+        sp_tmp = None
+        if schema.tags and rebuild_index:
+            # df is the post-mutation table content regardless of the
+            # partition pruning above (unpruned buckets are unchanged rows)
+            sp_tmp = sp + ".rewrite"
+            df.select(*schema.tags).distinct().write.mode("overwrite").parquet(sp_tmp)
         wanted = (
             None if partitions is None else {f"{_TB_COL}={p}" for p in partitions}
         )
@@ -2236,14 +2267,9 @@ class Engine:
             if entry.startswith(_TB_COL + "="):
                 shutil.move(os.path.join(tmp, entry), os.path.join(path, entry))
         shutil.rmtree(tmp, ignore_errors=True)
-        # data changed wholesale → rebuild the series index
-        schema = self.catalog.get_schema(db, name)
-        if schema.tags:
-            sp = self.catalog._series_path(db, name)
+        if sp_tmp is not None:
             shutil.rmtree(sp, ignore_errors=True)
-            self.catalog.read_raw(db, name).select(*schema.tags).distinct().write.mode(
-                "overwrite"
-            ).parquet(sp)
+            shutil.move(sp_tmp, sp)
 
     def _winpath(self, url: str) -> str:
         """Map Windows-style URLs (``file://C:\\tmp\\data\\out\\`` —

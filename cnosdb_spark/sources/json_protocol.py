@@ -16,6 +16,8 @@ from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
+from . import batch_df
+
 
 def flatten_json(name: str, value) -> dict:
     """Nested objects/arrays → flat dotted keys (parser.rs:71-103: arrays
@@ -109,7 +111,7 @@ def json_logs_to_tables(
             fields.append(T.StructField(k, spark_t, True))
         data = [tuple(r.get(k) for k in keys) for r in rows]
         out[table] = (
-            spark.createDataFrame(data, T.StructType(fields)),
+            batch_df(spark, data, T.StructType(fields)),
             {k for k in tag_keys if k in keys},
         )
     return out

@@ -21,6 +21,7 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 from ..schema import NS_RESIDUE_COL
+from . import batch_df
 
 _UNESCAPE = re.compile(r"\\([ ,=])")
 
@@ -184,7 +185,7 @@ def lines_to_tables(
             fields.append(T.StructField(k, spark_t, True))
         schema = T.StructType(fields)
         data = [tuple(r.get(k) for k in keys) for r in rows]
-        out[name] = (spark.createDataFrame(data, schema), tagkeys)
+        out[name] = (batch_df(spark, data, schema), tagkeys)
     return out
 
 

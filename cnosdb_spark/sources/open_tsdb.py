@@ -17,6 +17,8 @@ from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
+from . import batch_df
+
 OPEN_TSDB_DEFAULT_FIELD = "value"
 
 
@@ -114,7 +116,7 @@ def open_tsdb_to_tables(
                   T.StructField(OPEN_TSDB_DEFAULT_FIELD, T.DoubleType(), True)]
         fields += [T.StructField(k, T.StringType(), True) for k in sorted(tagkeys)]
         data = [tuple(r.get(k) for k in keys) for r in rows]
-        out[name] = (spark.createDataFrame(data, T.StructType(fields)), tagkeys)
+        out[name] = (batch_df(spark, data, T.StructType(fields)), tagkeys)
     return out
 
 
@@ -159,5 +161,5 @@ def open_tsdb_json_to_tables(
                   T.StructField(OPEN_TSDB_DEFAULT_FIELD, T.DoubleType(), True)]
         fields += [T.StructField(k, T.StringType(), True) for k in sorted(tagkeys)]
         data = [tuple(r.get(k) for k in keys) for r in rows]
-        out[name] = (spark.createDataFrame(data, T.StructType(fields)), tagkeys)
+        out[name] = (batch_df(spark, data, T.StructType(fields)), tagkeys)
     return out

@@ -27,6 +27,8 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
+from . import batch_df
+
 METRIC_NAME_LABEL = "__name__"
 METRIC_SAMPLE_COLUMN_NAME = "value"
 DEFAULT_PROM_TABLE_NAME = "prom_metric_not_specified"
@@ -404,5 +406,5 @@ def prom_to_tables(
         ]
         fields += [T.StructField(k, T.StringType(), True) for k in sorted(tagkeys)]
         data_rows = [tuple(r.get(k) for k in keys) for r in rows]
-        out[name] = (spark.createDataFrame(data_rows, T.StructType(fields)), tagkeys)
+        out[name] = (batch_df(spark, data_rows, T.StructType(fields)), tagkeys)
     return out

@@ -808,3 +808,41 @@ def test_copy_export_affected_rows_with_embedded_newlines(eng, tmp_path):
         "FILE_FORMAT = (TYPE = 'CSV')"
     ).collect()[0]["rows"]
     assert n == 3
+
+
+def test_update_series_index_skip_and_rebuild(eng):
+    """Round-11 rewrite-path pin: a FIELD-only UPDATE provably changes no
+    tag and removes no row, so the series index is left byte-identical
+    (no rebuild job); a TAG update and a DELETE still rebuild it — from
+    the in-memory post-state, so it must reflect the mutation exactly."""
+    eng.sql("CREATE TABLE six(f0 DOUBLE, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO six(time, t0, f0) VALUES
+        ('2024-01-01 00:00:01', 'a', 1.0), ('2024-01-01 00:00:02', 'b', 2.0),
+        ('2024-01-01 00:00:03', 'c', 3.0)"""
+    )
+    sp = eng.catalog._series_path("public", "six")
+
+    def index_files():
+        return sorted(
+            (f, os.path.getmtime(os.path.join(sp, f)))
+            for f in os.listdir(sp) if f.endswith(".parquet")
+        )
+
+    before = index_files()
+    eng.sql("UPDATE six SET f0 = f0 * 10 WHERE t0 = 'b'")
+    assert index_files() == before  # field update: index untouched
+    assert {r["t0"] for r in eng.catalog.series("public", "six").collect()} == {
+        "a", "b", "c"
+    }
+    eng.sql("UPDATE six SET t0 = 'z' WHERE t0 = 'c'")
+    assert index_files() != before  # tag update: rebuilt
+    assert {r["t0"] for r in eng.catalog.series("public", "six").collect()} == {
+        "a", "b", "z"
+    }
+    eng.sql("DELETE FROM six WHERE t0 = 'z'")
+    assert {r["t0"] for r in eng.catalog.series("public", "six").collect()} == {
+        "a", "b"
+    }
+    vals = {r["t0"]: r["f0"] for r in eng.sql("SELECT t0, f0 FROM six").collect()}
+    assert vals == {"a": 1.0, "b": 20.0}
