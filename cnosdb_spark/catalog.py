@@ -451,33 +451,109 @@ class Catalog:
             .withColumn(INGEST_SEQ_COL, F.lit(seq))
             .withColumn(INGEST_ROW_COL, F.monotonically_increasing_id())
             .withColumn(_TB_COL, F.date_format(TIME_COL, self.bucket_fmt(schema)))
-            # the count, data write, and series-index write below would each
-            # re-execute the source plan (an INSERT..SELECT can be
-            # arbitrarily expensive) — materialize once
-            .persist()
         )
+        # Single-pass write: the source plan executes exactly once — the
+        # staged data write — with no persist holding a copy in memory (an
+        # INSERT..SELECT source can be arbitrarily expensive; previously it
+        # was persisted and re-read by three jobs). The write lands in a
+        # staging dir INSIDE the table dir — the ``_stage-<seq>`` name has
+        # no ``=``, so Spark's hidden-path filter keeps it invisible to
+        # readers — and files move into the ``_tb=`` dirs only after the
+        # time-range check passes, preserving reject-before-visible
+        # semantics for TTL/overflow violations. The row-count/time-range
+        # stats and the series index are computed FROM the staged files
+        # (column-pruned columnar scans), never by re-executing the source.
+        # Deliberately NOT df.observe(): the first Observation initializes
+        # SparkSession.observationManager, a non-serializable lazy field
+        # that then breaks ANY later plan serializing the session (Spark ML
+        # training summaries captured in model-transform UDFs do).
+        path = self._table_path(db, name)
+        stage = os.path.join(path, f"_stage-{seq}")
         try:
-            n, ts_min, ts_max, n_null_ts = out.agg(
-                F.count(F.lit(1)),
-                F.min(TIME_COL),
-                F.max(TIME_COL),
-                F.count(F.when(F.col(TIME_COL).isNull(), 1)),
-            ).first()
-            if time_overflow_check and n_null_ts:
-                self._poison(db, name)
-            self._check_time_range(db, ts_min, ts_max)
-            path = self._table_path(db, name)
-            out.write.mode("append").partitionBy(_TB_COL).parquet(path)
-            if schema.tags:
+            out.write.mode("overwrite").partitionBy(_TB_COL).parquet(stage)
+            staged_buckets = [
+                e for e in os.listdir(stage) if e.startswith(_TB_COL + "=")
+            ]
+            if not staged_buckets:  # 0-row insert: only _SUCCESS staged
+                return 0
+            # Common case — no TTL, default (NS) precision, every staged
+            # bucket name below the ns-i64 horizon year: the time-range
+            # check is decided by the bucket dir names alone (a bucket
+            # below "2262" cannot overflow, and with no retention nothing
+            # expires), and the affected-row count comes from the parquet
+            # footers — no Spark job at all. Bucket names are zero-padded
+            # (yyyy[-MM[-dd]]), so the lexical compare is a date compare;
+            # a NULL-time row lands in __HIVE_DEFAULT_PARTITION__, which
+            # sorts above "2262" and falls back to the exact path.
+            ttl = str(self.database_options(db).get("ttl") or "INF").upper()
+            from datetime import datetime as _dt, timedelta as _td
+
+            # even TTL=INF clamps to the ns-i64 span: buckets whose YEAR is
+            # strictly above the rolling cutoff year cannot be expired
+            lo = str(
+                (_dt.utcnow() - _td(microseconds=self._MAX_TTL_US)).year + 1
+            ).zfill(4)
+            if (
+                not time_overflow_check
+                and ttl == "INF"
+                and all(
+                    lo <= b.split("=", 1)[1] < "2262" for b in staged_buckets
+                )
+            ):
+                import pyarrow.parquet as _pq
+
+                n = 0
+                for b in staged_buckets:
+                    bdir = os.path.join(stage, b)
+                    for fname in os.listdir(bdir):
+                        if fname.endswith(".parquet"):
+                            n += _pq.read_metadata(
+                                os.path.join(bdir, fname)
+                            ).num_rows
+            else:
+                n, ts_min, ts_max, n_null_ts = (
+                    self.spark.read.parquet(stage)
+                    .agg(
+                        F.count(F.lit(1)),
+                        F.min(TIME_COL),
+                        F.max(TIME_COL),
+                        F.count(F.when(F.col(TIME_COL).isNull(), 1)),
+                    )
+                    .first()
+                )
+                if time_overflow_check and n_null_ts:
+                    self._poison(db, name)
+                self._check_time_range(db, ts_min, ts_max)
+            if schema.tags and n:
                 # maintain the series index on write — the analogue of the
                 # reference's inverted tag index updated during ingest
-                # (tskv/src/index/ts_index.rs). Appends this batch's distinct
-                # tag tuples; readers dedup across appends.
-                out.select(*schema.tags).distinct().write.mode("append").parquet(
+                # (tskv/src/index/ts_index.rs). Appends this batch's
+                # distinct tag tuples; readers dedup across appends. The
+                # explicit tag-only schema prunes the read AND skips the
+                # footer schema-inference job.
+                from pyspark.sql import types as T
+
+                tag_struct = T.StructType(
+                    [T.StructField(t, T.StringType(), True) for t in schema.tags]
+                )
+                self.spark.read.schema(tag_struct).parquet(
+                    stage
+                ).distinct().write.mode("append").parquet(
                     self._series_path(db, name)
                 )
+            for entry in os.listdir(stage):
+                if not entry.startswith(_TB_COL + "="):
+                    continue
+                dst = os.path.join(path, entry)
+                src = os.path.join(stage, entry)
+                if not os.path.isdir(dst):
+                    os.rename(src, dst)  # fresh bucket: one dir rename
+                    continue
+                for fname in os.listdir(src):
+                    # part filenames embed the job UUID — append-unique
+                    shutil.move(os.path.join(src, fname), os.path.join(dst, fname))
         finally:
-            out.unpersist()
+            shutil.rmtree(stage, ignore_errors=True)
         return n
 
     def _series_path(self, db: str, name: str) -> str:

@@ -120,6 +120,10 @@ def main():
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
             fails.append(name)
+            import traceback
+
+            traceback.print_exc()  # full engine/JVM stack, not the
+            # 300-char summary — a Py4JJavaError's cause lives deep
         results[name] = rec
         status = "FAIL" if name in fails else "ok"
         print(f"{status:4s} {name}: {json.dumps({k: v for k, v in rec.items() if k != 'err'})}"
