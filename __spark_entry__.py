@@ -3686,20 +3686,31 @@ def pipeline_curation(spark, sf_dir):
     ).select("doc_id", "text", F.col("n_tokens").alias("nt"))
     winners = dedup.exact_dedup(filtered, "text", "doc_id").select("doc_id")
     kept = filtered.join(winners, "doc_id")
+
+    path = tempfile.mkdtemp(prefix="pipeline_export_") + "/export"
+    exp_in = kept.select("doc_id", F.col("nt").cast("long").alias("n_tokens"))
+    manifest = curation.shuffle_export(
+        exp_in, path, id_col="doc_id", shards=8, salt="export"
+    )
+    # The export (just written, this invocation, fresh tempdir) holds
+    # exactly kept's (doc_id, n_tokens) rows — the curate arm samples
+    # from the written files instead of re-running the text-stats kernel
+    # + dedup tower a second time. sample_deterministic hashes doc_id,
+    # so shard order is immaterial; the arm's rows are identical.
     curate = (
-        sample_deterministic(kept.select("doc_id", "nt"), "doc_id", 100)
+        sample_deterministic(
+            spark.read.parquet(path).select(
+                "doc_id", F.col("n_tokens").alias("nt")
+            ),
+            "doc_id",
+            100,
+        )
         .select(
             F.lit("curate").alias("op"),
             F.col("doc_id").cast("long").alias("k"),
             F.col("nt").cast("long").alias("v1"),
             F.lit(None).cast("long").alias("v2"),
         )
-    )
-
-    path = tempfile.mkdtemp(prefix="pipeline_export_") + "/export"
-    exp_in = kept.select("doc_id", F.col("nt").cast("long").alias("n_tokens"))
-    manifest = curation.shuffle_export(
-        exp_in, path, id_col="doc_id", shards=8, salt="export"
     )
     row_h = F.conv(
         F.substring(

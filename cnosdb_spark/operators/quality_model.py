@@ -98,9 +98,19 @@ def train_quality_classifier(
         ),
         text_col,
     )
-    return build_quality_pipeline(text_col, num_features, reg_param, max_iter).fit(
-        train
-    )
+    # Pipeline.fit makes one full pass per fitted stage (StandardScaler
+    # fit, then LogisticRegression instance extraction) — without this
+    # persist each pass re-runs the text-stats Arrow kernel and the
+    # callers' corruption regexes over the whole training corpus. Scoped
+    # strictly to the fit (unpersisted before returning); identical
+    # inputs reach every stage, so the fitted weights are unchanged.
+    train = train.persist()
+    try:
+        return build_quality_pipeline(
+            text_col, num_features, reg_param, max_iter
+        ).fit(train)
+    finally:
+        train.unpersist()
 
 
 def score_quality(
