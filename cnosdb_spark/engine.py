@@ -123,6 +123,9 @@ class Engine:
         # DDL/DML mark entries dirty; _register_views only re-reads those.
         self._registered: dict[tuple[str, str], str] = {}
         self._dirty: set[tuple[str, str]] = set()
+        # digest of the state behind the information/cluster schema views
+        # as of their last registration (see _sys_views_fingerprint)
+        self._sys_views_fp: str | None = None
         # EXPLAIN plans under non-ANSI coercion by toggling the (shared)
         # session conf; _select also plans under this lock, so a concurrent
         # query can't be ANALYZED while the conf is flipped (execution
@@ -533,16 +536,22 @@ class Engine:
                 sdf.createOrReplaceTempView(sname)
         from . import sys_schema
 
-        sys_schema.databases_df(
-            self.spark, self.catalog, hidden=self._hidden_dbs
-        ).createOrReplaceTempView("__information_schema__databases")
-        sys_schema.tables_df(
-            self.spark, self.catalog, self.external, self.streams,
-            self.external_dbs,
-        ).createOrReplaceTempView("__information_schema__tables")
-        sys_schema.columns_df(self.spark, self.catalog).createOrReplaceTempView(
-            "__information_schema__columns"
-        )
+        # information_schema.queries is self-referential (it must show the
+        # statement being executed) — rebuilt every call; one 1-row frame
+        cur = getattr(self, "_current_stmt", None)
+        qrows = [
+            (
+                "1", "batch", cur, self.user, self.current_tenant,
+                self.database, "OPTIMIZING", 0.0,
+            )
+        ] if cur else []
+        self.spark.createDataFrame(
+            qrows,
+            "query_id string, query_type string, query_text string, "
+            "user_name string, tenant_name string, database_name string, "
+            "state string, duration double",
+        ).createOrReplaceTempView("__information_schema__queries")
+
         res_rows = self.resource_status_rows() or []
         if not self._is_admin():
             # non-admins see only the current tenant's resources
@@ -553,6 +562,24 @@ class Engine:
                 if r[0] == self.current_tenant
                 or r[0].startswith(f"{self.current_tenant}-")
             ]
+        # The remaining ~10 information/cluster-schema views are pure
+        # functions of driver-side state (catalog schema files, session
+        # dicts) — re-deriving them was ~2/3 of warm engine-statement
+        # latency. Skip the whole block when that state's digest is
+        # unchanged since the last registration.
+        fp = self._sys_views_fingerprint(res_rows)
+        if fp == self._sys_views_fp:
+            return
+        sys_schema.databases_df(
+            self.spark, self.catalog, hidden=self._hidden_dbs
+        ).createOrReplaceTempView("__information_schema__databases")
+        sys_schema.tables_df(
+            self.spark, self.catalog, self.external, self.streams,
+            self.external_dbs,
+        ).createOrReplaceTempView("__information_schema__tables")
+        sys_schema.columns_df(self.spark, self.catalog).createOrReplaceTempView(
+            "__information_schema__columns"
+        )
         self.spark.createDataFrame(
             res_rows,
             "name string, action string, try_count string, status string",
@@ -593,23 +620,6 @@ class Engine:
         sys_schema.members_df(self.spark, members).createOrReplaceTempView(
             "__information_schema__members"
         )
-        # information_schema.queries lists in-flight queries — always
-        # including the SELECT being executed, self-referentially
-        # (sys_table/information_schema/queries.slt sees its own text;
-        # reference dispatcher/query_tracker.rs registers before planning)
-        cur = getattr(self, "_current_stmt", None)
-        qrows = [
-            (
-                "1", "batch", cur, self.user, self.current_tenant,
-                self.database, "OPTIMIZING", 0.0,
-            )
-        ] if cur else []
-        self.spark.createDataFrame(
-            qrows,
-            "query_id string, query_type string, query_text string, "
-            "user_name string, tenant_name string, database_name string, "
-            "state string, duration double",
-        ).createOrReplaceTempView("__information_schema__queries")
         member_role = members.get(self.user)
         sys_schema.database_privileges_df(
             self.spark,
@@ -619,6 +629,52 @@ class Engine:
             # owners/admins see every grant; a plain member only their role's
             only_role=None if self._sys_role() == "owner" else member_role,
         ).createOrReplaceTempView("__information_schema__database_privileges")
+        # set only after every view registered, so a mid-build failure
+        # retries the whole block next statement
+        self._sys_views_fp = fp
+
+    def _sys_views_fingerprint(self, res_rows: list) -> str:
+        """Exact digest of the driver-side state the information/cluster
+        schema views are derived from: catalog files by CONTENT (db
+        options + per-table schema json — any DDL/DCL/schemaless schema
+        evolution path invalidates, even ones that bypass the Engine),
+        session dicts by value. Hashing a typical catalog is tens of µs
+        of driver time vs ~10 createDataFrame+view swaps per statement."""
+        import hashlib
+
+        from .catalog import _CATALOG_FILE
+
+        h = hashlib.md5()
+        cat = self.catalog
+        for db in cat.list_databases():
+            h.update(db.encode())
+            p = os.path.join(cat._db_path(db), "_db.json")
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+            for t in cat.list_tables(db):
+                h.update(t.encode())
+                try:
+                    fp_ = os.path.join(cat._table_path(db, t), _CATALOG_FILE)
+                    with open(fp_, "rb") as f:
+                        h.update(f.read())
+                except OSError:
+                    pass
+        state = (
+            self.current_tenant, self.user, self.database,
+            sorted(self.external.items(), key=lambda kv: kv[0]),
+            sorted(
+                (s, st.src_db, st.src_table, st.columns,
+                 getattr(st, "home_db", "public"))
+                for s, st in self.streams.items()
+            ),
+            sorted(self.external_dbs.items()),
+            self.tenants, self.users, self.roles, self.grants,
+            sorted(self._hidden_dbs), sorted(self._hidden_tenants),
+            res_rows,
+        )
+        h.update(repr(state).encode())
+        return h.hexdigest()
 
     def _qualify(self, sql: str) -> str:
         """Rewrite known ``db.table`` references to their mangled temp-view
