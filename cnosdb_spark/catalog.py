@@ -536,8 +536,13 @@ class Catalog:
                 tag_struct = T.StructType(
                     [T.StructField(t, T.StringType(), True) for t in schema.tags]
                 )
-                self.spark.read.schema(tag_struct).parquet(
-                    stage
+                # the select is NOT redundant: partition discovery APPENDS
+                # the _tb dir column even under an explicit user schema,
+                # and a _tb in the distinct would inflate the index by one
+                # row per (series, bucket) — caught by a 600k-row A/B
+                # (546,208 true series vs 599,969 inflated)
+                self.spark.read.schema(tag_struct).parquet(stage).select(
+                    *schema.tags
                 ).distinct().write.mode("append").parquet(
                     self._series_path(db, name)
                 )

@@ -846,3 +846,24 @@ def test_update_series_index_skip_and_rebuild(eng):
     }
     vals = {r["t0"]: r["f0"] for r in eng.sql("SELECT t0, f0 FROM six").collect()}
     assert vals == {"a": 1.0, "b": 20.0}
+
+
+def test_series_index_multi_bucket_insert_not_inflated(eng):
+    """Round-11 staged-insert pin: an INSERT spanning several _tb buckets
+    must index each series ONCE — partition discovery appends the _tb dir
+    column even under an explicit read schema, and a _tb leaking into the
+    distinct inflates the index by one row per (series, bucket)."""
+    eng.sql("CREATE TABLE sev(f0 DOUBLE, TAGS(t0))")
+    eng.sql(
+        """INSERT INTO sev(time, t0, f0) VALUES
+        ('2024-01-01 00:00:01', 'a', 1.0), ('2024-01-02 00:00:01', 'a', 2.0),
+        ('2024-01-03 00:00:01', 'a', 3.0), ('2024-01-01 00:00:02', 'b', 4.0),
+        ('2024-01-02 00:00:02', 'b', 5.0)"""
+    )
+    sp = eng.catalog._series_path("public", "sev")
+    raw = eng.catalog.spark.read.parquet(sp)
+    assert raw.columns == ["t0"]  # no leaked partition column
+    assert raw.count() == 2  # one row per series, not per (series, bucket)
+    assert {r["t0"] for r in eng.catalog.series("public", "sev").collect()} == {
+        "a", "b"
+    }
